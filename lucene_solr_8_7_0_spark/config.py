@@ -1,0 +1,64 @@
+"""Engine configuration.
+
+Mirrors the knobs of the reference engine's IndexWriterConfig /
+Lucene84PostingsFormat (see SURVEY.md §2) re-expressed for a Spark
+deployment.  All values that influence *results* (analyzer, BM25
+params, norm encoding) are fixed to the reference defaults; values
+that influence only *physical layout* (segment size, shuffle width,
+salt buckets) are free and must never change query results.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Postings are encoded in fixed 128-doc blocks, like the reference's
+# Lucene84PostingsFormat BLOCK_SIZE=128
+# (lucene/core/.../codecs/lucene84/Lucene84PostingsFormat.java:558).
+BLOCK_SIZE = 128
+
+# StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
+# (lucene/core/.../analysis/standard/StandardAnalyzer.java:39).
+DEFAULT_MAX_TOKEN_LENGTH = 255
+
+# IndexSearcher.TOTAL_HITS_THRESHOLD default: collectors start feeding
+# minCompetitiveScore back to scorers after this many hits
+# (lucene/core/.../search/IndexSearcher.java:102).
+DEFAULT_TOTAL_HITS_THRESHOLD = 1000
+
+# BooleanQuery.maxClauseCount default
+# (lucene/core/.../search/BooleanQuery.java:44).
+MAX_CLAUSE_COUNT = 1024
+
+
+@dataclass
+class EngineConfig:
+    """Tunables for one index build / search deployment."""
+
+    # --- result-affecting (reference-pinned defaults) ---
+    k1: float = 1.2
+    b: float = 0.75
+    analyzer: str = "standard"  # "standard" | "simple"
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+    index_positions: bool = True
+
+    # --- physical layout (never affects results) ---
+    # Docs per segment.  Segment boundaries are a pure function of the
+    # global doc id (segment_id = doc_id // segment_size), so the index
+    # contents are identical at any cluster size.
+    segment_size: int = 1 << 16
+    # Salt buckets for the skew-safe two-level term-stats aggregation.
+    stats_salt_buckets: int = 16
+    # Target rows per parquet file on index write.
+    write_max_records_per_file: int = 2_000_000
+
+    # --- table format ---
+    # "parquet" locally; an Iceberg catalog slots in here unchanged at
+    # cluster scale (same dataframe writer API).
+    table_format: str = "parquet"
+
+    extra: dict = field(default_factory=dict)
+
+    def num_segments(self, num_docs: int) -> int:
+        return max(1, -(-num_docs // self.segment_size))

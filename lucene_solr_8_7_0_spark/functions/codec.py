@@ -1,0 +1,280 @@
+"""Postings block codec: delta + FOR/PFOR bit-packing, numpy-vectorized.
+
+Re-expression of the reference's Lucene84 postings block encoding
+(lucene/core/src/java/org/apache/lucene/codecs/lucene84/):
+
+* 128-value blocks (Lucene84PostingsFormat.java:558, BLOCK_SIZE=128),
+* doc ids stored as deltas then bit-packed at the block's required
+  width (ForUtil.java / ForDeltaUtil.java:56-81),
+* frequencies / position-deltas packed with patched FOR: up to 3
+  exceptions are patched out of the block so outliers don't inflate
+  the width (PForUtil.java:54-120),
+* all-equal blocks collapse to a single value (PForUtil.java:91-96),
+* single-document terms are "pulsed" into scalar columns instead of
+  blocks (Lucene84PostingsWriter.java:394-412 singletonDocID).
+
+The byte layout itself is ours (the reference's exact layout is an
+internal file format); what is preserved is the information model:
+block granularity, delta domains, exception patching, and per-block
+random access (byte offsets replace the skip-list file pointers).
+
+Every encode/decode is vectorized numpy — these run inside Arrow UDFs
+on executors, one call per (segment, term) group.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+__all__ = [
+    "BLOCK_SIZE",
+    "bits_required",
+    "pack_bits",
+    "unpack_bits",
+    "encode_blocks",
+    "decode_blocks",
+    "decode_selected_blocks",
+    "TermPostings",
+    "encode_term_postings",
+    "decode_term_postings",
+]
+
+BLOCK_SIZE = 128
+
+# Block header layout: 1 byte = num_exceptions << 6 | width_token.
+# width_token 0..32 = plain bit width; _ALL_EQUAL means the block is a
+# single repeated value stored as 4-byte LE after the header.
+_ALL_EQUAL = 63
+
+
+def bits_required(max_value: int) -> int:
+    return max(int(max_value).bit_length(), 0)
+
+
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Pack uint32 values at ``width`` bits each, LSB-first bitstream."""
+    if width == 0:
+        return b""
+    v = np.ascontiguousarray(values, dtype=np.uint32)
+    bits = (
+        (v[:, None] >> np.arange(width, dtype=np.uint32)[None, :]) & np.uint32(1)
+    ).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of pack_bits; returns uint32[n]."""
+    if width == 0:
+        return np.zeros(n, dtype=np.uint32)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    bits = np.unpackbits(raw, bitorder="little")[: n * width].reshape(n, width)
+    weights = (np.uint32(1) << np.arange(width, dtype=np.uint32))[None, :]
+    return (bits.astype(np.uint32) * weights).sum(axis=1, dtype=np.uint32)
+
+
+def _encode_one_block(vals: np.ndarray, parts: list[bytes]) -> None:
+    """Append one encoded block (<= BLOCK_SIZE uint32 values) to parts."""
+    n = len(vals)
+    first = int(vals[0]) if n else 0
+    if n and (vals == vals[0]).all():
+        parts.append(bytes([_ALL_EQUAL]))
+        parts.append(int(first).to_bytes(4, "little"))
+        return
+    # patched FOR: consider patching out the top 0..3 values
+    order = np.argsort(vals, kind="stable")
+    best_cost, best_exc = None, 0
+    for num_exc in range(0, min(3, n - 1) + 1):
+        w = bits_required(int(vals[order[n - 1 - num_exc]]))
+        cost = (n * w + 7) // 8 + num_exc * 5
+        if best_cost is None or cost < best_cost:
+            best_cost, best_exc = cost, num_exc
+    num_exc = best_exc
+    exc_idx = np.sort(order[n - num_exc :]) if num_exc else np.empty(0, np.int64)
+    w = bits_required(int(vals[order[n - 1 - num_exc]])) if n else 0
+    low = vals.copy()
+    header = (num_exc << 6) | w
+    parts.append(bytes([header]))
+    if num_exc:
+        mask = np.uint32((1 << w) - 1) if w else np.uint32(0)
+        low[exc_idx] &= mask
+    parts.append(pack_bits(low, w))
+    for i in exc_idx:
+        parts.append(bytes([int(i)]))
+        parts.append((int(vals[i]) >> w).to_bytes(4, "little"))
+
+
+def encode_blocks(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode uint32 values into BLOCK_SIZE blocks.
+
+    Returns (payload bytes, block byte offsets int32[num_blocks + 1]).
+    The offsets give per-block random access — the role of the
+    reference's skip-list file pointers (Lucene84SkipWriter.java:70-243).
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint32)
+    parts: list[bytes] = []
+    offsets = [0]
+    for start in range(0, len(v), BLOCK_SIZE):
+        block_parts: list[bytes] = []
+        _encode_one_block(v[start : start + BLOCK_SIZE], block_parts)
+        blk = b"".join(block_parts)
+        parts.append(blk)
+        offsets.append(offsets[-1] + len(blk))
+    return b"".join(parts), np.asarray(offsets, dtype=np.int32)
+
+
+def _decode_one_block(buf: bytes, n: int) -> np.ndarray:
+    header = buf[0]
+    if header == _ALL_EQUAL:
+        val = int.from_bytes(buf[1:5], "little")
+        return np.full(n, val, dtype=np.uint32)
+    num_exc = header >> 6
+    w = header & 0x3F
+    packed_len = (n * w + 7) // 8
+    vals = unpack_bits(buf[1 : 1 + packed_len], n, w)
+    p = 1 + packed_len
+    for _ in range(num_exc):
+        idx = buf[p]
+        high = int.from_bytes(buf[p + 1 : p + 5], "little")
+        vals[idx] |= np.uint32(high << w)
+        p += 5
+    return vals
+
+
+def decode_blocks(buf: bytes, offsets: np.ndarray, n_values: int) -> np.ndarray:
+    """Decode every block; returns uint32[n_values]."""
+    out = np.empty(n_values, dtype=np.uint32)
+    num_blocks = len(offsets) - 1
+    for b in range(num_blocks):
+        start = b * BLOCK_SIZE
+        n = min(BLOCK_SIZE, n_values - start)
+        out[start : start + n] = _decode_one_block(
+            buf[int(offsets[b]) : int(offsets[b + 1])], n
+        )
+    return out
+
+
+def decode_selected_blocks(
+    buf: bytes, offsets: np.ndarray, n_values: int, blocks: np.ndarray
+) -> dict[int, np.ndarray]:
+    """Random-access decode of selected block indices (skip-data analog)."""
+    out: dict[int, np.ndarray] = {}
+    for b in blocks:
+        b = int(b)
+        start = b * BLOCK_SIZE
+        n = min(BLOCK_SIZE, n_values - start)
+        out[b] = _decode_one_block(buf[int(offsets[b]) : int(offsets[b + 1])], n)
+    return out
+
+
+class TermPostings(NamedTuple):
+    """Encoded postings of one term within one segment."""
+
+    df: int
+    ttf: int
+    singleton_doc: int          # -1 unless df == 1 (pulsing)
+    singleton_freq: int
+    doc_blocks: bytes
+    doc_block_offsets: np.ndarray   # int32[nb+1]
+    freq_blocks: bytes
+    freq_block_offsets: np.ndarray
+    pos_blocks: bytes
+    pos_block_offsets: np.ndarray
+    block_last_docs: np.ndarray     # int32[nb], segment-local last doc per block
+    impacts_flat: np.ndarray        # int32, interleaved (freq, norm) pairs
+    impacts_offsets: np.ndarray     # int32[nb+1], pair index per block
+
+
+_EMPTY_I32 = np.empty(0, dtype=np.int32)
+
+
+def encode_term_postings(
+    doc_ids: np.ndarray,
+    freqs: np.ndarray,
+    norms: np.ndarray,
+    positions: np.ndarray | None = None,
+) -> TermPostings:
+    """Encode one term's (sorted segment-local doc ids, freqs, norms[doc])
+    and optionally the concatenated per-doc position lists."""
+    from .impacts import block_impacts
+
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    freqs = np.ascontiguousarray(freqs, dtype=np.int64)
+    df = len(doc_ids)
+    ttf = int(freqs.sum())
+    if df == 1 and positions is None:
+        imp = np.asarray([int(freqs[0]), int(norms[0])], dtype=np.int32)
+        return TermPostings(
+            df=1,
+            ttf=ttf,
+            singleton_doc=int(doc_ids[0]),
+            singleton_freq=int(freqs[0]),
+            doc_blocks=b"",
+            doc_block_offsets=_EMPTY_I32,
+            freq_blocks=b"",
+            freq_block_offsets=_EMPTY_I32,
+            pos_blocks=b"",
+            pos_block_offsets=_EMPTY_I32,
+            block_last_docs=np.asarray([doc_ids[0]], dtype=np.int32),
+            impacts_flat=imp,
+            impacts_offsets=np.asarray([0, 1], dtype=np.int32),
+        )
+    deltas = np.empty(df, dtype=np.uint32)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = np.diff(doc_ids)
+    doc_blocks, doc_offsets = encode_blocks(deltas)
+    freq_blocks, freq_offsets = encode_blocks(freqs.astype(np.uint32))
+    nb = len(doc_offsets) - 1
+    last_idx = np.minimum(np.arange(1, nb + 1) * BLOCK_SIZE - 1, df - 1)
+    block_last_docs = doc_ids[last_idx].astype(np.int32)
+    impacts_flat, impacts_offsets = block_impacts(freqs, norms, BLOCK_SIZE)
+    if positions is not None and len(positions):
+        pos = np.ascontiguousarray(positions, dtype=np.int64)
+        # per-doc delta encoding: first position absolute, then diffs
+        boundaries = np.concatenate(([0], np.cumsum(freqs)[:-1]))
+        pdelta = np.empty(len(pos), dtype=np.int64)
+        pdelta[0] = pos[0]
+        pdelta[1:] = np.diff(pos)
+        pdelta[boundaries] = pos[boundaries]
+        pos_blocks, pos_offsets = encode_blocks(pdelta.astype(np.uint32))
+    else:
+        pos_blocks, pos_offsets = b"", _EMPTY_I32
+    return TermPostings(
+        df=df,
+        ttf=ttf,
+        singleton_doc=-1,
+        singleton_freq=0,
+        doc_blocks=doc_blocks,
+        doc_block_offsets=doc_offsets.astype(np.int32),
+        freq_blocks=freq_blocks,
+        freq_block_offsets=freq_offsets.astype(np.int32),
+        pos_blocks=pos_blocks,
+        pos_block_offsets=np.asarray(pos_offsets, dtype=np.int32),
+        block_last_docs=block_last_docs,
+        impacts_flat=impacts_flat,
+        impacts_offsets=impacts_offsets,
+    )
+
+
+def decode_term_postings(
+    tp: TermPostings, with_positions: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Full decode -> (segment-local doc ids int64, freqs int64, positions|None)."""
+    if tp.singleton_doc >= 0:
+        docs = np.asarray([tp.singleton_doc], dtype=np.int64)
+        freqs = np.asarray([tp.singleton_freq], dtype=np.int64)
+        return docs, freqs, None
+    deltas = decode_blocks(tp.doc_blocks, tp.doc_block_offsets, tp.df)
+    docs = np.cumsum(deltas.astype(np.int64))
+    freqs = decode_blocks(tp.freq_blocks, tp.freq_block_offsets, tp.df).astype(np.int64)
+    positions = None
+    if with_positions and len(tp.pos_block_offsets) > 0:
+        ttf = int(freqs.sum())
+        pdelta = decode_blocks(tp.pos_blocks, tp.pos_block_offsets, ttf).astype(np.int64)
+        boundaries = np.concatenate(([0], np.cumsum(freqs)[:-1]))
+        # invert per-doc delta encoding: grouped cumsum (reset at doc starts)
+        csum = np.cumsum(pdelta)
+        prev_end = np.concatenate(([0], csum[boundaries[1:] - 1]))
+        positions = csum - np.repeat(prev_end, freqs)
+    return docs, freqs, positions

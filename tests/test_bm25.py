@@ -1,0 +1,88 @@
+"""BM25 float32 scorer tests — property strategy of
+BaseSimilarityTestCase + TestBM25Similarity (scores finite/positive,
+monotonic in freq, decreasing in norm), plus hand-computed goldens."""
+
+import math
+
+import numpy as np
+
+from lucene_solr_8_7_0_spark.functions.bm25 import (
+    BM25Scorer,
+    avg_field_length,
+    idf,
+    sum_scores_f32,
+)
+from lucene_solr_8_7_0_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4
+
+
+def test_idf_golden():
+    # log(1 + (2 - 1 + 0.5) / (1 + 0.5)) == log(2)
+    assert idf(1, 2) == np.float32(math.log(2.0))
+    assert idf(0, 0) == np.float32(math.log(1 + 0.5 / 0.5))
+    assert idf(10, 10) == np.float32(math.log(1 + 0.5 / 10.5))
+    assert idf(1, 1_000_000) > idf(1000, 1_000_000) > idf(500_000, 1_000_000) > 0
+
+
+def test_avgdl_float_of_long_division():
+    assert avg_field_length(10, 4) == np.float32(2.5)
+    # long/long would truncate; the reference divides as doubles then casts
+    assert avg_field_length(7, 2) == np.float32(3.5)
+
+
+def _scorer(boost=1.0, df=5, n=100, sttf=5000, k1=1.2, b=0.75):
+    return BM25Scorer.create(boost, k1, b, idf(df, n), avg_field_length(sttf, n))
+
+
+def test_score_exact_float32_form():
+    sc = _scorer()
+    norm_b = int_to_byte4(10)
+    # replicate weight - weight/(1 + freq*normInv) in float32 by hand
+    k1, b = np.float32(1.2), np.float32(0.75)
+    avgdl = np.float32(5000 / 100.0)
+    norm_inv = np.float32(1.0) / (
+        k1 * ((np.float32(1.0) - b) + b * LENGTH_TABLE[norm_b] / avgdl)
+    )
+    w = sc.weight
+    expected = np.float32(w - w / (np.float32(1.0) + np.float32(3.0) * norm_inv))
+    got = sc.score(np.array([3.0]), np.array([norm_b]))
+    assert got.dtype == np.float32
+    assert got[0] == expected
+
+
+def test_monotonic_in_freq_and_norm():
+    sc = _scorer()
+    freqs = np.arange(1, 200, dtype=np.float64)
+    for length in [1, 5, 39, 100, 10_000]:
+        nb = int_to_byte4(length)
+        s = sc.score(freqs, np.full(len(freqs), nb))
+        assert (np.diff(s) >= 0).all()
+        assert (s > 0).all() and np.isfinite(s).all()
+        assert (s < sc.weight).all()  # saturates below weight (k1+1 factor dropped in 8.x)
+    # longer doc (bigger norm byte) never scores higher at same freq
+    lengths = [int_to_byte4(x) for x in [1, 2, 10, 50, 1000, 100000]]
+    s = sc.score(np.full(len(lengths), 5.0), np.array(lengths))
+    assert (np.diff(s) <= 0).all()
+
+
+def test_boost_scales_weight():
+    s1 = _scorer(boost=1.0)
+    s2 = _scorer(boost=2.0)
+    assert s2.weight == np.float32(np.float32(2.0) * s1.weight / np.float32(1.0)) or (
+        s2.weight == np.float32(2.0) * s1.weight
+    )
+
+
+def test_sum_scores_double_accumulate():
+    a = np.array([0.1, 0.2], dtype=np.float32)
+    b = np.array([0.3, 0.4], dtype=np.float32)
+    got = sum_scores_f32([a, b])
+    exp = (a.astype(np.float64) + b.astype(np.float64)).astype(np.float32)
+    np.testing.assert_array_equal(got, exp)
+    assert got.dtype == np.float32
+
+
+def test_norm_zero_degenerate():
+    # empty field -> length 0 -> norm byte 0 -> normInv = 1/(k1*(1-b+0))
+    sc = _scorer()
+    s = sc.score(np.array([1.0]), np.array([0]))
+    assert np.isfinite(s[0]) and s[0] > 0
