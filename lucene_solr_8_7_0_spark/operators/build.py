@@ -1,0 +1,176 @@
+"""Index build orchestration: staged, resumable, metric-emitting.
+
+Stage graph (each stage materializes to ``index_dir/<table>`` with a
+``_SUCCESS`` marker; a resumed build skips completed stages — the
+per-partition lineage/metrics land in ``manifest``):
+
+  docs      source + deterministic global doc_id          (operators/docids)
+  freqprox  inverted (doc, term, freq, positions) rows    (operators/invert)
+            == the reference's FreqProx in-memory stage, materialized
+            so tokenization runs exactly once and the build can resume
+  docmeta   identity + sha256 invariant + length + norm
+  norms     per-segment packed norm bytes (.nvd analog)
+  stats     CollectionStatistics (single row)
+  segments  block-encoded postings per (segment, term)    (operators/segments)
+  termdict  global term -> (df, ttf), salted aggregation  (operators/stats)
+
+Parallelism notes (the 100 TB view): every stage is embarrassingly
+parallel except two shuffles — the range partition for doc numbering
+and the segment groupBy for encode.  Both key on doc ranges, which are
+uniform by construction (segment_size docs each), so neither has a
+skewed reducer; the only Zipf-skewed key (term) is aggregated salted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import EngineConfig
+from . import docids, invert, segments as seg_ops, stats as stats_ops
+
+MANIFEST_SCHEMA = "stage string, rows bigint, wall_s double, detail string, ts double"
+
+
+def _path(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, name)
+
+
+def _done(index_dir: str, name: str) -> bool:
+    return os.path.exists(os.path.join(_path(index_dir, name), "_SUCCESS"))
+
+
+def _write(df: DataFrame, index_dir: str, name: str, sort_cols=None) -> None:
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").parquet(_path(index_dir, name))
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    num_docs: int
+    num_terms: int
+    stages_run: list
+    stages_skipped: list
+
+
+def _append_manifest(
+    spark: SparkSession, index_dir: str, stage: str, rows: int, wall_s: float, detail: dict
+) -> None:
+    df = spark.createDataFrame(
+        [(stage, int(rows), float(wall_s), json.dumps(detail), time.time())],
+        schema=MANIFEST_SCHEMA,
+    )
+    df.coalesce(1).write.mode("append").parquet(_path(index_dir, "manifest"))
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    content_col: str = "content",
+    resume: bool = True,
+) -> BuildResult:
+    """Build (or resume building) a full index under ``index_dir``."""
+    cfg = cfg or EngineConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    run, skipped = [], []
+
+    def stage(name: str):
+        if resume and _done(index_dir, name):
+            skipped.append(name)
+            return False
+        run.append(name)
+        return True
+
+    # -- stage: docs (global doc numbering) --------------------------------
+    t0 = time.time()
+    if stage("docs"):
+        with_ids = docids.assign_doc_ids(docs, ["repo", "path"])
+        _write(with_ids, index_dir, "docs")
+        _append_manifest(spark, index_dir, "docs", -1, time.time() - t0, {})
+    docs_ids = spark.read.parquet(_path(index_dir, "docs"))
+
+    # -- stage: freqprox (tokenize + invert, exactly once) -----------------
+    t0 = time.time()
+    if stage("freqprox"):
+        inverted = invert.invert(docs_ids, cfg, content_col)
+        _write(inverted, index_dir, "freqprox")
+        _append_manifest(
+            spark, index_dir, "freqprox", -1, time.time() - t0,
+            {"analyzer": cfg.analyzer, "positions": cfg.index_positions},
+        )
+    inverted = spark.read.parquet(_path(index_dir, "freqprox"))
+    postings, lengths = invert.split_postings(inverted)
+
+    # -- stage: docmeta + norms + stats ------------------------------------
+    t0 = time.time()
+    if stage("docmeta"):
+        meta = invert.doc_meta(docs_ids, lengths, cfg, content_col)
+        _write(meta, index_dir, "docmeta", sort_cols=["doc_id"])
+        _append_manifest(spark, index_dir, "docmeta", -1, time.time() - t0, {})
+    docmeta = spark.read.parquet(_path(index_dir, "docmeta"))
+
+    t0 = time.time()
+    if stage("norms"):
+        _write(seg_ops.build_norms(docmeta, cfg), index_dir, "norms")
+        _append_manifest(spark, index_dir, "norms", -1, time.time() - t0, {})
+
+    t0 = time.time()
+    if stage("stats"):
+        _write(stats_ops.collection_stats(docmeta), index_dir, "stats")
+        _append_manifest(spark, index_dir, "stats", -1, time.time() - t0, {})
+
+    # -- stage: segments (block encode) ------------------------------------
+    t0 = time.time()
+    if stage("segments"):
+        encoded = seg_ops.encode_segments(postings, docmeta, cfg)
+        _write(encoded, index_dir, "segments", sort_cols=["segment_id", "term"])
+        _append_manifest(
+            spark, index_dir, "segments", -1, time.time() - t0,
+            {"segment_size": cfg.segment_size},
+        )
+    segments = spark.read.parquet(_path(index_dir, "segments"))
+
+    # -- stage: termdict (salted global term stats) ------------------------
+    t0 = time.time()
+    if stage("termdict"):
+        td = stats_ops.term_dict(segments, cfg)
+        _write(td.repartitionByRange(8, "term"), index_dir, "termdict",
+               sort_cols=["term"])
+        _append_manifest(
+            spark, index_dir, "termdict", -1, time.time() - t0,
+            {"salt_buckets": cfg.stats_salt_buckets},
+        )
+
+    stats_row = spark.read.parquet(_path(index_dir, "stats")).collect()[0]
+    num_terms = spark.read.parquet(_path(index_dir, "termdict")).count()
+    # persist the config used (query side must match analyzer etc.)
+    with open(os.path.join(index_dir, "engine_config.json"), "w") as f:
+        json.dump(
+            {
+                "k1": cfg.k1, "b": cfg.b, "analyzer": cfg.analyzer,
+                "max_token_length": cfg.max_token_length,
+                "index_positions": cfg.index_positions,
+                "segment_size": cfg.segment_size,
+            },
+            f,
+        )
+    return BuildResult(
+        index_dir=index_dir,
+        num_docs=stats_row["num_docs"],
+        num_terms=num_terms,
+        stages_run=run,
+        stages_skipped=skipped,
+    )
+
+
+def load_config(index_dir: str) -> EngineConfig:
+    with open(os.path.join(index_dir, "engine_config.json")) as f:
+        return EngineConfig(**json.load(f))

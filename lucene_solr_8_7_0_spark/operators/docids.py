@@ -1,0 +1,76 @@
+"""Deterministic global document numbering.
+
+Lucene assigns segment-local dense doc ids plus a per-segment docBase
+(TopScoreDocCollector.java:61,99).  Our global analog must satisfy the
+north rule's hard constraint: **identical numbering at any cluster
+size**, because BM25 ties break on doc id asc (HitQueue.java:76-81).
+
+``doc_id = rank of (repo, path) in the global sort order``, computed
+scalably (SURVEY.md §7 hard-part #2):
+
+1. range-repartition by the sort key (ordered, disjoint ranges),
+2. sort within partitions,
+3. count rows per partition (small collect),
+4. add the exclusive prefix sum of counts as the partition's base.
+
+This is the distributed zipWithIndex pattern: no single-partition
+window, no ``monotonically_increasing_id`` (whose values depend on
+partitioning).  The result is invariant to the number/boundaries of
+range partitions because a global-sort rank is.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    sort_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """Add a dense global ``doc_id`` = rank over ``sort_cols``."""
+    sort_cols = sort_cols or ["repo", "path"]
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if persist:
+        # Pin the sampled range boundaries: the count job and the
+        # assignment job must see the same partitioning.
+        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    max_pid = max(counts, default=-1)
+    bases = np.zeros(max_pid + 2, dtype=np.int64)
+    for pid in range(max_pid + 1):
+        bases[pid + 1] = bases[pid] + counts.get(pid, 0)
+    bases_bc = spark.sparkContext.broadcast(bases[: max_pid + 1].tolist())
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {id_col} bigint"
+
+    def add_ids(batches):
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = bases_bc.value[pid]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[id_col] = np.arange(seen + base, seen + base + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    out = ranged.mapInPandas(add_ids, schema=out_schema)
+    return out

@@ -1,0 +1,132 @@
+"""Inversion: documents -> (term, doc, freq, positions) postings rows.
+
+The Spark analog of the reference's in-memory inversion chain
+(DefaultIndexingChain.processField/invert -> TermsHashPerField.add ->
+FreqProxTermsWriterPerField, SURVEY.md §2.3): one Arrow UDF pass that
+tokenizes a batch of documents and performs the within-partition hash
+group-by (doc, term) — the DocumentsWriterPerThread "partial
+aggregation" — emitting one row per (doc, term) plus one summary row
+per document.
+
+The per-document summary (term = '' marker rows, carrying the kept
+token count) rides along in the same output so the doc-length /
+norm computation costs **zero extra shuffle and zero second
+tokenization pass** — it is split off with a cheap filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import EngineConfig
+from ..functions.analysis import analyze_batch
+from ..functions.smallfloat import int_to_byte4_np
+
+# marker value in `term` for per-doc summary rows
+DOC_MARKER = ""
+
+POSTINGS_SCHEMA = "doc_id bigint, term string, freq int, positions array<int>"
+
+
+def invert(docs: DataFrame, cfg: EngineConfig, content_col: str = "content") -> DataFrame:
+    """docs(doc_id, content, ...) -> postings rows + doc-marker rows."""
+    analyzer = cfg.analyzer
+    max_len = cfg.max_token_length
+    index_positions = cfg.index_positions
+
+    def run(batches):
+        for pdf in batches:
+            tb = analyze_batch(pdf[content_col], analyzer, max_len)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if len(tb.terms) == 0:
+                agg = pd.DataFrame(
+                    {"doc_id": [], "term": [], "freq": [], "positions": []}
+                )
+            else:
+                tok = pd.DataFrame(
+                    {
+                        "doc_id": doc_ids[tb.doc_idx],
+                        "term": tb.terms.to_numpy(),
+                        "pos": tb.positions,
+                    }
+                )
+                if index_positions:
+                    agg = (
+                        tok.groupby(["doc_id", "term"], sort=False)["pos"]
+                        .agg(["count", list])
+                        .reset_index()
+                        .rename(columns={"count": "freq", "list": "positions"})
+                    )
+                else:
+                    agg = (
+                        tok.groupby(["doc_id", "term"], sort=False)
+                        .size()
+                        .reset_index(name="freq")
+                    )
+                    agg["positions"] = None
+            markers = pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "term": DOC_MARKER,
+                    "freq": tb.doc_lengths,
+                    "positions": None,
+                }
+            )
+            out = pd.concat([agg, markers], ignore_index=True)
+            out["freq"] = out["freq"].astype(np.int32)
+            yield out
+
+    return docs.select("doc_id", content_col).mapInPandas(run, schema=POSTINGS_SCHEMA)
+
+
+def split_postings(inverted: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split the combined stream into (postings, doc_lengths)."""
+    postings = inverted.filter(F.col("term") != DOC_MARKER)
+    lengths = inverted.filter(F.col("term") == DOC_MARKER).select(
+        "doc_id", F.col("freq").cast("long").alias("length")
+    )
+    return postings, lengths
+
+
+def doc_meta(
+    docs_with_ids: DataFrame,
+    lengths: DataFrame,
+    cfg: EngineConfig,
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-document metadata table: identity, sha256 invariant, norm byte.
+
+    norm = SmallFloat.intToByte4(kept token count) — BM25Similarity
+    computeNorm (BM25Similarity.java:116-126); sha256 stays JVM-side
+    (F.sha2) so the invariant never round-trips through Python.
+    """
+    seg = cfg.segment_size
+
+    meta = (
+        docs_with_ids.select(
+            "doc_id",
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            F.sha2(F.col(content_col), 256).alias("sha256"),
+        )
+        .join(lengths, "doc_id", "left")
+        .fillna({"length": 0})
+    )
+
+    def add_norm(batches):
+        for pdf in batches:
+            pdf["norm"] = int_to_byte4_np(pdf["length"].to_numpy(dtype=np.int64)).astype(
+                np.int32
+            )
+            pdf["segment_id"] = (pdf["doc_id"] // seg).astype(np.int32)
+            yield pdf
+
+    schema = (
+        "doc_id bigint, repo string, path string, commit string, lang string, "
+        "sha256 string, length bigint, norm int, segment_id int"
+    )
+    return meta.mapInPandas(add_norm, schema=schema)

@@ -1,0 +1,36 @@
+"""SparkSession helper with engine-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "lucene-solr-8.7.0-spark",
+    extra: dict | None = None,
+) -> SparkSession:
+    """Build a local session.  On a real cluster, spark-submit conf wins;
+    these defaults only matter for local[...] runs (tests, bench)."""
+    cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        # AQE: runtime coalescing + skew-split — the safety net the
+        # north rule's skew requirement leans on in addition to our
+        # explicit salting (operators/stats.py).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

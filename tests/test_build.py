@@ -1,0 +1,140 @@
+"""End-to-end index build tests on the synthetic corpus."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_8_7_0_spark.config import EngineConfig
+from lucene_solr_8_7_0_spark.functions.analysis import analyze_batch
+from lucene_solr_8_7_0_spark.functions.codec import TermPostings, decode_term_postings
+from lucene_solr_8_7_0_spark.operators.build import build_index
+from lucene_solr_8_7_0_spark.operators.docids import assign_doc_ids
+from lucene_solr_8_7_0_spark.sources.corpus import corpus_df, generate_corpus_pdf
+
+N_FILES = 300
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    cfg = EngineConfig(segment_size=64)
+    docs = corpus_df(spark, N_FILES, seed=42)
+    res = build_index(spark, docs, d, cfg)
+    return d, cfg, res
+
+
+def test_corpus_deterministic_across_partitioning(spark):
+    a = corpus_df(spark, 50, seed=42, partitions=1).toPandas()
+    b = corpus_df(spark, 50, seed=42, partitions=7).toPandas()
+    a = a.sort_values("path", ignore_index=True)
+    b = b.sort_values("path", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_doc_ids_deterministic_across_parallelism(spark):
+    docs = corpus_df(spark, 200, seed=1)
+    a = assign_doc_ids(docs, num_partitions=2).select("repo", "path", "doc_id").toPandas()
+    b = assign_doc_ids(docs, num_partitions=13).select("repo", "path", "doc_id").toPandas()
+    a = a.sort_values("doc_id", ignore_index=True)
+    b = b.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    # dense 0..n-1, ordered by (repo, path)
+    assert a["doc_id"].tolist() == list(range(len(a)))
+    key = list(zip(a["repo"], a["path"]))
+    assert key == sorted(key)
+
+
+def test_build_tables_exist_and_consistent(spark, built):
+    d, cfg, res = built
+    assert res.num_docs == N_FILES
+    docmeta = spark.read.parquet(f"{d}/docmeta").toPandas()
+    assert len(docmeta) == N_FILES
+    # sha256 invariant vs generator-recorded value
+    src = spark.read.parquet(f"{d}/docs").select("path", "sha256").toPandas()
+    joined = docmeta.merge(src, on="path", suffixes=("_idx", "_src"))
+    assert (joined["sha256_idx"] == joined["sha256_src"]).all()
+    # empty + single-token edge docs present
+    assert (docmeta["length"] == 0).any()
+    assert (docmeta["length"] == 1).any()
+    # norm byte matches SmallFloat of length
+    from lucene_solr_8_7_0_spark.functions.smallfloat import int_to_byte4_np
+
+    np.testing.assert_array_equal(
+        docmeta["norm"].to_numpy(),
+        int_to_byte4_np(docmeta["length"].to_numpy()),
+    )
+
+
+def test_segments_roundtrip_vs_direct_inversion(spark, built):
+    """Decode every posting list and compare against a from-scratch
+    pandas inversion of the same corpus (CheckHits-style oracle)."""
+    d, cfg, res = built
+    docs = spark.read.parquet(f"{d}/docs").toPandas().sort_values("doc_id")
+    tb = analyze_batch(docs["content"].reset_index(drop=True), cfg.analyzer)
+    doc_ids = docs["doc_id"].to_numpy()[tb.doc_idx]
+    expected = (
+        pd.DataFrame({"term": tb.terms.to_numpy(), "doc_id": doc_ids})
+        .groupby(["term", "doc_id"])
+        .size()
+        .reset_index(name="freq")
+    )
+    seg = spark.read.parquet(f"{d}/segments").toPandas()
+    got_rows = []
+    for _, r in seg.iterrows():
+        tp = TermPostings(
+            df=r["df"], ttf=r["ttf"],
+            singleton_doc=r["singleton_doc"], singleton_freq=r["singleton_freq"],
+            doc_blocks=bytes(r["doc_blocks"]),
+            doc_block_offsets=np.asarray(r["doc_block_offsets"], dtype=np.int32),
+            freq_blocks=bytes(r["freq_blocks"]),
+            freq_block_offsets=np.asarray(r["freq_block_offsets"], dtype=np.int32),
+            pos_blocks=bytes(r["pos_blocks"]),
+            pos_block_offsets=np.asarray(r["pos_block_offsets"], dtype=np.int32),
+            block_last_docs=np.asarray(r["block_last_docs"], dtype=np.int32),
+            impacts_flat=np.asarray(r["impacts_flat"], dtype=np.int32),
+            impacts_offsets=np.asarray(r["impacts_offsets"], dtype=np.int32),
+        )
+        docs_l, freqs, _ = decode_term_postings(tp)
+        base = r["segment_id"] * cfg.segment_size
+        for dl, f in zip(docs_l, freqs):
+            got_rows.append((r["term"], base + dl, f))
+    got = pd.DataFrame(got_rows, columns=["term", "doc_id", "freq"]).sort_values(
+        ["term", "doc_id"], ignore_index=True
+    )
+    expected = expected.sort_values(["term", "doc_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "freq": "int64"}),
+        expected.astype({"doc_id": "int64", "freq": "int64"}),
+    )
+
+
+def test_termdict_matches_segments(spark, built):
+    d, cfg, res = built
+    seg = spark.read.parquet(f"{d}/segments").toPandas()
+    td = spark.read.parquet(f"{d}/termdict").toPandas()
+    exp = seg.groupby("term").agg(df=("df", "sum"), ttf=("ttf", "sum")).reset_index()
+    got = td.sort_values("term", ignore_index=True)
+    exp = exp.sort_values("term", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"df": "int64", "ttf": "int64"}),
+        exp.astype({"df": "int64", "ttf": "int64"}),
+    )
+
+
+def test_stats_semantics(spark, built):
+    d, cfg, res = built
+    stats = spark.read.parquet(f"{d}/stats").collect()[0]
+    docmeta = spark.read.parquet(f"{d}/docmeta").toPandas()
+    assert stats["num_docs"] == N_FILES
+    assert stats["doc_count"] == (docmeta["length"] > 0).sum()
+    assert stats["sum_ttf"] == docmeta["length"].sum()
+
+
+def test_resume_skips_completed_stages(spark, built):
+    d, cfg, res = built
+    docs = corpus_df(spark, N_FILES, seed=42)
+    res2 = build_index(spark, docs, d, cfg, resume=True)
+    assert res2.stages_run == []
+    assert set(res2.stages_skipped) == {
+        "docs", "freqprox", "docmeta", "norms", "stats", "segments", "termdict"
+    }
