@@ -1,0 +1,189 @@
+"""Exhaustive scoring oracle — the CheckHits analog.
+
+A from-first-principles, non-distributed, non-codec implementation of
+the exact same query semantics: tokenizes the raw corpus with
+functions/analysis, computes BM25 in float32 with functions/bm25, and
+evaluates the boolean tree by brute force over pandas/numpy — no
+postings blocks, no impacts, no pruning, no Spark.  Index + search
+tests assert the engine is rank- and score-identical to this oracle
+(SURVEY.md §5: CheckHits / TestWANDScorer strategy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..config import EngineConfig
+from .analysis import analyze_batch
+from .bm25 import BM25Scorer, avg_field_length, idf
+from .smallfloat import int_to_byte4_np
+from ..plans.queries import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    Query,
+    TermQuery,
+)
+
+
+@dataclass
+class OracleIndex:
+    doc_ids: np.ndarray          # sorted global doc ids
+    norms: np.ndarray            # per doc (aligned with doc_ids)
+    lengths: np.ndarray
+    tf: pd.DataFrame             # (term, doc_id, freq)
+    positions: dict              # (term) -> dict doc_id -> np.ndarray positions
+    doc_count: int
+    num_docs: int
+    sum_ttf: int
+    term_df: dict
+    cfg: EngineConfig
+
+
+def build_oracle_index(docs_pdf: pd.DataFrame, cfg: EngineConfig | None = None) -> OracleIndex:
+    """docs_pdf: (doc_id, content) — any order; doc_id = global id."""
+    cfg = cfg or EngineConfig()
+    docs_pdf = docs_pdf.sort_values("doc_id", ignore_index=True)
+    tb = analyze_batch(docs_pdf["content"], cfg.analyzer, cfg.max_token_length)
+    doc_ids = docs_pdf["doc_id"].to_numpy(dtype=np.int64)
+    tok_docs = doc_ids[tb.doc_idx]
+    tf = (
+        pd.DataFrame({"term": tb.terms.to_numpy(), "doc_id": tok_docs})
+        .groupby(["term", "doc_id"])
+        .size()
+        .reset_index(name="freq")
+    )
+    positions: dict = {}
+    pos_df = pd.DataFrame(
+        {"term": tb.terms.to_numpy(), "doc_id": tok_docs, "pos": tb.positions}
+    )
+    for (term, d), grp in pos_df.groupby(["term", "doc_id"], sort=False):
+        positions.setdefault(term, {})[int(d)] = np.sort(grp["pos"].to_numpy())
+    lengths = tb.doc_lengths
+    norms = int_to_byte4_np(lengths)
+    term_df = tf.groupby("term")["doc_id"].nunique().to_dict()
+    return OracleIndex(
+        doc_ids=doc_ids,
+        norms=norms,
+        lengths=lengths,
+        tf=tf,
+        positions=positions,
+        doc_count=int((lengths > 0).sum()),
+        num_docs=len(doc_ids),
+        sum_ttf=int(lengths.sum()),
+        term_df=term_df,
+        cfg=cfg,
+    )
+
+
+def _norm_of(oi: OracleIndex, docs: np.ndarray) -> np.ndarray:
+    idx = np.searchsorted(oi.doc_ids, docs)
+    return oi.norms[idx]
+
+
+def _scorer(oi: OracleIndex, idf_val, boost: float) -> BM25Scorer:
+    return BM25Scorer.create(
+        boost, oi.cfg.k1, oi.cfg.b, idf_val,
+        avg_field_length(oi.sum_ttf, max(oi.doc_count, 1)),
+    )
+
+
+def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
+    """-> (sorted docs int64, float32 scores)"""
+    if isinstance(q, MatchNoDocsQuery):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    if isinstance(q, MatchAllDocsQuery):
+        docs = oi.doc_ids
+        return docs, np.full(len(docs), np.float32(boost if scoring else 0.0))
+    if isinstance(q, BoostQuery):
+        return _eval(oi, q.query, boost * q.boost, scoring)
+    if isinstance(q, ConstantScoreQuery):
+        docs, _ = _eval(oi, q.query, 1.0, False)
+        return docs, np.full(len(docs), np.float32(boost if scoring else 0.0))
+    if isinstance(q, TermQuery):
+        rows = oi.tf[oi.tf["term"] == q.term].sort_values("doc_id")
+        docs = rows["doc_id"].to_numpy(dtype=np.int64)
+        if not scoring:
+            return docs, np.zeros(len(docs), np.float32)
+        sc = _scorer(oi, idf(oi.term_df.get(q.term, 0), oi.doc_count), boost)
+        return docs, sc.score(rows["freq"].to_numpy(), _norm_of(oi, docs))
+    if isinstance(q, PhraseQuery):
+        if q.slop != 0:
+            raise NotImplementedError
+        per_term = [oi.positions.get(t, {}) for t in q.terms]
+        cand = sorted(set(per_term[0]).intersection(*map(set, per_term[1:])))
+        out_d, out_f = [], []
+        for d in cand:
+            acc = per_term[0][d]
+            for off in range(1, len(per_term)):
+                acc = np.intersect1d(acc, per_term[off][d] - off, assume_unique=True)
+                if not len(acc):
+                    break
+            if len(acc):
+                out_d.append(d)
+                out_f.append(len(acc))
+        docs = np.asarray(out_d, dtype=np.int64)
+        if not scoring:
+            return docs, np.zeros(len(docs), np.float32)
+        total = 0.0
+        for t in q.terms:
+            total += float(idf(oi.term_df.get(t, 0), oi.doc_count))
+        sc = _scorer(oi, np.float32(total), boost)
+        return docs, sc.score(np.asarray(out_f, dtype=np.int64), _norm_of(oi, docs))
+    if isinstance(q, BooleanQuery):
+        return _eval_bool(oi, q, boost, scoring)
+    raise NotImplementedError(type(q))
+
+
+def _eval_bool(oi: OracleIndex, q: BooleanQuery, boost: float, scoring: bool):
+    groups = q.grouped()
+    musts = [_eval(oi, m, boost, scoring) for m in groups[Occur.MUST]]
+    filters = [_eval(oi, f, 1.0, False) for f in groups[Occur.FILTER]]
+    shoulds = [_eval(oi, s, boost, scoring) for s in groups[Occur.SHOULD]]
+    nots = [_eval(oi, n, 1.0, False) for n in groups[Occur.MUST_NOT]]
+    required = musts + filters
+    if required:
+        cand = required[0][0]
+        for docs, _ in required[1:]:
+            cand = cand[np.isin(cand, docs, assume_unique=True)]
+    else:
+        cand = np.unique(np.concatenate([d for d, _ in shoulds])) if shoulds else np.empty(0, np.int64)
+    for docs, _ in nots:
+        cand = cand[~np.isin(cand, docs, assume_unique=True)]
+    acc = np.zeros(len(cand), dtype=np.float64)
+    for docs, scores in musts:
+        idx = np.searchsorted(docs, cand)
+        acc += scores[idx].astype(np.float64)
+    counts = np.zeros(len(cand), dtype=np.int64)
+    for docs, scores in shoulds:
+        if len(docs) == 0:
+            continue
+        idx = np.minimum(np.searchsorted(docs, cand), len(docs) - 1)
+        present = docs[idx] == cand
+        acc[present] += scores[idx[present]].astype(np.float64)
+        counts += present
+    msm = max(q.minimum_should_match, 0 if required else 1)
+    if shoulds and msm > 0:
+        keep = counts >= msm
+        cand, acc = cand[keep], acc[keep]
+    return cand, acc.astype(np.float32)
+
+
+@dataclass
+class OracleTopDocs:
+    total_hits: int
+    doc_ids: np.ndarray
+    scores: np.ndarray
+
+
+def oracle_search(oi: OracleIndex, query: Query, k: int = 10) -> OracleTopDocs:
+    docs, scores = _eval(oi, query, 1.0, True)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return OracleTopDocs(len(docs), docs[order], scores[order].astype(np.float32))

@@ -1,0 +1,408 @@
+"""Per-segment scoring kernels: the "joins" of the postings algebra.
+
+Posting-list iteration is Lucene's join algebra — AND = n-way merge
+join on docID, OR = union, NOT = anti-join (SURVEY.md §2.6).  Here
+each per-segment evaluation is a numpy kernel over decoded posting
+blocks:
+
+* conjunction  -> sorted-array intersection via searchsorted
+                  (ConjunctionDISI leapfrog, rarest-first cost order,
+                  ConjunctionDISI.java:193-237)
+* disjunction  -> scatter-add over the candidate union
+                  (DisjunctionSumScorer / BooleanScorer)
+* top-k OR     -> block-max WAND: sweep doc-aligned windows bounded by
+                  per-block impact max scores; windows whose float32
+                  upper bound cannot beat the current heap minimum are
+                  skipped WITHOUT decoding (WANDScorer.java:435-447,
+                  ImpactsDISI.java:95-127)
+* collector    -> size-k min-heap with Lucene's exact tie-break
+                  (score desc, doc asc — HitQueue.java:76-81) and the
+                  totalHitsThreshold feedback
+                  (TopScoreDocCollector.java:320-339): pruning starts
+                  only once the heap is full and `hits >=
+                  total_hits_threshold`; because docs are visited in
+                  ascending order, an equal score can never displace
+                  an earlier doc, so the bound check is
+                  `window_bound <= heap_min` (the nextUp trick).
+
+Bound safety: per-clause block maxes are exact float32 scores of the
+impact frontier; the window bound sums them in float64 and rounds UP
+to the next float32, so it can never under-estimate the true
+(double-accumulated, float32-cast) document score — pruning is
+lossless by construction.  This replaces Lucene's scaled-int bound
+arithmetic (WANDScorer.java:53-105) with an equally-safe float bound.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bm25 import BM25Scorer
+from .codec import BLOCK_SIZE, TermPostings, _decode_one_block, decode_term_postings
+from .impacts import max_scores_per_block
+
+__all__ = [
+    "ScoringClause",
+    "CompiledQuery",
+    "score_segment",
+    "SegmentTopK",
+]
+
+
+@dataclass
+class ScoringClause:
+    """One bound clause: a term or a phrase, with its SimScorer."""
+
+    terms: tuple[str, ...]
+    scorer: BM25Scorer | None = None  # None for pure filter/must_not use
+    const_score: float | None = None  # ConstantScoreQuery: fixed score
+    slop: int = 0
+
+    @property
+    def is_phrase(self) -> bool:
+        return len(self.terms) > 1
+
+
+@dataclass
+class CompiledQuery:
+    musts: list[ScoringClause]
+    shoulds: list[ScoringClause]
+    filters: list[ScoringClause]
+    must_nots: list[ScoringClause]
+    msm: int = 0
+    match_all: bool = False  # MatchAllDocsQuery component
+
+
+@dataclass
+class SegmentTopK:
+    doc_ids: np.ndarray  # local doc ids, rank order
+    scores: np.ndarray   # float32
+    hits: int            # exact for exhaustive paths, lower bound when pruned
+    hits_exact: bool
+
+
+# ---------------- clause evaluation ----------------
+
+
+def _term_docs_scores(
+    tp: TermPostings | None, norms: np.ndarray, clause: ScoringClause
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a term clause -> (sorted local docs, float32 scores)."""
+    if tp is None:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    docs, freqs, _ = decode_term_postings(tp)
+    if clause.const_score is not None:
+        return docs, np.full(len(docs), np.float32(clause.const_score))
+    if clause.scorer is None:  # pure filter/exclusion use: no scores needed
+        return docs, np.zeros(len(docs), np.float32)
+    return docs, clause.scorer.score(freqs, norms[docs])
+
+
+def _phrase_docs_scores(
+    tps: list[TermPostings | None], norms: np.ndarray, clause: ScoringClause
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase (slop=0): positional intersection
+    (ExactPhraseMatcher semantics); phrase freq = number of positions
+    where all terms align, scored like a term with the summed-idf
+    scorer (BM25Similarity.idfExplain(termStats[]))."""
+    if any(tp is None for tp in tps):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    if clause.slop != 0:
+        raise NotImplementedError("sloppy phrase not yet supported")
+    decoded = [decode_term_postings(tp, with_positions=True) for tp in tps]
+    if any(d[2] is None for d in decoded):
+        raise ValueError("phrase query requires positions in the index")
+    # candidate docs: intersection
+    cand = decoded[0][0]
+    for docs, _, _ in decoded[1:]:
+        cand = cand[np.isin(cand, docs, assume_unique=True)]
+    if len(cand) == 0:
+        return cand, np.empty(0, np.float32)
+    # per-doc position slices; phrase positions normalized to the
+    # first term's offset: match iff pos0 ∈ P0 and pos0+off ∈ P_off
+    out_docs, out_freqs = [], []
+    slices = []
+    for docs, freqs, poss in decoded:
+        bounds = np.concatenate(([0], np.cumsum(freqs)))
+        idx = np.searchsorted(docs, cand)
+        slices.append((bounds, idx, poss))
+    for ci, d in enumerate(cand):
+        bounds0, idx0, poss0 = slices[0]
+        acc = poss0[bounds0[idx0[ci]] : bounds0[idx0[ci] + 1]]
+        for off in range(1, len(slices)):
+            bounds, idx, poss = slices[off]
+            p = poss[bounds[idx[ci]] : bounds[idx[ci] + 1]]
+            acc = np.intersect1d(acc, p - off, assume_unique=True)
+            if len(acc) == 0:
+                break
+        if len(acc):
+            out_docs.append(d)
+            out_freqs.append(len(acc))
+    if not out_docs:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    docs = np.asarray(out_docs, dtype=np.int64)
+    freqs = np.asarray(out_freqs, dtype=np.int64)
+    if clause.const_score is not None:
+        return docs, np.full(len(docs), np.float32(clause.const_score))
+    return docs, clause.scorer.score(freqs, norms[docs])
+
+
+def _eval_clause(
+    posting_map: dict[str, TermPostings], norms: np.ndarray, clause: ScoringClause
+) -> tuple[np.ndarray, np.ndarray]:
+    if clause.is_phrase:
+        return _phrase_docs_scores(
+            [posting_map.get(t) for t in clause.terms], norms, clause
+        )
+    return _term_docs_scores(posting_map.get(clause.terms[0]), norms, clause)
+
+
+# ---------------- top-k selection ----------------
+
+
+def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(score desc, doc asc) top-k — HitQueue.lessThan order."""
+    if len(docs) == 0:
+        return docs, scores.astype(np.float32)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return docs[order], scores[order].astype(np.float32)
+
+
+# ---------------- main kernel ----------------
+
+
+def score_segment(
+    posting_map: dict[str, TermPostings],
+    norms: np.ndarray,
+    cq: CompiledQuery,
+    k: int,
+    total_hits_threshold: int = 1000,
+    prune: bool = True,
+    num_docs: int | None = None,
+) -> SegmentTopK:
+    """Evaluate one compiled boolean query against one segment."""
+    required = cq.musts + cq.filters
+    if cq.match_all and not required:
+        # MatchAllDocs (score 1.0 constant) minus exclusions
+        n = num_docs if num_docs is not None else len(norms)
+        cand = np.arange(n, dtype=np.int64)
+        cand = _apply_must_nots(cand, posting_map, norms, cq.must_nots)
+        scores = np.full(len(cand), np.float32(1.0))
+        d, s = _topk(cand, scores, k)
+        return SegmentTopK(d, s, len(cand), True)
+    if required:
+        return _conjunctive(posting_map, norms, cq, k)
+    # pure disjunction
+    simple = all(
+        (not c.is_phrase) and c.const_score is None for c in cq.shoulds
+    )
+    if prune and simple and max(cq.msm, 1) == 1 and not cq.must_nots:
+        return _wand_or(posting_map, norms, cq.shoulds, k, total_hits_threshold)
+    return _exhaustive_or(posting_map, norms, cq, k)
+
+
+def _apply_must_nots(cand, posting_map, norms, must_nots):
+    for c in must_nots:
+        nd, _ = _eval_clause(posting_map, norms, c)
+        if len(nd):
+            cand = cand[~np.isin(cand, nd, assume_unique=True)]
+    return cand
+
+
+def _conjunctive(posting_map, norms, cq: CompiledQuery, k: int) -> SegmentTopK:
+    """AND path: leapfrog intersection, rarest clause first
+    (ConjunctionDISI cost ordering), then ReqOptSum scoring."""
+    evaluated = [
+        (True, *_eval_clause(posting_map, norms, c)) for c in cq.musts
+    ] + [
+        (False, *_eval_clause(posting_map, norms, c)) for c in cq.filters
+    ]
+    evaluated.sort(key=lambda t: len(t[1]))  # rarest-first
+    cand = evaluated[0][1]
+    for _, docs, _ in evaluated[1:]:
+        if len(cand) == 0:
+            break
+        cand = cand[np.isin(cand, docs, assume_unique=True)]
+    cand = _apply_must_nots(cand, posting_map, norms, cq.must_nots)
+    if len(cand) == 0:
+        return SegmentTopK(cand, np.empty(0, np.float32), 0, True)
+    acc = np.zeros(len(cand), dtype=np.float64)
+    for scoring, docs, scores in evaluated:
+        if not scoring:
+            continue  # FILTER: matches but contributes no score
+        idx = np.searchsorted(docs, cand)
+        acc += scores[idx].astype(np.float64)
+    # optional (SHOULD) contributions + minimumShouldMatch filter
+    match_counts = np.zeros(len(cand), dtype=np.int64)
+    for c in cq.shoulds:
+        docs, scores = _eval_clause(posting_map, norms, c)
+        if len(docs) == 0:
+            continue
+        idx = np.searchsorted(docs, cand)
+        safe = np.minimum(idx, len(docs) - 1)
+        present = docs[safe] == cand
+        acc[present] += scores[safe[present]].astype(np.float64)
+        match_counts += present
+    if cq.msm > 0:
+        keep = match_counts >= cq.msm
+        cand, acc = cand[keep], acc[keep]
+    final = acc.astype(np.float32)
+    d, s = _topk(cand, final, k)
+    return SegmentTopK(d, s, len(cand), True)
+
+
+def _exhaustive_or(posting_map, norms, cq: CompiledQuery, k: int) -> SegmentTopK:
+    """COMPLETE-mode disjunction: scatter-add union (DisjunctionSumScorer)."""
+    parts_docs, parts_scores = [], []
+    for c in cq.shoulds:
+        docs, scores = _eval_clause(posting_map, norms, c)
+        parts_docs.append(docs)
+        parts_scores.append(scores)
+    if not parts_docs or all(len(d) == 0 for d in parts_docs):
+        return SegmentTopK(np.empty(0, np.int64), np.empty(0, np.float32), 0, True)
+    all_docs = np.concatenate(parts_docs)
+    all_scores = np.concatenate(parts_scores)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, all_scores.astype(np.float64))
+    counts = np.bincount(inv, minlength=len(uniq))
+    keep = counts >= max(cq.msm, 1)
+    cand, acc = uniq[keep], acc[keep]
+    cand = _apply_must_nots(cand, posting_map, norms, cq.must_nots)
+    if len(cand) < len(acc):
+        # re-align scores after exclusion
+        idx = np.searchsorted(uniq[keep], cand)
+        acc = acc[idx]
+    final = acc.astype(np.float32)
+    d, s = _topk(cand, final, k)
+    return SegmentTopK(d, s, len(cand), True)
+
+
+# ---------------- block-max WAND ----------------
+
+
+class _TermState:
+    __slots__ = (
+        "tp", "scorer", "block_last", "block_max", "nb", "cur",
+        "dec_docs", "dec_scores", "ptr",
+    )
+
+    def __init__(self, tp: TermPostings, scorer: BM25Scorer):
+        self.tp = tp
+        self.scorer = scorer
+        self.block_last = np.asarray(tp.block_last_docs, dtype=np.int64)
+        self.block_max = max_scores_per_block(
+            tp.impacts_flat, tp.impacts_offsets, scorer
+        )
+        self.nb = len(self.block_last)
+        self.cur = 0
+        self.dec_docs = None
+        self.dec_scores = None
+        self.ptr = 0
+
+    def decode_current(self, norms: np.ndarray) -> None:
+        if self.dec_docs is not None:
+            return
+        tp = self.tp
+        if tp.singleton_doc >= 0:
+            docs = np.asarray([tp.singleton_doc], dtype=np.int64)
+            freqs = np.asarray([tp.singleton_freq], dtype=np.int64)
+        else:
+            b = self.cur
+            start = b * BLOCK_SIZE
+            n = min(BLOCK_SIZE, tp.df - start)
+            deltas = _decode_one_block(
+                bytes(tp.doc_blocks[tp.doc_block_offsets[b] : tp.doc_block_offsets[b + 1]]), n
+            ).astype(np.int64)
+            base = self.block_last[b - 1] if b > 0 else 0
+            docs = base + np.cumsum(deltas)
+            freqs = _decode_one_block(
+                bytes(tp.freq_blocks[tp.freq_block_offsets[b] : tp.freq_block_offsets[b + 1]]), n
+            ).astype(np.int64)
+        self.dec_docs = docs
+        self.dec_scores = self.scorer.score(freqs, norms[docs])
+        self.ptr = 0
+
+    def advance_block(self) -> None:
+        self.cur += 1
+        self.dec_docs = None
+        self.dec_scores = None
+        self.ptr = 0
+
+
+def _wand_or(
+    posting_map, norms, shoulds: list[ScoringClause], k: int, threshold: int
+) -> SegmentTopK:
+    states = [
+        _TermState(posting_map[c.terms[0]], c.scorer)
+        for c in shoulds
+        if c.terms[0] in posting_map
+    ]
+    if not states:
+        return SegmentTopK(np.empty(0, np.int64), np.empty(0, np.float32), 0, True)
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap
+    hits = 0
+    pruned_any = False
+    inf32 = np.float32(np.inf)
+    while True:
+        active = [s for s in states if s.cur < s.nb]
+        if not active:
+            break
+        window_end = min(int(s.block_last[s.cur]) for s in active)
+        prune_on = len(heap) >= k and hits >= threshold
+        if prune_on:
+            bound64 = 0.0
+            for s in active:
+                # block can only contribute if it may contain docs <= window_end
+                prev_last = int(s.block_last[s.cur - 1]) if s.cur > 0 else -1
+                if prev_last < window_end:
+                    bound64 += float(s.block_max[s.cur])
+            bound = np.nextafter(np.float32(bound64), inf32)
+            if bound <= heap[0][0]:
+                pruned_any = True
+                for s in active:
+                    if s.cur < s.nb and int(s.block_last[s.cur]) == window_end:
+                        s.advance_block()
+                continue
+        # decode + gather window candidates
+        parts_docs, parts_scores = [], []
+        for s in active:
+            prev_last = int(s.block_last[s.cur - 1]) if s.cur > 0 else -1
+            if prev_last >= window_end:
+                continue
+            s.decode_current(norms)
+            hi = np.searchsorted(s.dec_docs, window_end, side="right")
+            if hi > s.ptr:
+                parts_docs.append(s.dec_docs[s.ptr : hi])
+                parts_scores.append(s.dec_scores[s.ptr : hi])
+                s.ptr = hi
+        if parts_docs:
+            all_docs = np.concatenate(parts_docs)
+            all_scores = np.concatenate(parts_scores)
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            acc = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(acc, inv, all_scores.astype(np.float64))
+            final = acc.astype(np.float32)
+            hits += len(uniq)
+            # heap insert in ascending-doc order; strict > because an
+            # equal score on a later doc can never win the tie-break
+            if len(heap) < k:
+                need = k - len(heap)
+                for i in range(min(need, len(uniq))):
+                    heapq.heappush(heap, (final[i], -int(uniq[i])))
+                start = min(need, len(uniq))
+            else:
+                start = 0
+            for i in range(start, len(uniq)):
+                if final[i] > heap[0][0]:
+                    heapq.heapreplace(heap, (final[i], -int(uniq[i])))
+        for s in active:
+            if s.cur < s.nb and int(s.block_last[s.cur]) == window_end:
+                s.advance_block()
+    entries = sorted(heap, key=lambda e: (-float(e[0]), -e[1]))
+    docs = np.asarray([-e[1] for e in entries], dtype=np.int64)
+    scores = np.asarray([e[0] for e in entries], dtype=np.float32)
+    return SegmentTopK(docs, scores, hits, hits_exact=not pruned_any)

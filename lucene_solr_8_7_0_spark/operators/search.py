@@ -1,0 +1,282 @@
+"""Distributed IndexSearcher: per-segment kernels + driver top-k merge.
+
+Execution model (mirrors IndexSearcher leaf slices,
+IndexSearcher.java:571-668, re-expressed Spark-first):
+
+1. driver: rewrite query (plans/rewrite), fetch global term stats from
+   the termdict (a tiny pushed-down scan), bind BM25 weights
+   (plans/planner) — the Weight-creation phase,
+2. executors: scan the segments table with ``term IN (...)`` pushed
+   into parquet (row-group pruning on the sorted term column = the FST
+   term-index analog), cogroup with per-segment norms, run the numpy
+   scoring kernel (functions/wand) per segment — the leaf-slice
+   collection phase,
+3. driver: heap-merge the per-segment top-k by (score desc, doc asc)
+   — TopDocs.merge (TopDocs.java:188-246), trivially cheap because
+   its input is ``num_segments × k`` rows.
+
+Column pruning: queries without phrases never read ``pos_blocks`` —
+the parquet column simply isn't scanned (the ".pos file" stays cold).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import DEFAULT_TOTAL_HITS_THRESHOLD, MAX_CLAUSE_COUNT, EngineConfig
+from ..functions.codec import TermPostings
+from ..functions.wand import CompiledQuery, score_segment
+from ..plans import planner, rewrite as rw
+from ..plans.queries import (
+    FuzzyQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermInSetQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+RESULT_SCHEMA = (
+    "segment_id int, doc_id bigint, score float, hits bigint, hits_exact boolean"
+)
+
+
+@dataclass
+class TopDocs:
+    """TopDocs + ScoreDoc[] analog."""
+
+    total_hits: int
+    relation: str  # "EQ" exact | "GTE" lower bound (pruned)
+    doc_ids: np.ndarray
+    scores: np.ndarray
+
+    def to_pandas(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(self.doc_ids) + 1),
+                "doc_id": self.doc_ids,
+                "score": self.scores,
+            }
+        )
+
+
+def rows_to_posting_map(pdf: pd.DataFrame) -> dict[str, TermPostings]:
+    out: dict[str, TermPostings] = {}
+    has_pos = "pos_blocks" in pdf.columns
+    for r in pdf.itertuples(index=False):
+        out[r.term] = TermPostings(
+            df=int(r.df),
+            ttf=int(r.ttf),
+            singleton_doc=int(r.singleton_doc),
+            singleton_freq=int(r.singleton_freq),
+            doc_blocks=bytes(r.doc_blocks),
+            doc_block_offsets=np.asarray(r.doc_block_offsets, dtype=np.int32),
+            freq_blocks=bytes(r.freq_blocks),
+            freq_block_offsets=np.asarray(r.freq_block_offsets, dtype=np.int32),
+            pos_blocks=bytes(r.pos_blocks) if has_pos else b"",
+            pos_block_offsets=(
+                np.asarray(r.pos_block_offsets, dtype=np.int32)
+                if has_pos
+                else np.empty(0, np.int32)
+            ),
+            block_last_docs=np.asarray(r.block_last_docs, dtype=np.int32),
+            impacts_flat=np.asarray(r.impacts_flat, dtype=np.int32),
+            impacts_offsets=np.asarray(r.impacts_offsets, dtype=np.int32),
+        )
+    return out
+
+
+class IndexSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str, cfg: EngineConfig | None = None):
+        from .build import load_config
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.cfg = cfg or load_config(index_dir)
+        row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+        self.stats = planner.CollectionStats(
+            row["num_docs"], row["doc_count"], row["sum_ttf"], self.cfg.k1, self.cfg.b
+        )
+        self.segments = spark.read.parquet(os.path.join(index_dir, "segments"))
+        self.norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+        self.termdict = spark.read.parquet(os.path.join(index_dir, "termdict"))
+        self.docmeta_path = os.path.join(index_dir, "docmeta")
+
+    # ---- term dictionary services (FST/automaton analog) ----
+
+    def _term_lookup(self, q: Query) -> list[str]:
+        td = self.termdict
+        if isinstance(q, PrefixQuery):
+            df = td.filter(F.col("term").startswith(q.prefix))
+        elif isinstance(q, TermRangeQuery):
+            c = F.col("term")
+            conds = []
+            if q.lower is not None:
+                conds.append(c >= q.lower if q.include_lower else c > q.lower)
+            if q.upper is not None:
+                conds.append(c <= q.upper if q.include_upper else c < q.upper)
+            df = td
+            for cond in conds:
+                df = df.filter(cond)
+        elif isinstance(q, TermInSetQuery):
+            df = td.filter(F.col("term").isin(list(q.terms)))
+        elif isinstance(q, (WildcardQuery, RegexpQuery, FuzzyQuery)):
+            # cheap prefix pushdown first, exact match driver-side
+            if isinstance(q, WildcardQuery):
+                prefix = q.pattern.split("*")[0].split("?")[0]
+            elif isinstance(q, FuzzyQuery):
+                prefix = q.term[: q.prefix_length]
+            else:
+                prefix = ""
+            df = td.filter(F.col("term").startswith(prefix)) if prefix else td
+        else:
+            raise TypeError(type(q))
+        terms = [r["term"] for r in df.select("term").limit(MAX_CLAUSE_COUNT + 1).collect()]
+        if isinstance(q, (WildcardQuery, RegexpQuery, FuzzyQuery)):
+            terms = rw.expand_terms(q, sorted(terms))
+        if len(terms) > MAX_CLAUSE_COUNT:
+            raise ValueError(f"TooManyClauses: {type(q).__name__} expands to >{MAX_CLAUSE_COUNT} terms")
+        return sorted(terms)
+
+    def _term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
+        if not terms:
+            return {}
+        rows = self.termdict.filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: (r["df"], r["ttf"]) for r in rows}
+
+    # ---- search ----
+
+    def search(
+        self,
+        query: Query,
+        k: int = 10,
+        score_mode: str = "top_scores",
+        total_hits_threshold: int = DEFAULT_TOTAL_HITS_THRESHOLD,
+    ) -> TopDocs:
+        q = rw.rewrite(query, self._term_lookup)
+        terms = planner.collect_terms(q)
+        cq = planner.compile_query(q, self.stats, self._term_stats(terms), score_mode)
+        if cq is None:
+            return TopDocs(0, "EQ", np.empty(0, np.int64), np.empty(0, np.float32))
+        pdf = self._run_segments(cq, terms, planner.has_phrase(q), k,
+                                 score_mode, total_hits_threshold)
+        return self._merge(pdf, k)
+
+    def search_df(self, query: Query, k: int = 10, with_meta: bool = True, **kw) -> DataFrame:
+        """DataFrame-returning variant for pipelines / the driver contract."""
+        td = self.search(query, k, **kw)
+        pdf = td.to_pandas()
+        if len(pdf) == 0:
+            df = self.spark.createDataFrame(
+                [], schema="rank int, doc_id bigint, score float"
+            )
+        else:
+            pdf["rank"] = pdf["rank"].astype(np.int32)
+            pdf["score"] = pdf["score"].astype(np.float32)
+            df = self.spark.createDataFrame(pdf)
+        if with_meta:
+            meta = self.spark.read.parquet(self.docmeta_path).select(
+                "doc_id", "repo", "path"
+            )
+            # k rows joined against docmeta: broadcast the tiny side
+            df = F.broadcast(df).join(meta, "doc_id", "left").orderBy("rank")
+        return df
+
+    def count(self, query: Query) -> int:
+        """TotalHitCountCollector analog: exact hit count."""
+        td = self.search(query, k=1, score_mode="complete")
+        return td.total_hits
+
+    # ---- internals ----
+
+    def _run_segments(
+        self, cq: CompiledQuery, terms: set[str], need_pos: bool, k: int,
+        score_mode: str, threshold: int,
+    ) -> pd.DataFrame:
+        seg_size = self.cfg.segment_size
+        prune = score_mode == "top_scores"
+        cols = [
+            "segment_id", "term", "df", "ttf", "singleton_doc", "singleton_freq",
+            "doc_blocks", "doc_block_offsets", "freq_blocks", "freq_block_offsets",
+            "block_last_docs", "impacts_flat", "impacts_offsets",
+        ]
+        if need_pos:
+            cols += ["pos_blocks", "pos_block_offsets"]
+        if terms:
+            seg_rows = self.segments.filter(
+                F.col("term").isin(list(terms))
+            ).select(*cols)
+        else:
+            seg_rows = self.segments.filter(F.lit(False)).select(*cols)
+        if cq.match_all:
+            norms_f = self.norms
+        else:
+            # semi-join so only norm rows of touched segments shuffle
+            seg_ids = seg_rows.select("segment_id").distinct()
+            norms_f = self.norms.join(seg_ids, "segment_id", "left_semi")
+
+        def kernel(key, seg_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
+            seg_id = int(key[0])
+            if len(norm_pdf) == 0:
+                return pd.DataFrame(
+                    columns=["segment_id", "doc_id", "score", "hits", "hits_exact"]
+                )
+            norms = np.frombuffer(norm_pdf["norms"].iloc[0], dtype=np.uint8).astype(
+                np.int64
+            )
+            num_docs = int(norm_pdf["num_docs"].iloc[0])
+            pmap = rows_to_posting_map(seg_pdf)
+            res = score_segment(
+                pmap, norms, cq, k, total_hits_threshold=threshold,
+                prune=prune, num_docs=num_docs,
+            )
+            base = seg_id * seg_size
+            return pd.DataFrame(
+                {
+                    "segment_id": seg_id,
+                    "doc_id": res.doc_ids + base,
+                    "score": res.scores,
+                    "hits": int(res.hits),
+                    "hits_exact": bool(res.hits_exact),
+                }
+            ) if len(res.doc_ids) else pd.DataFrame(
+                {
+                    "segment_id": [seg_id],
+                    "doc_id": [-1],
+                    "score": [np.float32(0)],
+                    "hits": [int(res.hits)],
+                    "hits_exact": [bool(res.hits_exact)],
+                }
+            )
+
+        out = (
+            seg_rows.groupby("segment_id")
+            .cogroup(norms_f.groupby("segment_id"))
+            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+        )
+        return out.toPandas()
+
+    def _merge(self, pdf: pd.DataFrame, k: int) -> TopDocs:
+        """TopDocs.merge: (score desc, doc asc) across segments."""
+        if len(pdf) == 0:
+            return TopDocs(0, "EQ", np.empty(0, np.int64), np.empty(0, np.float32))
+        hits_df = pdf.drop_duplicates("segment_id")
+        total = int(hits_df["hits"].sum())
+        relation = "EQ" if bool(hits_df["hits_exact"].all()) else "GTE"
+        pdf = pdf[pdf["doc_id"] >= 0]
+        order = np.lexsort(
+            (pdf["doc_id"].to_numpy(), -pdf["score"].to_numpy(dtype=np.float64))
+        )[:k]
+        top = pdf.iloc[order]
+        return TopDocs(
+            total,
+            relation,
+            top["doc_id"].to_numpy(dtype=np.int64),
+            top["score"].to_numpy(dtype=np.float32),
+        )

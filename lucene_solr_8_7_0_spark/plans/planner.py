@@ -1,0 +1,151 @@
+"""Physical planning: rewritten Query tree -> CompiledQuery with bound
+BM25 scorers.
+
+The analog of Weight creation (IndexSearcher.createWeight, TermQuery
+TermWeight:60-75): collection + term statistics are bound ONCE on the
+driver, so every segment kernel scores with identical weights — this
+is what makes scores independent of partitioning/cluster size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.bm25 import BM25Scorer, avg_field_length, idf
+from ..functions.wand import CompiledQuery, ScoringClause
+from .queries import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    Query,
+    TermQuery,
+)
+
+
+class CollectionStats:
+    def __init__(self, num_docs: int, doc_count: int, sum_ttf: int, k1: float, b: float):
+        self.num_docs = num_docs
+        self.doc_count = max(doc_count, 1)
+        self.sum_ttf = sum_ttf
+        self.k1 = k1
+        self.b = b
+        self.avgdl = avg_field_length(sum_ttf, self.doc_count)
+
+
+def collect_terms(q: Query) -> set[str]:
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return collect_terms(q.query)
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= collect_terms(c.query)
+        return out
+    return set()
+
+
+def has_phrase(q: Query) -> bool:
+    if isinstance(q, PhraseQuery):
+        return True
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return has_phrase(q.query)
+    if isinstance(q, BooleanQuery):
+        return any(has_phrase(c.query) for c in q.clauses)
+    return False
+
+
+def _make_clause(
+    q: Query,
+    stats: CollectionStats,
+    term_stats: dict[str, tuple[int, int]],
+    boost: float = 1.0,
+    constant: bool = False,
+    scoring: bool = True,
+) -> ScoringClause:
+    if isinstance(q, BoostQuery):
+        return _make_clause(q.query, stats, term_stats, boost * q.boost, constant, scoring)
+    if isinstance(q, ConstantScoreQuery):
+        return _make_clause(q.query, stats, term_stats, boost, True, scoring)
+    if isinstance(q, TermQuery):
+        if constant or not scoring:
+            return ScoringClause(
+                (q.term,), None, const_score=(boost if scoring else 0.0)
+            )
+        df, _ = term_stats.get(q.term, (0, 0))
+        scorer = BM25Scorer.create(
+            boost, stats.k1, stats.b, idf(df, stats.doc_count), stats.avgdl
+        )
+        return ScoringClause((q.term,), scorer)
+    if isinstance(q, PhraseQuery):
+        if constant or not scoring:
+            return ScoringClause(
+                tuple(q.terms), None, const_score=(boost if scoring else 0.0), slop=q.slop
+            )
+        # phrase idf = float32 of the double sum of per-term float32 idfs
+        # (BM25Similarity.idfExplain(CollectionStatistics, TermStatistics[]))
+        total = 0.0
+        for t in q.terms:
+            df, _ = term_stats.get(t, (0, 0))
+            total += float(idf(df, stats.doc_count))
+        scorer = BM25Scorer.create(
+            boost, stats.k1, stats.b, np.float32(total), stats.avgdl
+        )
+        return ScoringClause(tuple(q.terms), scorer, slop=q.slop)
+    raise NotImplementedError(
+        f"cannot compile {type(q).__name__} as a leaf clause (after rewrite)"
+    )
+
+
+def compile_query(
+    q: Query,
+    stats: CollectionStats,
+    term_stats: dict[str, tuple[int, int]],
+    score_mode: str = "top_scores",
+    boost: float = 1.0,
+) -> CompiledQuery | None:
+    """Returns None for MatchNoDocs.  ``score_mode`` in
+    {"top_scores", "complete"}; "filter" drops scoring entirely
+    (BooleanQuery.rewrite scores-not-needed, :194-223).
+
+    ``boost`` is threaded down into leaf weights, exactly as
+    BooleanWeight passes the boost to its sub-weights."""
+    scoring = score_mode != "filter"
+    if isinstance(q, MatchNoDocsQuery):
+        return None
+    if isinstance(q, BoostQuery) and isinstance(q.query, (BooleanQuery, MatchAllDocsQuery)):
+        return compile_query(q.query, stats, term_stats, score_mode, boost * q.boost)
+    if isinstance(q, MatchAllDocsQuery):
+        return CompiledQuery([], [], [], [], 0, match_all=True)
+    if isinstance(q, (TermQuery, PhraseQuery, BoostQuery, ConstantScoreQuery)):
+        clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
+        return CompiledQuery([clause], [], [], [], 0)
+    if isinstance(q, BooleanQuery):
+        groups = q.grouped()
+        if any(isinstance(x, MatchAllDocsQuery) for x in groups[Occur.MUST] + groups[Occur.FILTER]):
+            # MatchAll required clause: candidates = everything
+            rest = [x for x in groups[Occur.MUST] + groups[Occur.FILTER]
+                    if not isinstance(x, MatchAllDocsQuery)]
+            if not rest:
+                return CompiledQuery(
+                    [],
+                    [_make_clause(s, stats, term_stats, boost=boost, scoring=scoring) for s in groups[Occur.SHOULD]],
+                    [],
+                    [_make_clause(n, stats, term_stats, scoring=False) for n in groups[Occur.MUST_NOT]],
+                    q.minimum_should_match,
+                    match_all=True,
+                )
+        return CompiledQuery(
+            musts=[_make_clause(m, stats, term_stats, boost=boost, scoring=scoring) for m in groups[Occur.MUST]],
+            shoulds=[_make_clause(s, stats, term_stats, boost=boost, scoring=scoring) for s in groups[Occur.SHOULD]],
+            filters=[_make_clause(f, stats, term_stats, scoring=False) for f in groups[Occur.FILTER]],
+            must_nots=[_make_clause(n, stats, term_stats, scoring=False) for n in groups[Occur.MUST_NOT]],
+            msm=q.minimum_should_match,
+        )
+    raise NotImplementedError(f"cannot compile {type(q).__name__}")

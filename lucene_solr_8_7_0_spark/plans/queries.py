@@ -1,0 +1,178 @@
+"""Query IR — the engine's analog of org.apache.lucene.search.Query.
+
+Plain frozen dataclasses; rewrites (plans/rewrite.py) operate on this
+tree on the driver, exactly as Lucene's Query.rewrite fixpoint runs
+before Weight creation (IndexSearcher.java:674-683).  Catalyst never
+sees this tree — it plans the *scan* (term pushdown into parquet);
+boolean/scoring semantics live in the segment kernels.
+
+Clause model per BooleanQuery.java:44-163: MUST / SHOULD / FILTER
+(non-scoring MUST) / MUST_NOT + minimumNumberShouldMatch, max 1024
+clauses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from ..config import MAX_CLAUSE_COUNT
+
+
+class Occur(str, Enum):
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    FILTER = "FILTER"
+    MUST_NOT = "MUST_NOT"
+
+
+class Query:
+    """Marker base class."""
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+
+    def __str__(self) -> str:
+        return self.term
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple[str, ...]
+    slop: int = 0
+
+    def __str__(self) -> str:
+        return '"' + " ".join(self.terms) + '"'
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+    def __str__(self) -> str:
+        return f"({self.query})^{self.boost}"
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+
+    def __str__(self) -> str:
+        return f"ConstantScore({self.query})"
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    def __str__(self) -> str:
+        return "*:*"
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    reason: str = ""
+
+    def __str__(self) -> str:
+        return "MatchNoDocs"
+
+
+# ---- multi-term queries: rewritten to term disjunctions against the
+# term dictionary (MultiTermQuery rewrite family, SURVEY.md §2.10) ----
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # * = any run, ? = one char (WildcardQuery.java)
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    pattern: str
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    occur: Occur
+    query: Query
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...]
+    minimum_should_match: int = 0
+
+    def __post_init__(self):
+        if len(self.clauses) > MAX_CLAUSE_COUNT:
+            raise ValueError(
+                f"maxClauseCount is set to {MAX_CLAUSE_COUNT}"
+            )  # BooleanQuery.java:44 TooManyClauses
+
+    def grouped(self) -> dict[Occur, list[Query]]:
+        out: dict[Occur, list[Query]] = {o: [] for o in Occur}
+        for c in self.clauses:
+            out[c.occur].append(c.query)
+        return out
+
+    def __str__(self) -> str:
+        sym = {Occur.MUST: "+", Occur.SHOULD: "", Occur.FILTER: "#", Occur.MUST_NOT: "-"}
+        return " ".join(f"{sym[c.occur]}{c.query}" for c in self.clauses)
+
+
+class Builder:
+    """BooleanQuery.Builder equivalent."""
+
+    def __init__(self) -> None:
+        self._clauses: list[BooleanClause] = []
+        self._msm = 0
+
+    def add(self, query: Query, occur: Occur | str) -> "Builder":
+        self._clauses.append(BooleanClause(Occur(occur), query))
+        return self
+
+    def set_minimum_number_should_match(self, n: int) -> "Builder":
+        self._msm = n
+        return self
+
+    def build(self) -> BooleanQuery:
+        return BooleanQuery(tuple(self._clauses), self._msm)
+
+
+def term_or(terms: list[str], min_should_match: int = 0) -> BooleanQuery:
+    b = Builder()
+    for t in terms:
+        b.add(TermQuery(t), Occur.SHOULD)
+    return b.set_minimum_number_should_match(min_should_match).build()
+
+
+def term_and(terms: list[str]) -> BooleanQuery:
+    b = Builder()
+    for t in terms:
+        b.add(TermQuery(t), Occur.MUST)
+    return b.build()

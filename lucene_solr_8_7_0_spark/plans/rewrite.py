@@ -1,0 +1,301 @@
+"""Logical query rewrites — BooleanQuery.rewrite ported rule-for-rule.
+
+Reference: lucene/core/src/java/org/apache/lucene/search/
+BooleanQuery.java:235-460 plus the rewrite fixpoint in
+IndexSearcher.java:674-683.  These rewrite OUR IR on the driver (plain
+Python — they are above Catalyst, which only ever plans the postings
+scan).
+
+Multi-term queries (prefix/wildcard/regexp/fuzzy/range/set) rewrite to
+term disjunctions by consulting the term dictionary, the analog of
+MultiTermQuery's SCORING_BOOLEAN_REWRITE.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .queries import (
+    BooleanClause,
+    BooleanQuery,
+    BoostQuery,
+    Builder,
+    ConstantScoreQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+__all__ = ["rewrite", "rewrite_multi_term", "expand_terms"]
+
+
+def rewrite(query: Query, term_lookup=None) -> Query:
+    """Fixpoint rewrite (IndexSearcher.java:674-683).
+
+    ``term_lookup(pred) -> list[str]`` resolves multi-term queries from
+    the term dictionary; None leaves them un-rewritten.
+    """
+    for _ in range(16):  # fixpoint with a safety bound
+        new = _rewrite_once(query, term_lookup)
+        if new == query:
+            return new
+        query = new
+    return query
+
+
+def _rewrite_once(q: Query, term_lookup) -> Query:
+    if isinstance(q, BoostQuery):
+        inner = _rewrite_once(q.query, term_lookup)
+        if isinstance(inner, BoostQuery):  # collapse nested boosts
+            return BoostQuery(inner.query, q.boost * inner.boost)
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        if q.boost == 1.0:
+            return inner
+        return BoostQuery(inner, q.boost)
+    if isinstance(q, ConstantScoreQuery):
+        inner = _rewrite_once(q.query, term_lookup)
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        if isinstance(inner, ConstantScoreQuery):
+            return inner
+        return ConstantScoreQuery(inner)
+    if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
+                      TermRangeQuery, TermInSetQuery)):
+        return rewrite_multi_term(q, term_lookup)
+    if isinstance(q, PhraseQuery):
+        if len(q.terms) == 1:  # PhraseQuery.rewrite: single term unwraps
+            return TermQuery(q.terms[0])
+        return q
+    if isinstance(q, BooleanQuery):
+        return _rewrite_boolean(q, term_lookup)
+    return q
+
+
+def _rewrite_boolean(q: BooleanQuery, term_lookup) -> Query:
+    # recurse into children first
+    clauses = [
+        BooleanClause(c.occur, _rewrite_once(c.query, term_lookup))
+        for c in q.clauses
+    ]
+    msm = q.minimum_should_match
+
+    # empty BQ -> MatchNoDocs (BooleanQuery.java:236-239)
+    if not clauses:
+        return MatchNoDocsQuery("empty BooleanQuery")
+
+    # 1-clause MUST/FILTER/SHOULD unwrap (:241-261); FILTER keeps
+    # constant-score semantics
+    if len(clauses) == 1 and msm <= 1:
+        c = clauses[0]
+        if c.occur == Occur.MUST or (c.occur == Occur.SHOULD and msm <= 1):
+            return c.query
+        if c.occur == Occur.FILTER:
+            return ConstantScoreQuery(c.query) if not isinstance(
+                c.query, ConstantScoreQuery
+            ) else c.query
+        # single MUST_NOT matches nothing (no positive clause)
+        if c.occur == Occur.MUST_NOT:
+            return MatchNoDocsQuery("pure negation")
+
+    groups = {o: [] for o in Occur}
+    for c in clauses:
+        groups[c.occur].append(c.query)
+
+    # dedup FILTER & MUST_NOT clause sets (:285-304)
+    groups[Occur.FILTER] = _dedup(groups[Occur.FILTER])
+    groups[Occur.MUST_NOT] = _dedup(groups[Occur.MUST_NOT])
+
+    # MUST ∩ MUST_NOT ≠ ∅ -> MatchNoDocs; MUST_NOT MatchAll -> MatchNoDocs (:306-316)
+    pos = set(map(_key, groups[Occur.MUST] + groups[Occur.FILTER]))
+    for n in groups[Occur.MUST_NOT]:
+        if _key(n) in pos:
+            return MatchNoDocsQuery("FILTER or MUST clause also in MUST_NOT")
+        if isinstance(n, MatchAllDocsQuery):
+            return MatchNoDocsQuery("MUST_NOT clause is MatchAllDocsQuery")
+
+    # remove FILTER clauses already required by MUST; drop MatchAll FILTER
+    # when other required clauses exist (:318-339)
+    must_keys = set(map(_key, groups[Occur.MUST]))
+    filters = [f for f in groups[Occur.FILTER] if _key(f) not in must_keys]
+    if len(groups[Occur.MUST]) + len(filters) > 1 or groups[Occur.MUST]:
+        filters = [f for f in filters if not isinstance(f, MatchAllDocsQuery)] or (
+            filters if not groups[Occur.MUST] else []
+        )
+    groups = dict(groups)
+    groups[Occur.FILTER] = filters
+
+    # FILTER ∩ SHOULD -> MUST (scoring preserved) when msm == 0 (:341-367)
+    if msm == 0 and groups[Occur.SHOULD] and groups[Occur.FILTER]:
+        should_keys = set(map(_key, groups[Occur.SHOULD]))
+        promoted = [f for f in groups[Occur.FILTER] if _key(f) in should_keys]
+        if promoted:
+            pk = set(map(_key, promoted))
+            groups[Occur.FILTER] = [f for f in groups[Occur.FILTER] if _key(f) not in pk]
+            groups[Occur.MUST] = groups[Occur.MUST] + [
+                s for s in groups[Occur.SHOULD] if _key(s) in pk
+            ]
+            groups[Occur.SHOULD] = [
+                s for s in groups[Occur.SHOULD] if _key(s) not in pk
+            ]
+
+    # dedup SHOULD / MUST summing boosts (:369-430)
+    groups[Occur.SHOULD] = _dedup_sum_boosts(groups[Occur.SHOULD])
+    groups[Occur.MUST] = _dedup_sum_boosts(groups[Occur.MUST])
+
+    # drop MatchNoDocs SHOULD clauses; a required MatchNoDocs kills the query
+    for o in (Occur.MUST, Occur.FILTER):
+        if any(isinstance(x, MatchNoDocsQuery) for x in groups[o]):
+            return MatchNoDocsQuery("required clause matches nothing")
+    groups[Occur.SHOULD] = [
+        s for s in groups[Occur.SHOULD] if not isinstance(s, MatchNoDocsQuery)
+    ]
+    groups[Occur.MUST_NOT] = [
+        n for n in groups[Occur.MUST_NOT] if not isinstance(n, MatchNoDocsQuery)
+    ]
+
+    # SHOULD count below minimumShouldMatch -> nothing can match
+    has_required = bool(groups[Occur.MUST] or groups[Occur.FILTER])
+    effective_msm = max(msm, 0 if has_required else 1)
+    if len(groups[Occur.SHOULD]) < effective_msm and (
+        msm > 0 or not has_required
+    ):
+        if len(groups[Occur.SHOULD]) == 0 and has_required and msm == 0:
+            pass
+        elif len(groups[Occur.SHOULD]) < effective_msm:
+            return MatchNoDocsQuery("fewer SHOULD clauses than minimumShouldMatch")
+
+    b = Builder()
+    for o in (Occur.MUST, Occur.FILTER, Occur.SHOULD, Occur.MUST_NOT):
+        for sub in groups[o]:
+            b.add(sub, o)
+    b.set_minimum_number_should_match(msm)
+    out = b.build()
+    if not out.clauses:
+        return MatchNoDocsQuery("no clauses left after rewrite")
+    if len(out.clauses) == 1 and msm <= 1:
+        c = out.clauses[0]
+        if c.occur in (Occur.MUST, Occur.SHOULD):
+            return c.query
+        if c.occur == Occur.FILTER:
+            return ConstantScoreQuery(c.query)
+        return MatchNoDocsQuery("pure negation")
+    return out
+
+
+def _key(q: Query):
+    return q  # frozen dataclasses hash/compare structurally
+
+
+def _dedup(qs: list[Query]) -> list[Query]:
+    seen, out = set(), []
+    for q in qs:
+        if _key(q) not in seen:
+            seen.add(_key(q))
+            out.append(q)
+    return out
+
+
+def _dedup_sum_boosts(qs: list[Query]) -> list[Query]:
+    """Duplicate scoring clauses merge with summed boosts (:369-430)."""
+    acc: dict = {}
+    order: list = []
+    for q in qs:
+        base, boost = (q.query, q.boost) if isinstance(q, BoostQuery) else (q, 1.0)
+        if base in acc:
+            acc[base] += boost
+        else:
+            acc[base] = boost
+            order.append(base)
+    out = []
+    for base in order:
+        boost = acc[base]
+        out.append(base if boost == 1.0 else BoostQuery(base, boost))
+    return out
+
+
+# ---------------- multi-term expansion ----------------
+
+
+def expand_terms(q: Query, all_terms: list[str]) -> list[str]:
+    """Resolve a multi-term query against a sorted term list."""
+    if isinstance(q, PrefixQuery):
+        return [t for t in all_terms if t.startswith(q.prefix)]
+    if isinstance(q, WildcardQuery):
+        pat = re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".")
+        rx = re.compile(f"^{pat}$")
+        return [t for t in all_terms if rx.match(t)]
+    if isinstance(q, RegexpQuery):
+        rx = re.compile(f"^(?:{q.pattern})$")
+        return [t for t in all_terms if rx.match(t)]
+    if isinstance(q, TermRangeQuery):
+        lo, hi = q.lower, q.upper
+        out = []
+        for t in all_terms:
+            if lo is not None and (t < lo or (t == lo and not q.include_lower)):
+                continue
+            if hi is not None and (t > hi or (t == hi and not q.include_upper)):
+                continue
+            out.append(t)
+        return out
+    if isinstance(q, TermInSetQuery):
+        s = set(all_terms)
+        return [t for t in q.terms if t in s]
+    if isinstance(q, FuzzyQuery):
+        return [
+            t
+            for t in all_terms
+            if t[: q.prefix_length] == q.term[: q.prefix_length]
+            and _within_edits(q.term, t, q.max_edits)
+        ]
+    raise TypeError(type(q))
+
+
+def _within_edits(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein <= k (FuzzyQuery's LevenshteinAutomata analog)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = max(1, i - k)
+        hi = min(len(b), i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        if hi < len(b):
+            for j in range(hi + 1, len(b) + 1):
+                cur[j] = k + 1
+        prev = cur
+        if min(prev) > k:
+            return False
+    return prev[len(b)] <= k
+
+
+def rewrite_multi_term(q: Query, term_lookup) -> Query:
+    """MultiTermQuery -> SHOULD-disjunction of matching terms."""
+    if term_lookup is None:
+        return q
+    terms = term_lookup(q)
+    if not terms:
+        return MatchNoDocsQuery(f"no terms match {q}")
+    if len(terms) == 1:
+        return TermQuery(terms[0])
+    b = Builder()
+    for t in terms:
+        b.add(TermQuery(t), Occur.SHOULD)
+    return b.build()

@@ -1,0 +1,147 @@
+"""End-to-end distributed search vs the exhaustive oracle (CheckHits).
+
+Rank identity: for every query shape, the engine's top-k doc ids AND
+bitwise float32 scores must equal the oracle's, with pruning enabled
+and with score ties broken by doc id asc — the BASELINE.json gate.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_solr_8_7_0_spark.config import EngineConfig
+from lucene_solr_8_7_0_spark.functions.oracle import build_oracle_index, oracle_search
+from lucene_solr_8_7_0_spark.operators.build import build_index
+from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+from lucene_solr_8_7_0_spark.plans import queries as Q
+from lucene_solr_8_7_0_spark.plans.rewrite import rewrite
+from lucene_solr_8_7_0_spark.sources.corpus import corpus_df, generate_query_set
+
+N_FILES = 400
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    cfg = EngineConfig(segment_size=64)  # several segments
+    docs = corpus_df(spark, N_FILES, seed=42)
+    build_index(spark, docs, d, cfg)
+    searcher = IndexSearcher(spark, d)
+    corpus_pdf = (
+        spark.read.parquet(f"{d}/docs").select("doc_id", "content").toPandas()
+    )
+    oi = build_oracle_index(corpus_pdf, cfg)
+    return searcher, oi
+
+
+def assert_identical(searcher, oi, query, k=10, threshold=1):
+    td = searcher.search(query, k=k, total_hits_threshold=threshold)
+    # oracle needs the same rewritten tree for multi-term queries
+    exp = oracle_search(oi, rewrite(query, searcher._term_lookup), k=k)
+    assert td.doc_ids.tolist() == exp.doc_ids.tolist(), str(query)
+    np.testing.assert_array_equal(td.scores, exp.scores, err_msg=str(query))
+    return td, exp
+
+
+def test_query_set_rank_identity(spark, engine):
+    """The FIXTURES.md §2 reference query set, pruning forced on
+    (threshold=1): 100% rank identity + bitwise score equality."""
+    searcher, oi = engine
+    td_pdf = searcher.termdict.toPandas()
+    qs = generate_query_set(td_pdf, seed=7, n_queries=40)
+    for _, row in qs.iterrows():
+        terms = list(row["terms"])
+        if row["qtype"] == "term":
+            q = Q.TermQuery(terms[0])
+        elif row["qtype"] == "and":
+            q = Q.term_and(terms)
+        elif row["qtype"] == "or":
+            q = Q.term_or(terms, row["min_should_match"])
+        else:  # and_or: MUST hot + SHOULD mids
+            b = Q.Builder()
+            b.add(Q.TermQuery(terms[0]), Q.Occur.MUST)
+            for t in terms[1:]:
+                b.add(Q.TermQuery(t), Q.Occur.SHOULD)
+            q = b.build()
+        assert_identical(searcher, oi, q, k=row["k"], threshold=1)
+
+
+def test_complete_mode_exact_hits(engine):
+    searcher, oi = engine
+    q = Q.term_or(["public", "return"], 1)
+    td = searcher.search(q, k=5, score_mode="complete")
+    exp = oracle_search(oi, q, k=5)
+    assert td.total_hits == exp.total_hits
+    assert td.relation == "EQ"
+    assert searcher.count(q) == exp.total_hits
+
+
+def test_boolean_shapes(engine):
+    searcher, oi = engine
+    b = Q.Builder()
+    b.add(Q.TermQuery("public"), Q.Occur.MUST)
+    b.add(Q.TermQuery("return"), Q.Occur.MUST_NOT)
+    assert_identical(searcher, oi, b.build())
+
+    b = Q.Builder()
+    b.add(Q.TermQuery("public"), Q.Occur.FILTER)
+    b.add(Q.TermQuery("return"), Q.Occur.SHOULD)
+    assert_identical(searcher, oi, b.build())
+
+    b = Q.Builder()
+    b.add(Q.BoostQuery(Q.TermQuery("public"), 2.5), Q.Occur.SHOULD)
+    b.add(Q.TermQuery("return"), Q.Occur.SHOULD)
+    assert_identical(searcher, oi, b.build())
+
+    b = Q.Builder()
+    b.add(Q.ConstantScoreQuery(Q.TermQuery("public")), Q.Occur.SHOULD)
+    b.add(Q.TermQuery("import"), Q.Occur.SHOULD)
+    assert_identical(searcher, oi, b.build())
+
+
+def test_missing_term_and_empty_results(engine):
+    searcher, oi = engine
+    td = searcher.search(Q.TermQuery("zzz_not_in_corpus_zzz"))
+    assert td.total_hits == 0 and len(td.doc_ids) == 0
+    assert_identical(
+        searcher, oi, Q.term_or(["zzz_not_in_corpus_zzz", "public"], 1)
+    )
+    td = searcher.search(Q.MatchNoDocsQuery())
+    assert td.total_hits == 0
+
+
+def test_match_all(engine):
+    searcher, oi = engine
+    td = searcher.search(Q.MatchAllDocsQuery(), k=5)
+    assert td.total_hits == oi.num_docs
+    assert td.doc_ids.tolist() == [0, 1, 2, 3, 4]  # score ties -> doc asc
+    assert (td.scores == np.float32(1.0)).all()
+
+
+def test_phrase_query(engine):
+    searcher, oi = engine
+    q = Q.PhraseQuery(("public", "return"))
+    td = searcher.search(q, k=10)
+    exp = oracle_search(oi, q, k=10)
+    assert td.doc_ids.tolist() == exp.doc_ids.tolist()
+    np.testing.assert_array_equal(td.scores, exp.scores)
+
+
+def test_multi_term_rewrites(engine):
+    searcher, oi = engine
+    assert_identical(searcher, oi, Q.PrefixQuery("get"))
+    assert_identical(searcher, oi, Q.WildcardQuery("re*rn"))
+    assert_identical(searcher, oi, Q.FuzzyQuery("retorn", max_edits=1))
+    assert_identical(searcher, oi, Q.TermRangeQuery("public", "publid"))
+    assert_identical(
+        searcher, oi, Q.TermInSetQuery(("public", "return", "zzz_missing"))
+    )
+
+
+def test_search_df_contract(engine):
+    searcher, _ = engine
+    df = searcher.search_df(Q.term_or(["public", "import"], 1), k=10)
+    pdf = df.toPandas()
+    assert list(pdf.columns) == ["doc_id", "rank", "score", "repo", "path"]
+    assert len(pdf) == 10
+    assert pdf["rank"].tolist() == list(range(1, 11))
+    assert pdf["repo"].notna().all()

@@ -1,0 +1,167 @@
+"""Scoring kernel tests (no Spark) — TestWANDScorer strategy:
+pruned top-k must equal exhaustive top-k for every query shape,
+threshold, and k, including score ties broken by doc id asc."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_8_7_0_spark.functions.bm25 import BM25Scorer, avg_field_length, idf
+from lucene_solr_8_7_0_spark.functions.codec import encode_term_postings
+from lucene_solr_8_7_0_spark.functions.smallfloat import int_to_byte4_np
+from lucene_solr_8_7_0_spark.functions.wand import (
+    CompiledQuery,
+    ScoringClause,
+    score_segment,
+)
+
+# ---- micro fixture (TestWANDScorer.java:68-75 style) ----
+# token lists per doc; doc 2 is empty
+MICRO_DOCS = [
+    ["a", "b"],
+    ["a"],
+    [],
+    ["a", "b", "c"],
+    ["b"],
+    ["b", "c"],
+    ["a", "a", "b"],
+    ["c"],
+]
+
+
+def micro_index():
+    lengths = np.array([len(d) for d in MICRO_DOCS], dtype=np.int64)
+    norms = int_to_byte4_np(lengths)
+    posting_map = {}
+    tfs = {}
+    for term in ["a", "b", "c"]:
+        docs = np.array(
+            [i for i, d in enumerate(MICRO_DOCS) if term in d], dtype=np.int64
+        )
+        freqs = np.array([MICRO_DOCS[i].count(term) for i in docs], dtype=np.int64)
+        positions = np.concatenate(
+            [np.where(np.array(MICRO_DOCS[i]) == term)[0] for i in docs]
+        ) if len(docs) else np.empty(0, np.int64)
+        posting_map[term] = encode_term_postings(docs, freqs, norms[docs], positions)
+        tfs[term] = (docs, freqs)
+    return posting_map, norms, lengths, tfs
+
+
+def scorer_for(term, posting_map, lengths, boost=1.0):
+    doc_count = int((lengths > 0).sum())
+    sum_ttf = int(lengths.sum())
+    df = posting_map[term].df if term in posting_map else 0
+    return BM25Scorer.create(
+        boost, 1.2, 0.75, idf(df, doc_count), avg_field_length(sum_ttf, doc_count)
+    )
+
+
+def make_or(terms, posting_map, lengths, msm=0):
+    return CompiledQuery(
+        [], [ScoringClause((t,), scorer_for(t, posting_map, lengths)) for t in terms],
+        [], [], msm,
+    )
+
+
+def brute_scores(terms, tfs, norms, lengths, posting_map):
+    """Independent per-doc scoring: double-accumulated f32 term scores."""
+    acc = {}
+    for t in terms:
+        if t not in tfs:
+            continue
+        docs, freqs = tfs[t]
+        s = scorer_for(t, posting_map, lengths).score(freqs, norms[docs])
+        for d, v in zip(docs, s):
+            acc[int(d)] = acc.get(int(d), 0.0) + float(v)
+    return {d: np.float32(v) for d, v in acc.items()}
+
+
+def expected_topk(score_map, k):
+    items = sorted(score_map.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:k]
+    return [d for d, _ in items], [s for _, s in items]
+
+
+@pytest.mark.parametrize("threshold", [0, 1, 3, 1000])
+@pytest.mark.parametrize("k", [1, 2, 3, 8])
+def test_micro_or_pruned_equals_expected(threshold, k):
+    posting_map, norms, lengths, tfs = micro_index()
+    for terms in [["a"], ["a", "b"], ["a", "b", "c"], ["c", "zz_missing"]]:
+        cq = make_or(terms, posting_map, lengths)
+        res = score_segment(posting_map, norms, cq, k,
+                            total_hits_threshold=threshold, prune=True)
+        exp_docs, exp_scores = expected_topk(
+            brute_scores(terms, tfs, norms, lengths, posting_map), k
+        )
+        assert res.doc_ids.tolist() == exp_docs
+        np.testing.assert_array_equal(res.scores, np.array(exp_scores, np.float32))
+        exh = score_segment(posting_map, norms, cq, k, prune=False)
+        assert exh.doc_ids.tolist() == exp_docs
+        assert exh.hits == len(brute_scores(terms, tfs, norms, lengths, posting_map))
+
+
+def test_micro_and_not_filter():
+    posting_map, norms, lengths, tfs = micro_index()
+    sc = lambda t: ScoringClause((t,), scorer_for(t, posting_map, lengths))
+    flt = lambda t: ScoringClause((t,), None, const_score=0.0)
+
+    # a AND b -> docs {0, 3, 6}
+    cq = CompiledQuery([sc("a"), sc("b")], [], [], [], 0)
+    res = score_segment(posting_map, norms, cq, 10)
+    assert sorted(res.doc_ids.tolist()) == [0, 3, 6]
+    bs_a = brute_scores(["a"], tfs, norms, lengths, posting_map)
+    bs_b = brute_scores(["b"], tfs, norms, lengths, posting_map)
+    for d, s in zip(res.doc_ids, res.scores):
+        assert s == np.float32(float(bs_a[int(d)]) + float(bs_b[int(d)]))
+
+    # a AND NOT b -> {1}
+    cq = CompiledQuery([sc("a")], [], [], [flt("b")], 0)
+    res = score_segment(posting_map, norms, cq, 10)
+    assert res.doc_ids.tolist() == [1]
+
+    # FILTER c (non-scoring) + MUST b: score only from b; docs {3, 5}
+    cq = CompiledQuery([sc("b")], [], [flt("c")], [], 0)
+    res = score_segment(posting_map, norms, cq, 10)
+    assert sorted(res.doc_ids.tolist()) == [3, 5]
+    for d, s in zip(res.doc_ids, res.scores):
+        assert s == bs_b[int(d)]
+
+    # OR msm=2 over (a, b, c): docs with >=2 of them -> {0, 3, 5, 6}
+    cq = make_or(["a", "b", "c"], posting_map, lengths, msm=2)
+    res = score_segment(posting_map, norms, cq, 10, prune=False)
+    assert sorted(res.doc_ids.tolist()) == [0, 3, 5, 6]
+
+    # phrase "a b": docs where b directly follows a -> {0, 3, 6}
+    ph = ScoringClause(("a", "b"), scorer_for("a", posting_map, lengths))
+    cq = CompiledQuery([ph], [], [], [], 0)
+    res = score_segment(posting_map, norms, cq, 10)
+    assert sorted(res.doc_ids.tolist()) == [0, 3, 6]
+
+
+def test_randomized_wand_vs_exhaustive():
+    """Property harness: random segments, random OR queries, every
+    threshold — pruned == exhaustive (rank + bitwise scores)."""
+    rng = np.random.default_rng(7)
+    for trial in range(15):
+        n_docs = int(rng.integers(50, 2000))
+        lengths = rng.integers(0, 50, size=n_docs).astype(np.int64)
+        norms = int_to_byte4_np(lengths)
+        posting_map, tfs = {}, {}
+        vocab = [f"t{j}" for j in range(6)]
+        for t in vocab:
+            df = int(rng.integers(1, max(2, n_docs // int(rng.integers(1, 20)))))
+            docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+            freqs = rng.integers(1, 8, size=df).astype(np.int64)
+            posting_map[t] = encode_term_postings(docs, freqs, norms[docs])
+            tfs[t] = (docs, freqs)
+        m = int(rng.integers(2, 6))
+        terms = list(rng.choice(vocab, size=m, replace=False))
+        k = int(rng.integers(1, 20))
+        threshold = int(rng.choice([0, 1, 10, 100]))
+        cq = make_or(terms, posting_map, lengths.astype(np.int64))
+        pruned = score_segment(posting_map, norms, cq, k,
+                               total_hits_threshold=threshold, prune=True)
+        exact = score_segment(posting_map, norms, cq, k, prune=False)
+        assert pruned.doc_ids.tolist() == exact.doc_ids.tolist(), (trial, terms, k, threshold)
+        np.testing.assert_array_equal(pruned.scores, exact.scores)
+        # pruned hit count is a valid lower bound
+        assert pruned.hits <= exact.hits or pruned.hits_exact
