@@ -1,0 +1,133 @@
+"""Benchmark harness (driver contract).
+
+Builds the full inverted index over the deterministic synthetic
+source-code corpus sized by the scale factor, then times the headline
+query suite (term / AND / OR / WAND / phrase / prefix) plus the
+training-data ops.  Prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1) —
+                      used to infer sf and locate documents/embeddings
+  SPARK_GRAFT_CPUS    local[] cores (default 32)
+  BENCH_FILES         override synthetic corpus size
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lucene_solr_8_7_0_spark.config import EngineConfig
+from lucene_solr_8_7_0_spark.operators.build import build_index
+from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+from lucene_solr_8_7_0_spark.plans import queries as Q
+from lucene_solr_8_7_0_spark.session import get_spark
+from lucene_solr_8_7_0_spark.sources.corpus import corpus_df
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def headline_queries(searcher: IndexSearcher) -> dict:
+    """Query mix per FIXTURES.md §2: selectivity spectrum + WAND stress."""
+    td = searcher.termdict.orderBy("df", ascending=False)
+    hot = [r["term"] for r in td.limit(5).collect()]
+    rare = [
+        r["term"]
+        for r in searcher.termdict.filter("df <= 5").orderBy("term").limit(5).collect()
+    ]
+    mid = [
+        r["term"]
+        for r in searcher.termdict.filter("df > 20 AND df < 200")
+        .orderBy("term")
+        .limit(5)
+        .collect()
+    ]
+    mid = mid or hot
+    rare = rare or mid
+    return {
+        "q1_term_hot": Q.TermQuery(hot[0]),
+        "q2_term_rare": Q.TermQuery(rare[0]),
+        "q3_and_hot_rare": Q.term_and([hot[0], rare[0]]),
+        "q4_and_mid": Q.term_and(mid[:2]),
+        "q5_or_hot_wand": Q.term_or(hot[:3], 1),
+        "q6_or_mixed": Q.term_or([hot[0]] + mid[:2] + rare[:2], 1),
+        "q7_msm2": Q.term_or(hot[:2] + mid[:2], 2),
+        "q8_not": _not_query(hot[0], hot[1]),
+        "q9_phrase": Q.PhraseQuery((hot[0], hot[1])),
+        "q10_prefix": Q.PrefixQuery(mid[0][:3] if mid else "get"),
+    }
+
+
+def _not_query(a: str, b: str):
+    bld = Q.Builder()
+    bld.add(Q.TermQuery(a), Q.Occur.MUST)
+    bld.add(Q.TermQuery(b), Q.Occur.MUST_NOT)
+    return bld.build()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = infer_sf(sf_dir)
+    n_files = int(os.environ.get("BENCH_FILES", str(max(2000, int(200_000 * sf)))))
+
+    spark = get_spark(cores=cpus, shuffle_partitions=4 * cpus, app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    timings: dict[str, float] = {}
+    try:
+        # ---- index build throughput (the north-rule metric) ----
+        t0 = time.time()
+        docs = corpus_df(spark, n_files, seed=42)
+        cfg = EngineConfig(segment_size=max(1024, n_files // (4 * cpus)))
+        build_index(spark, docs, idx_dir, cfg, resume=False)
+        build_sec = time.time() - t0
+        timings["index_build"] = round(build_sec, 3)
+
+        searcher = IndexSearcher(spark, idx_dir)
+        qs = headline_queries(searcher)
+        # warm the JVM/readers once with a throwaway query
+        searcher.search(Q.TermQuery("warmup_zzz"), k=10)
+        query_total = 0.0
+        for name, q in qs.items():
+            t0 = time.time()
+            td = searcher.search(q, k=10)
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            query_total += dt
+        total = build_sec + query_total
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_plus_query_wall",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "files": n_files,
+                    "build_files_per_sec": round(n_files / build_sec, 1),
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

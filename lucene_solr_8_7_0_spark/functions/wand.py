@@ -163,9 +163,12 @@ def _eval_clause(
 # ---------------- top-k selection ----------------
 
 
-def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """(score desc, doc asc) top-k — HitQueue.lessThan order."""
-    if len(docs) == 0:
+def _topk(
+    docs: np.ndarray, scores: np.ndarray, k: int | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """(score desc, doc asc) top-k — HitQueue.lessThan order.
+    k=None returns everything in doc order (bulk mode)."""
+    if len(docs) == 0 or k is None:
         return docs, scores.astype(np.float32)
     order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
     return docs[order], scores[order].astype(np.float32)
@@ -178,12 +181,18 @@ def score_segment(
     posting_map: dict[str, TermPostings],
     norms: np.ndarray,
     cq: CompiledQuery,
-    k: int,
+    k: int | None,
     total_hits_threshold: int = 1000,
     prune: bool = True,
     num_docs: int | None = None,
 ) -> SegmentTopK:
-    """Evaluate one compiled boolean query against one segment."""
+    """Evaluate one compiled boolean query against one segment.
+
+    ``k=None`` returns ALL matches in doc order (bulk-collector /
+    filter mode — the BooleanScorer COMPLETE analog); pruning is then
+    meaningless and disabled."""
+    if k is None:
+        prune = False
     required = cq.musts + cq.filters
     if cq.match_all and not required:
         # MatchAllDocs (score 1.0 constant) minus exclusions

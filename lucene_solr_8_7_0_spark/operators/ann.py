@@ -1,0 +1,269 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: numpy matmul per Arrow batch
+  against a broadcast query matrix, partial top-k per partition, tiny
+  final reduce.  The baseline and the verifier.
+* lsh_topk — random-hyperplane LSH bucketing as the scale path:
+  candidates only from matching buckets (with multi-probe by sign
+  flips), exact cosine re-scoring on candidates.
+* near_dup_pairs — cosine>=threshold pairs via LSH buckets (embedding
+  near-duplicate detection for corpus curation).
+
+The heavy math is matmul inside mapInPandas (Arrow batches, zero
+per-row Python); shuffles key on bucket hashes (uniform by
+construction of random hyperplanes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: pd.DataFrame,  # (query_id, embedding list) — small, broadcast
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, rank, neighbor_id, cosine double)."""
+    spark = embeddings.sparkSession
+    qids = queries["query_id"].to_numpy(dtype=np.int64)
+    qmat = _normalize(np.asarray([np.asarray(v, np.float64) for v in queries["embedding"]]))
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def part_topk(batches):
+        qids_, qmat_ = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(
+                np.asarray([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            )
+            sims = qmat_ @ mat.T  # (Q, B)
+            out = []
+            for qi in range(len(qids_)):
+                row = sims[qi]
+                cand = np.arange(len(ids))
+                if exclude_self:
+                    cand = cand[ids != qids_[qi]]
+                if len(cand) == 0:
+                    continue
+                # per-batch partial top-k: (cosine desc, id asc)
+                order = np.lexsort((ids[cand], -row[cand]))[:k]
+                sel = cand[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids_[qi],
+                            "neighbor_id": ids[sel],
+                            "cosine": row[sel],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            )
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(
+        part_topk, schema="query_id bigint, neighbor_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _planes_for(n_tables: int, n_planes: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) bucket per row per table.
+
+    Multi-table LSH: ``n_tables`` independent plane sets; a candidate
+    only needs to collide in ONE table, which is what recovers recall
+    on weakly-clustered data (classic (p1, p2)-sensitive LSH
+    amplification)."""
+    spark = embeddings.sparkSession
+    planes = _planes_for(n_tables, n_planes, dim, seed)
+    bc = spark.sparkContext.broadcast(planes)
+
+    def sig(batches):
+        pl = bc.value
+        weights = 1 << np.arange(pl.shape[1], dtype=np.int64)
+        for pdf in batches:
+            mat = np.asarray([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            outs = []
+            for t in range(pl.shape[0]):
+                bits = (mat @ pl[t].T) > 0
+                bucket = (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "table": t,
+                            "bucket": bucket,
+                            "embedding": pdf[vec_col],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        sig,
+        schema=f"vec_id bigint, table int, bucket bigint, {vec_col} array<float>",
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: pd.DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: int = 1,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: probe each table's query bucket (plus
+    buckets at hamming distance <= multiprobe), exact re-score the
+    union of candidates.  Bucket join shuffles on (table, bucket) —
+    uniform keys; the probe side is broadcast."""
+    spark = embeddings.sparkSession
+    planes = _planes_for(n_tables, n_planes, dim, seed)
+    sigs = hyperplane_signatures(
+        embeddings, n_planes, dim, seed, n_tables, id_col, vec_col
+    )
+
+    # query buckets with multi-probe expansion (driver side, tiny)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    probe_rows = []
+    for _, r in queries.iterrows():
+        v = np.asarray(r["embedding"], np.float64)
+        for t in range(n_tables):
+            bits = (planes[t] @ v) > 0
+            base = int((bits.astype(np.int64) * weights).sum())
+            buckets = {base}
+            if multiprobe >= 1:
+                for i in range(n_planes):
+                    buckets.add(base ^ (1 << i))
+            if multiprobe >= 2:
+                for i in range(n_planes):
+                    for j in range(i + 1, n_planes):
+                        buckets.add(base ^ (1 << i) ^ (1 << j))
+            for b in buckets:
+                probe_rows.append(
+                    (int(r["query_id"]), t, b, list(map(float, r["embedding"])))
+                )
+    probes = spark.createDataFrame(
+        probe_rows,
+        schema="query_id bigint, table int, bucket bigint, q_emb array<float>",
+    )
+    cand = sigs.join(F.broadcast(probes), ["table", "bucket"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(vec_col, "q_emb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (norm(F.col(vec_col)) * norm(F.col("q_emb")))).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
+
+    High-cosine pairs disagree on few hyperplanes, so with several
+    independent tables they collide in at least one with overwhelming
+    probability; candidates are exactly re-scored."""
+    sigs = hyperplane_signatures(
+        embeddings, n_planes, dim, seed, n_tables, id_col, vec_col
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.table") == F.col("b.table"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "a.embedding", "b.embedding",
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (norm(F.col("a.embedding")) * norm(F.col("b.embedding")))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All candidate generation is pure DataFrame algebra (JVM-side hashes,
+joins); the only Python is vectorized numpy inside Arrow UDFs for
+signature math.  Designed so every shuffle keys on a bounded-skew
+column (hash buckets), never on raw document text.
+
+Operators:
+* exact_duplicates      — hash group-by on content digest
+* minhash_signatures    — k-shingle MinHash (numpy affine permutations
+                          over JVM xxhash64 shingle hashes)
+* lsh_candidate_pairs   — banded LSH bucketing -> candidate pairs
+* jaccard_verify        — exact token-set Jaccard on candidate pairs
+* minhash_dedup         — the full pipeline: shingle -> minhash ->
+                          band -> bucket join -> verify
+* simhash               — 64-bit SimHash fingerprints
+* embedding_near_dup    — cosine-threshold near-duplicates (see ann.py)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+# deterministic affine permutation parameters for MinHash
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical documents: (keep_doc_id, dup_count).
+
+    keep_doc_id = min doc id of the group (the canonical survivor);
+    only groups with >1 member are returned.  Pure hash aggregation —
+    one shuffle on the 256-bit digest (uniform, skew-free)."""
+    return (
+        docs.select(id_col, F.sha2(F.col(text_col), 256).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Distinct k-token shingles per doc, hashed JVM-side to int64."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, signature array<bigint>[num_hashes]).
+
+    Shingle hashing is JVM xxhash64; the num_hashes permutations are
+    numpy affine maps ``(a*h + b) mod M`` applied per Arrow batch —
+    one grouped pass, no per-row Python."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+
+    def sig(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["sh_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        # (a*h + b) mod M per permutation, min over shingles
+        vals = (a.astype(np.uint64)[:, None] * h[None, :] + b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+        return pd.DataFrame(
+            {"doc_id": [key[0]], "signature": [vals.min(axis=1).astype(np.int64).tolist()]}
+        )
+
+    return (
+        _shingles(docs, id_col, text_col, shingle_k)
+        .groupby("doc_id")
+        .applyInPandas(sig, schema="doc_id bigint, signature array<bigint>")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Bucket join is a self-join on (band, band_hash) — uniform keys.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps >= threshold.
+
+    Join-based set intersection: |A ∩ B| via a shingle-level join of
+    only the candidate docs (semi-joined first, so the exact pass
+    touches a tiny fraction of the corpus)."""
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("cand_id"))
+        .union(pairs.select(F.col("doc_b").alias("cand_id")))
+        .distinct()
+    )
+    sh = _shingles(
+        docs.join(cand_ids, F.col(id_col) == F.col("cand_id"), "left_semi"),
+        id_col, text_col, shingle_k,
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.sh_hash") == F.col("sb.sh_hash")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline -> verified (doc_a, doc_b, jaccard)."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, seed)
+    pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    return jaccard_verify(pairs, docs, id_col, text_col, shingle_k, threshold)
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprints: sign of tf-weighted hash-bit sums.
+
+    Token hashing JVM-side; the bit accumulation is numpy per batch."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .select("doc_id", F.xxhash64("tok").alias("th"), "tf")
+    )
+
+    def acc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["th"].to_numpy(dtype=np.int64).astype(np.uint64)
+        w = pdf["tf"].to_numpy(dtype=np.int64)
+        bitvals = ((h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        sums = ((bitvals * 2 - 1) * w[:, None]).sum(axis=0)
+        fp = np.uint64(0)
+        for i in range(bits):
+            if sums[i] > 0:
+                fp |= np.uint64(1) << np.uint64(i)
+        signed = np.array([fp], dtype=np.uint64).view(np.int64)[0]
+        return pd.DataFrame({"doc_id": [key[0]], "simhash": [signed]})
+
+    return toks.groupby("doc_id").applyInPandas(
+        acc, schema="doc_id bigint, simhash bigint"
+    )
+
+
+def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dups by SimHash: block on 4 x 16-bit chunks (a pair within
+    hamming distance 3 must agree on at least one chunk), verify with
+    popcount."""
+    chunked = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    pairs = (
+        chunked.alias("a")
+        .join(
+            chunked.alias("b"),
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -165,8 +165,32 @@ class IndexSearcher:
         if cq is None:
             return TopDocs(0, "EQ", np.empty(0, np.int64), np.empty(0, np.float32))
         pdf = self._run_segments(cq, terms, planner.has_phrase(q), k,
-                                 score_mode, total_hits_threshold)
+                                 score_mode, total_hits_threshold).toPandas()
         return self._merge(pdf, k)
+
+    def matches_df(self, query: Query) -> DataFrame:
+        """ALL matching doc ids as a distributed DataFrame (filter /
+        bulk-collection mode — scores not computed).  This is the
+        operator to use when the hit set feeds another pipeline stage;
+        nothing is collected to the driver."""
+        return self._bulk_df(query, score_mode="filter").select("doc_id")
+
+    def score_all_df(self, query: Query) -> DataFrame:
+        """(doc_id, score float32) for every matching doc, distributed
+        (COMPLETE score mode, exhaustive — no pruning)."""
+        return self._bulk_df(query, score_mode="complete").select("doc_id", "score")
+
+    def _bulk_df(self, query: Query, score_mode: str) -> DataFrame:
+        q = rw.rewrite(query, self._term_lookup)
+        terms = planner.collect_terms(q)
+        cq = planner.compile_query(q, self.stats, self._term_stats(terms), score_mode)
+        if cq is None:
+            return self.spark.createDataFrame([], schema=RESULT_SCHEMA).filter(
+                F.col("doc_id") >= 0
+            )
+        out = self._run_segments(cq, terms, planner.has_phrase(q), None,
+                                 score_mode, 0)
+        return out.filter(F.col("doc_id") >= 0)
 
     def search_df(self, query: Query, k: int = 10, with_meta: bool = True, **kw) -> DataFrame:
         """DataFrame-returning variant for pipelines / the driver contract."""
@@ -196,9 +220,9 @@ class IndexSearcher:
     # ---- internals ----
 
     def _run_segments(
-        self, cq: CompiledQuery, terms: set[str], need_pos: bool, k: int,
+        self, cq: CompiledQuery, terms: set[str], need_pos: bool, k: int | None,
         score_mode: str, threshold: int,
-    ) -> pd.DataFrame:
+    ) -> DataFrame:
         seg_size = self.cfg.segment_size
         prune = score_mode == "top_scores"
         cols = [
@@ -255,12 +279,11 @@ class IndexSearcher:
                 }
             )
 
-        out = (
+        return (
             seg_rows.groupby("segment_id")
             .cogroup(norms_f.groupby("segment_id"))
             .applyInPandas(kernel, schema=RESULT_SCHEMA)
         )
-        return out.toPandas()
 
     def _merge(self, pdf: pd.DataFrame, k: int) -> TopDocs:
         """TopDocs.merge: (score desc, doc asc) across segments."""

@@ -1,0 +1,149 @@
+"""Training-data pipeline operators: dedup, ANN, text analytics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_8_7_0_spark.operators import ann, dedup, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = []
+    for i in range(30):
+        rows.append((i, f"unique document number {i} with tokens alpha{i} beta{i} " * 3))
+    rows.append((100, base))
+    rows.append((101, base))  # exact duplicate of 100
+    rows.append((102, base.replace("lazy", "sleepy")))  # near-dup of 100
+    rows.append((103, "completely different content entirely unrelated text"))
+    rows.append((104, ""))  # empty doc
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    got = dedup.exact_duplicates(docs).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0]["keep_doc_id"] == 100
+    assert got.iloc[0]["dup_count"] == 2
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = dedup.minhash_dedup(docs, threshold=0.5).toPandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (100, 101) in found  # identical
+    assert (100, 102) in found or (101, 102) in found  # near-dup
+    # verified jaccard for the exact pair is 1.0
+    exact = pairs[(pairs.doc_a == 100) & (pairs.doc_b == 101)]
+    assert np.isclose(exact["jaccard"].iloc[0], 1.0)
+    # unrelated docs never pair with the dup cluster
+    assert not any(103 in p for p in found)
+
+
+def test_minhash_jaccard_matches_exact(docs):
+    """LSH-verified jaccard equals a from-scratch shingle jaccard."""
+    pairs = dedup.minhash_dedup(docs, threshold=0.3).toPandas()
+    pdf = docs.toPandas().set_index("doc_id")["text"]
+
+    def shingles(t, k=3):
+        toks = pd.Series([t]).str.lower().str.findall(r"[a-z0-9_]+").iloc[0]
+        return set(" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 1)))
+
+    for _, r in pairs.iterrows():
+        a, b = shingles(pdf[r.doc_a]), shingles(pdf[r.doc_b])
+        exp = len(a & b) / len(a | b)
+        assert np.isclose(r.jaccard, exp, atol=1e-9), (r.doc_a, r.doc_b)
+
+
+def test_simhash_properties(docs):
+    fps = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert fps[100] == fps[101]  # identical docs -> identical fingerprints
+    ham = bin(np.uint64(fps[100]) ^ np.uint64(fps[102])).count("1")
+    ham_far = bin(np.uint64(fps[100]) ^ np.uint64(fps[103])).count("1")
+    assert ham < ham_far  # near-dup closer than unrelated
+    near = dedup.simhash_near_dups(dedup.simhash(docs), max_hamming=3).toPandas()
+    got = set(map(tuple, near[["doc_a", "doc_b"]].to_numpy()))
+    assert (100, 101) in got
+
+
+def test_ann_brute_force_exact(spark):
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(200), "embedding": [list(map(float, v)) for v in mat]}
+    )
+    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    queries = pd.DataFrame(
+        {"query_id": [0, 1, 2], "embedding": [list(map(float, mat[i])) for i in range(3)]}
+    )
+    got = ann.brute_force_topk(emb, queries, k=5).toPandas()
+    # verify vs numpy
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    for qid in range(3):
+        row = sims[qid].astype(np.float64)
+        cand = np.array([i for i in range(200) if i != qid])
+        order = np.lexsort((cand, -row[cand]))[:5]
+        exp = cand[order].tolist()
+        g = got[got.query_id == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert g == exp, qid
+
+
+def test_ann_lsh_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    exact = ann.brute_force_topk(emb, queries, k=5).toPandas()
+    approx = ann.lsh_topk(emb, queries, k=5, multiprobe=2).toPandas()
+    recalls = []
+    for qid in queries["query_id"]:
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    rows = [(int(i), list(map(float, v))) for i, v in enumerate(base)]
+    rows.append((500, list(map(float, base[0] * 2.0))))  # same direction as 0
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    pairs = ann.near_dup_pairs(emb, threshold=0.999, dim=16).toPandas()
+    assert (0, 500) in set(map(tuple, pairs[["vec_a", "vec_b"]].to_numpy()))
+
+
+def test_textstats_edges(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello World\nfoo_bar 123"), (2, ""), (3, None)],
+        schema="doc_id long, text string",
+    )
+    tc = textstats.token_counts(docs).toPandas().set_index("doc_id")
+    assert tc.loc[1, "n_tokens"] == 4
+    assert tc.loc[2, "n_tokens"] == 0
+    q = textstats.quality_stats(docs.fillna({"text": ""})).toPandas().set_index("doc_id")
+    assert q.loc[1, "n_lines"] == 2
+    assert q.loc[1, "n_alpha"] == 16  # HelloWorldfoobar
+    assert q.loc[1, "max_line_len"] == 11
+    fp = textstats.content_fingerprint(docs.fillna({"text": ""})).toPandas()
+    assert fp["fingerprint"].notna().all()
+    wf = textstats.winnowing_fingerprint(docs).toPandas().set_index("doc_id")
+    assert len(wf.loc[1, "fingerprints"]) > 0
+    assert len(wf.loc[2, "fingerprints"]) == 0
+
+
+def test_winnowing_detects_containment(spark):
+    a = "def compute_total(items): return sum(item.price for item in items)"
+    docs = spark.createDataFrame(
+        [(1, a + " # extra trailing comment here"), (2, a), (3, "zzz completely different qqq")],
+        schema="doc_id long, text string",
+    )
+    wf = textstats.winnowing_fingerprint(docs).toPandas().set_index("doc_id")
+    f1, f2, f3 = (set(wf.loc[i, "fingerprints"]) for i in (1, 2, 3))
+    overlap_near = len(f1 & f2) / max(len(f1 | f2), 1)
+    overlap_far = len(f1 & f3) / max(len(f1 | f3), 1)
+    assert overlap_near > 0.5 > overlap_far
