@@ -1,0 +1,225 @@
+"""spark-submit entry point.
+
+Package the engine and run builds/searches on a cluster:
+
+  zip -r engine.zip lucene_solr_8_7_0_spark
+  spark-submit --py-files engine.zip -m ...  # or:
+  spark-submit --py-files engine.zip cli.py build \
+      --input s3://corpus/docs --index s3://indexes/main
+  spark-submit --py-files engine.zip cli.py search \
+      --index s3://indexes/main --query 'foo AND bar' --k 10
+  spark-submit --py-files engine.zip cli.py bench-scaling \
+      --files 20000 --cores 8,32
+
+On a cluster the session comes from spark-submit's conf (master,
+executors); the local[] defaults only apply when run directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("lucene-solr-8.7.0-spark")
+    if args.local_cores:
+        b = b.master(f"local[{args.local_cores}]").config(
+            "spark.sql.shuffle.partitions", str(4 * int(args.local_cores))
+        )
+    return b.config("spark.sql.adaptive.enabled", "true").getOrCreate()
+
+
+def parse_query_string(qs: str):
+    """Minimal classic-parser analog (QueryParserBase): terms,
+    AND/OR/NOT connectors, +must/-not prefixes, "quoted phrases",
+    trailing * prefix queries, term^boost."""
+    from .plans import queries as Q
+
+    tokens = qs.split()
+    b = Q.Builder()
+    mode_and = "AND" in tokens
+    i = 0
+    any_clause = False
+    while i < len(tokens):
+        t = tokens[i]
+        if t in ("AND", "OR"):
+            i += 1
+            continue
+        occur = Q.Occur.MUST if mode_and else Q.Occur.SHOULD
+        if t == "NOT" and i + 1 < len(tokens):
+            i += 1
+            t = tokens[i]
+            occur = Q.Occur.MUST_NOT
+        elif t.startswith("+"):
+            t, occur = t[1:], Q.Occur.MUST
+        elif t.startswith("-"):
+            t, occur = t[1:], Q.Occur.MUST_NOT
+        boost = 1.0
+        if "^" in t:
+            t, bs = t.rsplit("^", 1)
+            boost = float(bs)
+        if t.startswith('"'):
+            phrase = [t.lstrip('"')]
+            while not tokens[i].endswith('"') and i + 1 < len(tokens):
+                i += 1
+                phrase.append(tokens[i].rstrip('"'))
+            phrase[-1] = phrase[-1].rstrip('"')
+            q: Q.Query = Q.PhraseQuery(tuple(w.lower() for w in phrase))
+        elif t.endswith("*"):
+            q = Q.PrefixQuery(t[:-1].lower())
+        else:
+            q = Q.TermQuery(t.lower())
+        if boost != 1.0:
+            q = Q.BoostQuery(q, boost)
+        b.add(q, occur)
+        any_clause = True
+        i += 1
+    if not any_clause:
+        return Q.MatchNoDocsQuery("empty query string")
+    return b.build()
+
+
+def cmd_build(args) -> None:
+    from .config import EngineConfig
+    from .operators.build import build_index
+
+    spark = _spark(args)
+    docs = spark.read.format(args.format).load(args.input)
+    cfg = EngineConfig(
+        segment_size=args.segment_size,
+        analyzer=args.analyzer,
+        index_positions=not args.no_positions,
+    )
+    t0 = time.time()
+    res = build_index(spark, docs, args.index, cfg, resume=not args.no_resume)
+    print(
+        json.dumps(
+            {
+                "num_docs": res.num_docs,
+                "num_terms": res.num_terms,
+                "stages_run": res.stages_run,
+                "stages_skipped": res.stages_skipped,
+                "wall_s": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
+def cmd_search(args) -> None:
+    from .operators.search import IndexSearcher
+
+    spark = _spark(args)
+    s = IndexSearcher(spark, args.index)
+    q = parse_query_string(args.query)
+    t0 = time.time()
+    td = s.search(q, k=args.k)
+    out = {
+        "query": str(q),
+        "total_hits": td.total_hits,
+        "relation": td.relation,
+        "wall_s": round(time.time() - t0, 3),
+        "hits": [
+            {"doc_id": int(d), "score": float(sc)}
+            for d, sc in zip(td.doc_ids, td.scores)
+        ],
+    }
+    print(json.dumps(out))
+
+
+def cmd_bench_scaling(args) -> None:
+    """The north rule's two-cluster-size evidence: same input, same
+    job, N vs 4N cores; reports throughput at both + efficiency."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    from .config import EngineConfig
+    from .operators.build import build_index
+    from .sources.corpus import corpus_df
+
+    cores_list = [int(c) for c in args.cores.split(",")]
+    corpus_dir = tempfile.mkdtemp(prefix="scale_corpus_")
+    results = {}
+    # generate the shared input once
+    spark = (
+        SparkSession.builder.master(f"local[{max(cores_list)}]")
+        .config("spark.sql.shuffle.partitions", str(4 * max(cores_list)))
+        .getOrCreate()
+    )
+    corpus_df(spark, args.files, seed=42).write.mode("overwrite").parquet(corpus_dir)
+    spark.stop()
+    for cores in cores_list:
+        spark = (
+            SparkSession.builder.master(f"local[{cores}]")
+            .appName(f"scale-{cores}")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.shuffle.partitions", str(4 * cores))
+            .getOrCreate()
+        )
+        idx = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
+        docs = spark.read.parquet(corpus_dir)
+        cfg = EngineConfig(segment_size=max(1024, args.files // 128))
+        t0 = time.time()
+        build_index(spark, docs, idx, cfg, resume=False)
+        dt = time.time() - t0
+        results[cores] = {
+            "wall_s": round(dt, 2),
+            "files_per_sec": round(args.files / dt, 1),
+        }
+        shutil.rmtree(idx, ignore_errors=True)
+        spark.stop()
+    lo, hi = min(cores_list), max(cores_list)
+    ratio = results[hi]["files_per_sec"] / results[lo]["files_per_sec"]
+    eff = ratio / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "files": args.files,
+                "results": results,
+                "throughput_ratio": round(ratio, 3),
+                "parallelism_ratio": hi / lo,
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="lucene_solr_8_7_0_spark")
+    p.add_argument("--local-cores", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--format", default="parquet")
+    b.add_argument("--segment-size", type=int, default=1 << 16)
+    b.add_argument("--analyzer", default="standard")
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.set_defaults(fn=cmd_search)
+
+    sc = sub.add_parser("bench-scaling")
+    sc.add_argument("--files", type=int, default=20000)
+    sc.add_argument("--cores", default="8,32")
+    sc.set_defaults(fn=cmd_bench_scaling)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,12 +54,18 @@ __all__ = [
 
 @dataclass
 class ScoringClause:
-    """One bound clause: a term or a phrase, with its SimScorer."""
+    """One bound clause: a term, a phrase, or a nested boolean.
+
+    A nested boolean clause (``sub`` set) evaluates recursively — the
+    clause's score is the inner query's float32 score, summed into the
+    outer double accumulator, exactly like a nested Scorer in a
+    BooleanScorer tree."""
 
     terms: tuple[str, ...]
     scorer: BM25Scorer | None = None  # None for pure filter/must_not use
     const_score: float | None = None  # ConstantScoreQuery: fixed score
     slop: int = 0
+    sub: "CompiledQuery | None" = None
 
     @property
     def is_phrase(self) -> bool:
@@ -153,6 +159,13 @@ def _phrase_docs_scores(
 def _eval_clause(
     posting_map: dict[str, TermPostings], norms: np.ndarray, clause: ScoringClause
 ) -> tuple[np.ndarray, np.ndarray]:
+    if clause.sub is not None:
+        res = score_segment(posting_map, norms, clause.sub, None, prune=False)
+        if clause.const_score is not None:
+            return res.doc_ids, np.full(
+                len(res.doc_ids), np.float32(clause.const_score)
+            )
+        return res.doc_ids, res.scores
     if clause.is_phrase:
         return _phrase_docs_scores(
             [posting_map.get(t) for t in clause.terms], norms, clause
@@ -206,7 +219,8 @@ def score_segment(
         return _conjunctive(posting_map, norms, cq, k)
     # pure disjunction
     simple = all(
-        (not c.is_phrase) and c.const_score is None for c in cq.shoulds
+        (not c.is_phrase) and c.const_score is None and c.sub is None
+        for c in cq.shoulds
     )
     if prune and simple and max(cq.msm, 1) == 1 and not cq.must_nots:
         return _wand_or(posting_map, norms, cq.shoulds, k, total_hits_threshold)

@@ -76,8 +76,13 @@ def build_index(
     cfg: EngineConfig | None = None,
     content_col: str = "content",
     resume: bool = True,
+    precomputed_ids: bool = False,
 ) -> BuildResult:
-    """Build (or resume building) a full index under ``index_dir``."""
+    """Build (or resume building) a full index under ``index_dir``.
+
+    ``precomputed_ids=True`` trusts an existing ``doc_id`` column
+    (delta builds from operators/merge.py number docs after the
+    existing maximum)."""
     cfg = cfg or EngineConfig()
     os.makedirs(index_dir, exist_ok=True)
     run, skipped = [], []
@@ -92,7 +97,9 @@ def build_index(
     # -- stage: docs (global doc numbering) --------------------------------
     t0 = time.time()
     if stage("docs"):
-        with_ids = docids.assign_doc_ids(docs, ["repo", "path"])
+        with_ids = (
+            docs if precomputed_ids else docids.assign_doc_ids(docs, ["repo", "path"])
+        )
         _write(with_ids, index_dir, "docs")
         _append_manifest(spark, index_dir, "docs", -1, time.time() - t0, {})
     docs_ids = spark.read.parquet(_path(index_dir, "docs"))

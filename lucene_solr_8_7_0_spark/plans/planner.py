@@ -98,6 +98,18 @@ def _make_clause(
             boost, stats.k1, stats.b, np.float32(total), stats.avgdl
         )
         return ScoringClause(tuple(q.terms), scorer, slop=q.slop)
+    if isinstance(q, (BooleanQuery, MatchAllDocsQuery)):
+        # nested boolean clause: compiled recursively; evaluated as a
+        # sub-scorer whose float32 result feeds the outer accumulator
+        if constant or not scoring:
+            sub = compile_query(q, stats, term_stats, "filter", 1.0)
+            const = boost if scoring else 0.0
+        else:
+            sub = compile_query(q, stats, term_stats, "top_scores", boost)
+            const = None
+        if sub is None:  # nested MatchNoDocs: matches nothing
+            return ScoringClause(("\x00matchnone",), None, const_score=0.0)
+        return ScoringClause((), None, const_score=const, sub=sub)
     raise NotImplementedError(
         f"cannot compile {type(q).__name__} as a leaf clause (after rewrite)"
     )

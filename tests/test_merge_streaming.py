@@ -1,0 +1,142 @@
+"""Segment merge + incremental/streaming indexing tests.
+
+Key property: an index built incrementally (base + delta merge, or via
+Structured Streaming micro-batches) answers every query identically to
+an index built over the full corpus at once.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_8_7_0_spark.config import EngineConfig
+from lucene_solr_8_7_0_spark.operators.build import build_index
+from lucene_solr_8_7_0_spark.operators.merge import add_documents, merge_indexes
+from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+from lucene_solr_8_7_0_spark.plans import queries as Q
+from lucene_solr_8_7_0_spark.sources.corpus import corpus_df
+
+N = 260
+CFG = EngineConfig(segment_size=64)  # 260 docs -> 5 segments, boundary mid-segment
+
+
+def _queries():
+    return [
+        Q.TermQuery("public"),
+        Q.term_and(["public", "return"]),
+        Q.term_or(["public", "return", "import"], 1),
+        Q.PhraseQuery(("public", "return")),
+        Q.MatchAllDocsQuery(),
+    ]
+
+
+def _results(searcher, q):
+    td = searcher.search(q, k=10, score_mode="complete")
+    return td.doc_ids.tolist(), td.scores.tolist(), td.total_hits
+
+
+@pytest.fixture(scope="module")
+def full_and_split(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("merge")
+    docs = corpus_df(spark, N, seed=42)
+    # the full index, built in one shot
+    full_dir = str(root / "full")
+    from lucene_solr_8_7_0_spark.operators.docids import assign_doc_ids
+
+    with_ids = assign_doc_ids(docs, ["repo", "path"])
+    with_ids.write.mode("overwrite").parquet(str(root / "corpus"))
+    corpus = spark.read.parquet(str(root / "corpus"))
+    build_index(spark, corpus, full_dir, CFG, resume=False, precomputed_ids=True)
+    return root, corpus, full_dir
+
+
+def test_incremental_merge_equals_full_build(spark, full_and_split):
+    root, corpus, full_dir = full_and_split
+    # split at a non-segment-aligned point: doc ids 0..149 | 150..259
+    part_a = corpus.filter(F.col("doc_id") < 150)
+    part_b = corpus.filter(F.col("doc_id") >= 150)
+    a_dir, b_dir, merged_dir = (str(root / x) for x in ("a", "b", "m"))
+    build_index(spark, part_a, a_dir, CFG, resume=False, precomputed_ids=True)
+    build_index(spark, part_b, b_dir, CFG, resume=False, precomputed_ids=True)
+    merge_indexes(spark, [a_dir, b_dir], merged_dir, CFG)
+
+    s_full = IndexSearcher(spark, full_dir)
+    s_merged = IndexSearcher(spark, merged_dir)
+    assert s_full.stats.num_docs == s_merged.stats.num_docs == N
+    assert s_full.stats.sum_ttf == s_merged.stats.sum_ttf
+    for q in _queries():
+        assert _results(s_full, q) == _results(s_merged, q), str(q)
+    # boundary segment (150 // 64 == 2) was re-encoded: postings identical
+    seg_full = (
+        spark.read.parquet(f"{full_dir}/segments")
+        .filter("segment_id = 2")
+        .select("term", "df", "ttf", "block_last_docs")
+        .toPandas()
+        .sort_values("term", ignore_index=True)
+    )
+    seg_merged = (
+        spark.read.parquet(f"{merged_dir}/segments")
+        .filter("segment_id = 2")
+        .select("term", "df", "ttf", "block_last_docs")
+        .toPandas()
+        .sort_values("term", ignore_index=True)
+    )
+    assert seg_full["term"].tolist() == seg_merged["term"].tolist()
+    assert seg_full["df"].tolist() == seg_merged["df"].tolist()
+    assert seg_full["ttf"].tolist() == seg_merged["ttf"].tolist()
+
+
+def test_add_documents(spark, full_and_split, tmp_path_factory):
+    root, corpus, full_dir = full_and_split
+    out = str(tmp_path_factory.mktemp("adddocs") / "out")
+    base_dir = str(root / "a")  # index over doc_ids < 150 from previous test
+    if not os.path.exists(os.path.join(base_dir, "segments", "_SUCCESS")):
+        pytest.skip("base index not built")
+    # the delta: same content rows as doc ids 150.. but WITHOUT ids —
+    # add_documents must number them after the base index's max
+    delta_rows = (
+        corpus.filter(F.col("doc_id") >= 150)
+        .drop("doc_id")
+        .select("repo", "path", "commit", "lang", "content", "sha256")
+    )
+    add_documents(spark, base_dir, delta_rows, out)
+    s_full = IndexSearcher(spark, full_dir)
+    s_inc = IndexSearcher(spark, out)
+    assert s_inc.stats.num_docs == N
+    for q in _queries():
+        full_r = _results(s_full, q)
+        inc_r = _results(s_inc, q)
+        # doc ids may differ only if delta sort order differs from the
+        # global sort; here the delta rows sort after... verify hits and
+        # scores sets match exactly
+        assert full_r[2] == inc_r[2], str(q)
+        assert sorted(full_r[1]) == pytest.approx(sorted(inc_r[1])), str(q)
+
+
+def test_streaming_indexer(spark, tmp_path_factory):
+    from lucene_solr_8_7_0_spark.streaming.indexer import StreamingIndexer
+
+    root = tmp_path_factory.mktemp("stream")
+    docs = corpus_df(spark, 120, seed=9)
+    src_dir = str(root / "src")
+    # two file-source micro-batches
+    docs.filter(F.xxhash64("path") % 2 == 0).write.parquet(src_dir + "/b0")
+    docs.filter(F.xxhash64("path") % 2 != 0).write.parquet(src_dir + "/b1")
+    schema = spark.read.parquet(src_dir + "/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src_dir + "/*")
+    )
+    cfg = EngineConfig(segment_size=64)
+    indexer = StreamingIndexer(spark, str(root / "snaps"), cfg)
+    q = indexer.start(stream)
+    q.awaitTermination(300)
+    snap = indexer.current_snapshot()
+    assert snap is not None
+    s = IndexSearcher(spark, snap)
+    assert s.stats.num_docs == 120
+    td = s.search(Q.TermQuery("public"), k=5)
+    assert td.total_hits > 0

@@ -145,3 +145,24 @@ def test_search_df_contract(engine):
     assert len(pdf) == 10
     assert pdf["rank"].tolist() == list(range(1, 11))
     assert pdf["repo"].notna().all()
+
+
+def test_nested_boolean(engine):
+    searcher, oi = engine
+    inner = Q.term_and(["public", "return"])
+    b = Q.Builder()
+    b.add(inner, Q.Occur.SHOULD)
+    b.add(Q.TermQuery("import"), Q.Occur.SHOULD)
+    assert_identical(searcher, oi, b.build())
+    # nested OR under MUST
+    b = Q.Builder()
+    b.add(Q.term_or(["public", "import"], 1), Q.Occur.MUST)
+    b.add(Q.TermQuery("return"), Q.Occur.MUST_NOT)
+    assert_identical(searcher, oi, b.build())
+    # the CLI-parser shape: phrase + boosted term + NOT + prefix
+    b = Q.Builder()
+    b.add(Q.PhraseQuery(("public", "return")), Q.Occur.SHOULD)
+    b.add(Q.BoostQuery(Q.TermQuery("import"), 2.0), Q.Occur.SHOULD)
+    b.add(Q.TermQuery("class"), Q.Occur.MUST_NOT)
+    b.add(Q.PrefixQuery("get"), Q.Occur.SHOULD)
+    assert_identical(searcher, oi, b.build())
