@@ -54,7 +54,7 @@ def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Build (or resume) the engine index for this sf_dir; cached."""
-    key = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:v3".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
@@ -152,32 +152,43 @@ def _q_prefix_match(spark, sf_dir):
     return _orig_ids(s, s.matches_df(Q.PrefixQuery("va"))).select("doc_id")
 
 
-def _q_bm25_topk(spark, sf_dir):
-    """Full engine path: stats -> weights -> segments scan -> WAND ->
-    TopDocs merge.  Output (rank, doc_id) of the top 10."""
-    s = _searcher(spark, sf_dir)
-    df = s.search_df(Q.term_or(["data", "join", "vector"], 1), k=10, with_meta=False)
+def _ranked_topk(spark, s, query, k=10):
+    """Rank by (score rounded to 4 decimals desc, doc asc).
+
+    The engine scores in float32 (Lucene semantics), the SQL oracle in
+    float64; on near-ties an ulp can swap neighbours between the two.
+    Rounding makes near-ties exact ties on BOTH sides, and ties then
+    break identically by doc id — so the comparison tests the
+    pipeline, not the float width.  The UNROUNDED float32 rank
+    identity vs Lucene semantics is asserted by tests/test_search.py."""
+    from pyspark.sql import Window
+
+    scored = s.score_all_df(query)
     meta = spark.read.parquet(s.docmeta_path).select(
         "doc_id", F.col("path").cast("long").alias("orig")
     )
+    w = Window.orderBy(
+        F.round(F.col("score").cast("double"), 4).desc(), F.col("orig").asc()
+    )
     return (
-        df.join(meta, "doc_id")
+        scored.join(meta, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
         .select("rank", F.col("orig").alias("doc_id"))
         .orderBy("rank")
     )
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Full engine path: stats -> weights -> segments scan -> score ->
+    rank.  Output (rank, doc_id) of the top 10."""
+    s = _searcher(spark, sf_dir)
+    return _ranked_topk(spark, s, Q.term_or(["data", "join", "vector"], 1))
 
 
 def _q_bm25_and_topk(spark, sf_dir):
     s = _searcher(spark, sf_dir)
-    df = s.search_df(Q.term_and(["data", "join"]), k=10, with_meta=False)
-    meta = spark.read.parquet(s.docmeta_path).select(
-        "doc_id", F.col("path").cast("long").alias("orig")
-    )
-    return (
-        df.join(meta, "doc_id")
-        .select("rank", F.col("orig").alias("doc_id"))
-        .orderBy("rank")
-    )
+    return _ranked_topk(spark, s, Q.term_and(["data", "join"]))
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -339,14 +350,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok LIKE 'va%'""",
         "bm25_topk": _BM25_CTE.format(terms="'data','join','vector'")
         + """
-            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
                    doc_id
-            FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+            FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
         "bm25_and_topk": _BM25_CTE.format(terms="'data','join'")
         + """
-            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
                    doc_id
-            FROM scored WHERE n_match = 2 ORDER BY score DESC, doc_id LIMIT 10""",
+            FROM scored WHERE n_match = 2 ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",

@@ -24,14 +24,21 @@ import time
 
 
 def _spark(args):
+    if args.local_cores:
+        from .session import get_spark
+
+        return get_spark(
+            cores=args.local_cores,
+            shuffle_partitions=4 * int(args.local_cores),
+        )
     from pyspark.sql import SparkSession
 
-    b = SparkSession.builder.appName("lucene-solr-8.7.0-spark")
-    if args.local_cores:
-        b = b.master(f"local[{args.local_cores}]").config(
-            "spark.sql.shuffle.partitions", str(4 * int(args.local_cores))
-        )
-    return b.config("spark.sql.adaptive.enabled", "true").getOrCreate()
+    # cluster mode: master/executors come from spark-submit conf
+    return (
+        SparkSession.builder.appName("lucene-solr-8.7.0-spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
 
 
 def parse_query_string(qs: str):
@@ -134,46 +141,56 @@ def cmd_search(args) -> None:
 def cmd_bench_scaling(args) -> None:
     """The north rule's two-cluster-size evidence: same input, same
     job, N vs 4N cores; reports throughput at both + efficiency."""
+    import os
     import shutil
+    import subprocess
     import tempfile
 
-    from pyspark.sql import SparkSession
-
-    from .config import EngineConfig
-    from .operators.build import build_index
+    from .session import get_spark
     from .sources.corpus import corpus_df
 
+    # local-mode runs execute in the driver JVM: size its heap for the
+    # corpus (the JVM starts once per process; the first session's
+    # memory setting sticks for all subsequent ones)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     cores_list = [int(c) for c in args.cores.split(",")]
     corpus_dir = tempfile.mkdtemp(prefix="scale_corpus_")
     results = {}
     # generate the shared input once
-    spark = (
-        SparkSession.builder.master(f"local[{max(cores_list)}]")
-        .config("spark.sql.shuffle.partitions", str(4 * max(cores_list)))
-        .getOrCreate()
-    )
+    spark = get_spark(cores=max(cores_list),
+                      shuffle_partitions=4 * max(cores_list), app_name="scale-gen")
     corpus_df(spark, args.files, seed=42).write.mode("overwrite").parquet(corpus_dir)
     spark.stop()
+    seg = max(1024, args.files // 128)
+    # each measurement runs in its OWN process (clean JVM, clean python
+    # worker pool — the spark-submit analog), best of `repeats`
     for cores in cores_list:
-        spark = (
-            SparkSession.builder.master(f"local[{cores}]")
-            .appName(f"scale-{cores}")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.sql.shuffle.partitions", str(4 * cores))
-            .getOrCreate()
-        )
-        idx = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
-        docs = spark.read.parquet(corpus_dir)
-        cfg = EngineConfig(segment_size=max(1024, args.files // 128))
-        t0 = time.time()
-        build_index(spark, docs, idx, cfg, resume=False)
-        dt = time.time() - t0
+        walls = []
+        for rep in range(args.repeats):
+            idx = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
+            cmd = [
+                sys.executable, "-m", "lucene_solr_8_7_0_spark.cli",
+                "--local-cores", str(cores),
+                "build", "--input", corpus_dir, "--index", idx,
+                "--segment-size", str(seg), "--no-resume",
+            ]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True,
+                env={**os.environ, "PYTHONPATH": os.getcwd()},
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+            try:
+                walls.append(float(json.loads(line)["wall_s"]))
+            except (json.JSONDecodeError, KeyError):
+                print(out.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"build subprocess failed at cores={cores}")
+            shutil.rmtree(idx, ignore_errors=True)
+        best = min(walls)
         results[cores] = {
-            "wall_s": round(dt, 2),
-            "files_per_sec": round(args.files / dt, 1),
+            "wall_s": round(best, 2),
+            "all_wall_s": [round(w, 2) for w in walls],
+            "files_per_sec": round(args.files / best, 1),
         }
-        shutil.rmtree(idx, ignore_errors=True)
-        spark.stop()
     lo, hi = min(cores_list), max(cores_list)
     ratio = results[hi]["files_per_sec"] / results[lo]["files_per_sec"]
     eff = ratio / (hi / lo)
@@ -215,6 +232,7 @@ def main(argv=None) -> None:
     sc = sub.add_parser("bench-scaling")
     sc.add_argument("--files", type=int, default=20000)
     sc.add_argument("--cores", default="8,32")
+    sc.add_argument("--repeats", type=int, default=2)
     sc.set_defaults(fn=cmd_bench_scaling)
 
     args = p.parse_args(argv)

@@ -1,17 +1,18 @@
 """Index build orchestration: staged, resumable, metric-emitting.
 
 Stage graph (each stage materializes to ``index_dir/<table>`` with a
-``_SUCCESS`` marker; a resumed build skips completed stages — the
-per-partition lineage/metrics land in ``manifest``):
+``_SUCCESS`` marker; a resumed build skips completed stages; stage
+records land in ``manifest``):
 
   docs      source + deterministic global doc_id          (operators/docids)
-  freqprox  inverted (doc, term, freq, positions) rows    (operators/invert)
-            == the reference's FreqProx in-memory stage, materialized
-            so tokenization runs exactly once and the build can resume
-  docmeta   identity + sha256 invariant + length + norm
-  norms     per-segment packed norm bytes (.nvd analog)
+  segments  ONE fused pass: tokenize+invert (Arrow UDF) -> shuffle on
+            segment_id -> per-term block encode + in-group norms; each
+            segment is self-contained (postings + sentinel norms row),
+            exactly one tokenization of the corpus and exactly one
+            shuffle of the token stream                   (operators/segments)
+  norms     per-segment norms view derived from sentinels (merge/explain)
+  docmeta   identity + sha256 invariant + exact length + norm byte
   stats     CollectionStatistics (single row)
-  segments  block-encoded postings per (segment, term)    (operators/segments)
   termdict  global term -> (df, ttf), salted aggregation  (operators/stats)
 
 Parallelism notes (the 100 TB view): every stage is embarrassingly
@@ -31,7 +32,14 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import EngineConfig
-from . import docids, invert, segments as seg_ops, stats as stats_ops
+from . import docids, invert, stats as stats_ops
+from .segments import (
+    SENTINEL_TERM,
+    encode_segments_fused,
+    lengths_from_segments,
+    norms_from_segments,
+)
+from ..functions.smallfloat import int_to_byte4_np
 
 MANIFEST_SCHEMA = "stage string, rows bigint, wall_s double, detail string, ts double"
 
@@ -99,7 +107,7 @@ def build_index(
         run.append(name)
         return True
 
-    # -- stage: docs (global doc numbering) --------------------------------
+    # -- stage: docs (global doc numbering; the stored-fields row store) ---
     t0 = time.time()
     if stage("docs"):
         with_ids = (
@@ -109,45 +117,70 @@ def build_index(
         record("docs", time.time() - t0, {})
     docs_ids = spark.read.parquet(_path(index_dir, "docs"))
 
-    # -- stage: freqprox (tokenize + invert, exactly once) -----------------
+    # -- stage: segments (fused tokenize -> shuffle -> encode) --------------
     t0 = time.time()
-    if stage("freqprox"):
+    if stage("segments"):
         inverted = invert.invert(docs_ids, cfg, content_col)
-        _write(inverted, index_dir, "freqprox")
-        record("freqprox", time.time() - t0, {"analyzer": cfg.analyzer, "positions": cfg.index_positions})
-    inverted = spark.read.parquet(_path(index_dir, "freqprox"))
-    postings, lengths = invert.split_postings(inverted)
+        encoded = encode_segments_fused(inverted, cfg)
+        _write(encoded, index_dir, "segments", sort_cols=["segment_id", "term"])
+        record(
+            "segments", time.time() - t0,
+            {"segment_size": cfg.segment_size, "analyzer": cfg.analyzer,
+             "positions": cfg.index_positions},
+        )
+    segments = spark.read.parquet(_path(index_dir, "segments"))
 
-    # -- stage: docmeta + norms + stats ------------------------------------
-    t0 = time.time()
-    if stage("docmeta"):
-        meta = invert.doc_meta(docs_ids, lengths, cfg, content_col)
-        _write(meta, index_dir, "docmeta", sort_cols=["doc_id"])
-        record("docmeta", time.time() - t0, {})
-    docmeta = spark.read.parquet(_path(index_dir, "docmeta"))
-
+    # -- stage: norms view (merge/explain convenience) -----------------------
     t0 = time.time()
     if stage("norms"):
-        _write(seg_ops.build_norms(docmeta, cfg), index_dir, "norms")
+        _write(norms_from_segments(segments, cfg), index_dir, "norms")
         record("norms", time.time() - t0, {})
+
+    # -- stage: docmeta (identity + sha256 + exact length + norm) -----------
+    t0 = time.time()
+    if stage("docmeta"):
+        lengths = lengths_from_segments(segments, cfg)
+        meta = (
+            docs_ids.select(
+                "doc_id", "repo", "path", "commit", "lang",
+                F.sha2(F.col(content_col), 256).alias("sha256"),
+            )
+            .join(lengths, "doc_id", "left")
+            .fillna({"length": 0})
+        )
+
+        def add_norm(batches):
+            import numpy as np
+
+            for pdf in batches:
+                pdf["norm"] = int_to_byte4_np(
+                    pdf["length"].to_numpy(dtype="int64")
+                ).astype("int32")
+                pdf["segment_id"] = (pdf["doc_id"] // cfg.segment_size).astype(
+                    "int32"
+                )
+                yield pdf
+
+        schema = (
+            "doc_id bigint, repo string, path string, commit string, "
+            "lang string, sha256 string, length bigint, norm int, segment_id int"
+        )
+        _write(meta.mapInPandas(add_norm, schema=schema), index_dir, "docmeta",
+               sort_cols=["doc_id"])
+        record("docmeta", time.time() - t0, {})
+    docmeta = spark.read.parquet(_path(index_dir, "docmeta"))
 
     t0 = time.time()
     if stage("stats"):
         _write(stats_ops.collection_stats(docmeta), index_dir, "stats")
         record("stats", time.time() - t0, {})
 
-    # -- stage: segments (block encode) ------------------------------------
-    t0 = time.time()
-    if stage("segments"):
-        encoded = seg_ops.encode_segments(postings, docmeta, cfg)
-        _write(encoded, index_dir, "segments", sort_cols=["segment_id", "term"])
-        record("segments", time.time() - t0, {"segment_size": cfg.segment_size})
-    segments = spark.read.parquet(_path(index_dir, "segments"))
-
     # -- stage: termdict (salted global term stats) ------------------------
     t0 = time.time()
     if stage("termdict"):
-        td = stats_ops.term_dict(segments, cfg)
+        td = stats_ops.term_dict(
+            segments.filter(F.col("term") != SENTINEL_TERM), cfg
+        )
         _write(td.repartitionByRange(8, "term"), index_dir, "termdict",
                sort_cols=["term"])
         record("termdict", time.time() - t0, {"salt_buckets": cfg.stats_salt_buckets})

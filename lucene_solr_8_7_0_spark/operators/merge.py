@@ -6,14 +6,13 @@ FieldsConsumer.merge / MappedMultiFields, SURVEY.md §2.5).  Our global
 doc ids make the Spark analog direct:
 
 * indexes over disjoint doc-id ranges union trivially — different
-  segments never overlap, so ``segments``/``norms``/``docmeta`` are
-  pure table unions (the "concatenate sorted runs" case),
+  segments never overlap, so segment rows pass through untouched,
 * only *boundary* segments — where two inputs contribute docs to the
   same ``doc_id // segment_size`` range — need real merging: decode
   both runs, concatenate (doc ranges are disjoint and ordered), and
-  re-encode blocks + impacts.  This is the k-way MultiTermsEnum merge,
-  done per (segment, term) group, and is skew-bounded because any
-  group holds at most segment_size postings.
+  re-encode blocks + impacts; sentinel norms/lengths rows overlay by
+  local doc id.  This is the k-way MultiTermsEnum merge, done per
+  (segment, term) group, skew-bounded by segment_size.
 
 ``add_documents`` is the IndexWriter.addDocuments + commit analog:
 number the new docs after the existing maximum, build a delta index,
@@ -30,105 +29,91 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import EngineConfig
 from ..functions.codec import decode_term_postings, encode_term_postings
+from ..functions.smallfloat import int_to_byte4_np
 from .search import rows_to_posting_map
-from .segments import NORMS_SCHEMA, SEGMENT_SCHEMA
+from .segments import SENTINEL_TERM, SEGMENT_SCHEMA, _SEG_COLS, norms_from_segments
 
 
 def _read(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, name))
 
 
-def merge_segment_rows(
-    seg_union: DataFrame, norms_merged: DataFrame, cfg: EngineConfig
-) -> DataFrame:
-    """Re-encode any (segment, term) group that has rows from more than
-    one source; single-source groups pass through untouched."""
-    seg_size = cfg.segment_size
+def merge_segment_rows(seg_union: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Merge a union of segment rows from multiple indexes.
 
-    def merge(key, pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
+    Pass-through for single-source (segment, term) groups; decode +
+    concat + re-encode for multi-source groups; sentinel rows combine
+    by overlaying their lengths arrays (disjoint doc ownership)."""
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         seg_id = int(key[0])
-        counts = pdf.groupby("term", sort=False)["df"].count()
+        sents = pdf[pdf["term"] == SENTINEL_TERM]
+        others = pdf[pdf["term"] != SENTINEL_TERM]
+        # --- combine sentinel lengths/norms ---
+        arrays = [
+            np.frombuffer(r.freq_blocks, dtype="<i8") for r in sents.itertuples()
+        ]
+        size = max((len(a) for a in arrays), default=0)
+        lengths = np.zeros(max(size, 1), dtype=np.int64)
+        for a in arrays:
+            lengths[: len(a)] = np.maximum(lengths[: len(a)], a)
+        norms_full = int_to_byte4_np(lengths)
+        sentinel_row = (
+            seg_id, SENTINEL_TERM, size, int(lengths[:size].sum()) if size else 0,
+            -1, 0,
+            norms_full[:size].astype(np.uint8).tobytes(), [],
+            lengths[:size].astype("<i8").tobytes(), [],
+            b"", [],
+            [], [], [],
+        )
+        # --- postings: pass-through singles, re-encode multi-source ---
+        counts = others.groupby("term", sort=False)["df"].count()
         singles = counts[counts == 1].index
-        out_single = pdf[pdf["term"].isin(singles)].drop(columns=["src"], errors="ignore")
+        out_single = others[others["term"].isin(singles)]
         multi_terms = counts[counts > 1].index
-        if len(multi_terms) == 0:
-            return out_single
-        norms = (
-            np.frombuffer(norm_pdf["norms"].iloc[0], dtype=np.uint8).astype(np.int64)
-            if len(norm_pdf)
-            else np.zeros(seg_size, dtype=np.int64)
-        )
-        rows = []
-        multi = pdf[pdf["term"].isin(multi_terms)]
-        for term, grp in multi.groupby("term", sort=False):
-            pmap_rows = []
-            with_pos = "pos_blocks" in grp.columns and any(
-                len(x) for x in grp["pos_block_offsets"]
-            )
-            decoded = []
-            for r in grp.itertuples(index=False):
-                tp = rows_to_posting_map(pd.DataFrame([r._asdict()]))[term]
-                docs, freqs, poss = decode_term_postings(tp, with_positions=with_pos)
-                decoded.append((docs, freqs, poss))
-            decoded.sort(key=lambda d: int(d[0][0]) if len(d[0]) else -1)
-            docs = np.concatenate([d[0] for d in decoded])
-            freqs = np.concatenate([d[1] for d in decoded])
-            positions = None
-            if with_pos and all(d[2] is not None for d in decoded):
-                positions = np.concatenate([d[2] for d in decoded])
-            if not (np.diff(docs) > 0).all():
-                raise ValueError(
-                    f"merge inputs overlap in doc ids for term {term!r} "
-                    f"segment {seg_id}"
+        rows = [sentinel_row]
+        if len(multi_terms):
+            multi = others[others["term"].isin(multi_terms)]
+            with_pos = "pos_blocks" in multi.columns
+            for term, grp in multi.groupby("term", sort=False):
+                decoded = []
+                has_pos = with_pos and all(
+                    len(x) > 0 for x in grp["pos_block_offsets"]
                 )
-            tp = encode_term_postings(docs, freqs, norms[docs], positions)
-            rows.append(
-                (
-                    seg_id, term, tp.df, tp.ttf,
-                    tp.singleton_doc, tp.singleton_freq,
-                    tp.doc_blocks, tp.doc_block_offsets.tolist(),
-                    tp.freq_blocks, tp.freq_block_offsets.tolist(),
-                    tp.pos_blocks, tp.pos_block_offsets.tolist(),
-                    tp.block_last_docs.tolist(),
-                    tp.impacts_flat.tolist(), tp.impacts_offsets.tolist(),
+                for i in range(len(grp)):
+                    tp = rows_to_posting_map(grp.iloc[[i]])[term]
+                    docs, freqs, poss = decode_term_postings(
+                        tp, with_positions=has_pos
+                    )
+                    decoded.append((docs, freqs, poss))
+                decoded.sort(key=lambda d: int(d[0][0]) if len(d[0]) else -1)
+                docs = np.concatenate([d[0] for d in decoded])
+                freqs = np.concatenate([d[1] for d in decoded])
+                positions = None
+                if has_pos and all(d[2] is not None for d in decoded):
+                    positions = np.concatenate([d[2] for d in decoded])
+                if len(docs) > 1 and not (np.diff(docs) > 0).all():
+                    raise ValueError(
+                        f"merge inputs overlap in doc ids for term {term!r} "
+                        f"segment {seg_id}"
+                    )
+                tp = encode_term_postings(docs, freqs, norms_full[docs], positions)
+                rows.append(
+                    (
+                        seg_id, term, tp.df, tp.ttf,
+                        tp.singleton_doc, tp.singleton_freq,
+                        tp.doc_blocks, tp.doc_block_offsets.tolist(),
+                        tp.freq_blocks, tp.freq_block_offsets.tolist(),
+                        tp.pos_blocks, tp.pos_block_offsets.tolist(),
+                        tp.block_last_docs.tolist(),
+                        tp.impacts_flat.tolist(), tp.impacts_offsets.tolist(),
+                    )
                 )
-            )
-        out_multi = pd.DataFrame(rows, columns=list(out_single.columns))
-        return pd.concat([out_single, out_multi], ignore_index=True)
+        out_multi = pd.DataFrame(rows, columns=_SEG_COLS)
+        return pd.concat([out_single[_SEG_COLS], out_multi], ignore_index=True)
 
-    return (
-        seg_union.groupby("segment_id")
-        .cogroup(norms_merged.groupby("segment_id"))
-        .applyInPandas(merge, schema=SEGMENT_SCHEMA)
-    )
-
-
-def merge_norms(norms_union: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Combine per-segment norm arrays from multiple sources."""
-    seg_size = cfg.segment_size
-
-    def combine(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        seg_id = int(key[0])
-        base = seg_id * seg_size
-        end = 0
-        for r in pdf.itertuples(index=False):
-            end = max(end, int(r.base_doc) - base + int(r.num_docs))
-        arr = np.zeros(end, dtype=np.uint8)
-        for r in pdf.itertuples(index=False):
-            off = int(r.base_doc) - base
-            src = np.frombuffer(r.norms, dtype=np.uint8)
-            arr[off : off + len(src)] = np.maximum(arr[off : off + len(src)], src)
-        return pd.DataFrame(
-            {
-                "segment_id": [seg_id],
-                "base_doc": [base],
-                "num_docs": [end],
-                "norms": [arr.tobytes()],
-            }
-        )
-
-    return norms_union.groupby("segment_id").applyInPandas(
-        combine, schema=NORMS_SCHEMA
+    return seg_union.groupby("segment_id").applyInPandas(
+        merge, schema=SEGMENT_SCHEMA
     )
 
 
@@ -151,21 +136,21 @@ def merge_indexes(
 
     docmeta = None
     segs = None
-    norms = None
     for d in index_dirs:
-        dm, sg, nm = (_read(spark, d, n) for n in ("docmeta", "segments", "norms"))
+        dm = _read(spark, d, "docmeta")
+        sg = _read(spark, d, "segments")
         docmeta = dm if docmeta is None else docmeta.union(dm)
         segs = sg if segs is None else segs.union(sg)
-        norms = nm if norms is None else norms.union(nm)
 
-    norms_merged = merge_norms(norms, cfg)
-    norms_merged.write.mode("overwrite").parquet(os.path.join(out_dir, "norms"))
-    norms_merged = _read(spark, out_dir, "norms")
-
-    merged_segs = merge_segment_rows(segs, norms_merged, cfg)
+    merged_segs = merge_segment_rows(segs, cfg)
     merged_segs.sortWithinPartitions("segment_id", "term").write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "segments"))
+    segs_final = _read(spark, out_dir, "segments")
+
+    norms_from_segments(segs_final, cfg).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "norms")
+    )
 
     docmeta.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         os.path.join(out_dir, "docmeta")
@@ -177,9 +162,10 @@ def merge_indexes(
         F.sum("length").alias("sum_ttf"),
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
 
-    segs_final = _read(spark, out_dir, "segments")
     td = salted_agg(
-        segs_final.select("term", "df", "ttf", "segment_id"),
+        segs_final.filter(F.col("term") != SENTINEL_TERM).select(
+            "term", "df", "ttf", "segment_id"
+        ),
         key="term",
         sums={"df": "df", "ttf": "ttf"},
         buckets=cfg.stats_salt_buckets,

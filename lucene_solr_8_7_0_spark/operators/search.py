@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..config import DEFAULT_TOTAL_HITS_THRESHOLD, MAX_CLAUSE_COUNT, EngineConfig
 from ..functions.codec import TermPostings
 from ..functions.wand import CompiledQuery, score_segment
+from .segments import SENTINEL_TERM
 from ..plans import planner, rewrite as rw
 from ..plans.queries import (
     FuzzyQuery,
@@ -217,6 +218,81 @@ class IndexSearcher:
         td = self.search(query, k=1, score_mode="complete")
         return td.total_hits
 
+    def explain(self, query: Query, doc_id: int) -> dict:
+        """IndexSearcher.explain analog: per-clause score breakdown for
+        one document.  Pulls only the doc's segment (pushdown on
+        segment_id + term) and recomputes each leaf contribution with
+        the same float32 kernels."""
+        import numpy as np
+
+        from ..functions.codec import decode_term_postings
+
+        q = rw.rewrite(query, self._term_lookup)
+        terms = planner.collect_terms(q)
+        cq = planner.compile_query(q, self.stats, self._term_stats(terms))
+        if cq is None:
+            return {"doc_id": doc_id, "matches": False, "description": str(q)}
+        seg_id = doc_id // self.cfg.segment_size
+        local = doc_id - seg_id * self.cfg.segment_size
+        seg_rows = self.segments.filter(
+            (F.col("segment_id") == seg_id) & F.col("term").isin(list(terms))
+        ).toPandas()
+        norm_row = self.norms.filter(F.col("segment_id") == seg_id).collect()
+        if not norm_row:
+            return {"doc_id": doc_id, "matches": False, "description": str(q)}
+        norms = np.frombuffer(norm_row[0]["norms"], dtype=np.uint8).astype(np.int64)
+        pmap = rows_to_posting_map(seg_rows)
+        details, total = [], 0.0
+        matches_all_required = True
+        for kind, clauses in (
+            ("MUST", cq.musts), ("SHOULD", cq.shoulds),
+            ("FILTER", cq.filters), ("MUST_NOT", cq.must_nots),
+        ):
+            for c in clauses:
+                from ..functions.wand import _eval_clause
+
+                docs, scores = _eval_clause(pmap, norms, c)
+                idx = np.searchsorted(docs, local)
+                hit = idx < len(docs) and docs[idx] == local
+                freq = None
+                if hit and not c.is_phrase and c.sub is None and c.terms:
+                    tp = pmap.get(c.terms[0])
+                    if tp is not None:
+                        d, f, _ = decode_term_postings(tp)
+                        freq = int(f[np.searchsorted(d, local)])
+                entry = {
+                    "clause": " ".join(c.terms) if c.terms else "(nested)",
+                    "occur": kind,
+                    "matches": bool(hit),
+                    "score": float(scores[idx]) if hit else 0.0,
+                    "freq": freq,
+                    "norm": int(norms[local]) if local < len(norms) else None,
+                }
+                details.append(entry)
+                if kind in ("MUST", "SHOULD") and hit:
+                    total += float(scores[idx])
+                if kind == "MUST" and not hit:
+                    matches_all_required = False
+                if kind == "FILTER" and not hit:
+                    matches_all_required = False
+                if kind == "MUST_NOT" and hit:
+                    matches_all_required = False
+        matched_shoulds = sum(
+            1 for e in details if e["occur"] == "SHOULD" and e["matches"]
+        )
+        if cq.shoulds and not cq.musts and not cq.filters and not cq.match_all:
+            if matched_shoulds < max(cq.msm, 1):
+                matches_all_required = False
+        elif cq.msm > 0 and matched_shoulds < cq.msm:
+            matches_all_required = False
+        return {
+            "doc_id": doc_id,
+            "matches": matches_all_required,
+            "score": np.float32(total).item() if matches_all_required else 0.0,
+            "description": str(q),
+            "details": details,
+        }
+
     # ---- internals ----
 
     def _run_segments(
@@ -232,30 +308,43 @@ class IndexSearcher:
         ]
         if need_pos:
             cols += ["pos_blocks", "pos_block_offsets"]
-        if terms:
-            seg_rows = self.segments.filter(
-                F.col("term").isin(list(terms))
-            ).select(*cols)
+        # ONE pushed-down scan fetches the query terms' postings AND the
+        # per-segment sentinel norms row — a segment is self-contained,
+        # so a query is: scan -> groupBy(segment) -> kernel -> merge.
+        if cq.match_all and not terms:
+            want = [SENTINEL_TERM]
+        elif cq.match_all:
+            want = list(terms) + [SENTINEL_TERM]
+        elif terms:
+            want = list(terms) + [SENTINEL_TERM]
         else:
+            want = []
+        if not want:
             seg_rows = self.segments.filter(F.lit(False)).select(*cols)
-        if cq.match_all:
-            norms_f = self.norms
         else:
-            # semi-join so only norm rows of touched segments shuffle
-            seg_ids = seg_rows.select("segment_id").distinct()
-            norms_f = self.norms.join(seg_ids, "segment_id", "left_semi")
+            seg_rows = self.segments.filter(F.col("term").isin(want)).select(*cols)
+        if not cq.match_all and terms:
+            # segments where ONLY the sentinel matched are dropped in
+            # the kernel (no query term present there)
+            pass
 
-        def kernel(key, seg_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
+        def kernel(key, seg_pdf: pd.DataFrame) -> pd.DataFrame:
             seg_id = int(key[0])
-            if len(norm_pdf) == 0:
+            sent = seg_pdf[seg_pdf["term"] == SENTINEL_TERM]
+            if len(sent) == 0:
                 return pd.DataFrame(
                     columns=["segment_id", "doc_id", "score", "hits", "hits_exact"]
                 )
-            norms = np.frombuffer(norm_pdf["norms"].iloc[0], dtype=np.uint8).astype(
-                np.int64
-            )
-            num_docs = int(norm_pdf["num_docs"].iloc[0])
-            pmap = rows_to_posting_map(seg_pdf)
+            post_rows = seg_pdf[seg_pdf["term"] != SENTINEL_TERM]
+            if len(post_rows) == 0 and not cq.match_all:
+                return pd.DataFrame(
+                    columns=["segment_id", "doc_id", "score", "hits", "hits_exact"]
+                )
+            norms = np.frombuffer(
+                sent["doc_blocks"].iloc[0], dtype=np.uint8
+            ).astype(np.int64)
+            num_docs = int(sent["df"].iloc[0])
+            pmap = rows_to_posting_map(post_rows)
             res = score_segment(
                 pmap, norms, cq, k, total_hits_threshold=threshold,
                 prune=prune, num_docs=num_docs,
@@ -279,10 +368,8 @@ class IndexSearcher:
                 }
             )
 
-        return (
-            seg_rows.groupby("segment_id")
-            .cogroup(norms_f.groupby("segment_id"))
-            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+        return seg_rows.groupby("segment_id").applyInPandas(
+            kernel, schema=RESULT_SCHEMA
         )
 
     def _merge(self, pdf: pd.DataFrame, k: int) -> TopDocs:

@@ -8,11 +8,22 @@ cluster size, and a segment's postings are bounded (skew-safe: even a
 term present in *every* doc has at most segment_size postings per
 group).
 
-The encode is a cogrouped applyInPandas: postings grouped by segment
-meet the per-segment norm bytes (needed for the block impact
-frontiers), terms are sorted (the FreqProxTermsWriter.sortTerms
-analog), and each term's postings are block-encoded with the
-functions/codec kernels.
+FUSED FLUSH (the default build path): the inverted stream — postings
+rows plus one per-doc length marker row, produced by ONE tokenization
+pass (operators/invert.py) — shuffles once on segment_id; the encode
+kernel computes norms from the marker rows in-group (SmallFloat port)
+and emits, per segment:
+
+* one row per term: block-encoded postings + skip offsets + impacts,
+* one SENTINEL row (term = "\\x00meta") holding the segment's packed
+  norm bytes and exact int32 lengths — the ``.nvd`` payload embedded
+  in the segment, making every segment a self-contained unit exactly
+  like a Lucene segment's file set.  The sentinel term sorts before
+  every real token, so parquet row-group pruning keeps working, and
+  queries fetch norms in the same pushed-down scan as the postings.
+
+There is no intermediate "freqprox" materialization and no
+norms-table cogroup — one tokenize, one shuffle, one write.
 """
 
 from __future__ import annotations
@@ -23,6 +34,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import EngineConfig
 from ..functions.codec import encode_term_postings
+from ..functions.smallfloat import int_to_byte4_np
+from .invert import DOC_MARKER
+
+SENTINEL_TERM = "\x00meta"
 
 SEGMENT_SCHEMA = (
     "segment_id int, term string, df int, ttf bigint, "
@@ -36,111 +51,128 @@ SEGMENT_SCHEMA = (
 
 NORMS_SCHEMA = "segment_id int, base_doc bigint, num_docs int, norms binary"
 
+_SEG_COLS = [
+    "segment_id", "term", "df", "ttf",
+    "singleton_doc", "singleton_freq",
+    "doc_blocks", "doc_block_offsets",
+    "freq_blocks", "freq_block_offsets",
+    "pos_blocks", "pos_block_offsets",
+    "block_last_docs", "impacts_flat", "impacts_offsets",
+]
 
-def encode_segments(
-    postings: DataFrame, docmeta: DataFrame, cfg: EngineConfig
-) -> DataFrame:
-    """postings(doc_id, term, freq, positions) x docmeta(doc_id, norm)
-    -> encoded segment rows."""
+
+def encode_segment_group(
+    seg_id: int,
+    pdf: pd.DataFrame,
+    seg_size: int,
+    index_positions: bool,
+) -> pd.DataFrame:
+    """Encode one segment's inverted rows (incl. marker rows) into
+    term rows + the sentinel norms/lengths row."""
+    base = seg_id * seg_size
+    markers = pdf[pdf["term"] == DOC_MARKER]
+    # size by the max local id so delta builds whose doc range starts
+    # mid-segment stay addressable (leading zeros = docs owned by the
+    # base index; the merge overlays them)
+    local = markers["doc_id"].to_numpy(dtype=np.int64) - base
+    n = int(local.max()) + 1 if len(local) else 0
+    lengths = np.zeros(max(n, 1), dtype=np.int64)
+    if n:
+        lengths[local] = markers["freq"].to_numpy(dtype=np.int64)
+    norm_arr = int_to_byte4_np(lengths)
+
+    posts = pdf[pdf["term"] != DOC_MARKER]
+    posts = posts.sort_values(["term", "doc_id"], kind="stable", ignore_index=True)
+    docs_all = posts["doc_id"].to_numpy(dtype=np.int64) - base
+    freqs_all = posts["freq"].to_numpy(dtype=np.int64)
+    pos_col = posts["positions"] if index_positions and "positions" in posts else None
+    codes, uniques = pd.factorize(posts["term"], sort=False)
+    boundaries = np.searchsorted(codes, np.arange(len(uniques) + 1))
+    rows = []
+    for t in range(len(uniques)):
+        s, e = boundaries[t], boundaries[t + 1]
+        docs = docs_all[s:e]
+        freqs = freqs_all[s:e]
+        norms = norm_arr[docs]
+        positions = None
+        if pos_col is not None:
+            plists = [np.asarray(x, dtype=np.int64) for x in pos_col.iloc[s:e]]
+            positions = np.concatenate(plists) if plists else np.empty(0, np.int64)
+        tp = encode_term_postings(docs, freqs, norms, positions)
+        rows.append(
+            (
+                seg_id, uniques[t], tp.df, tp.ttf,
+                tp.singleton_doc, tp.singleton_freq,
+                tp.doc_blocks, tp.doc_block_offsets.tolist(),
+                tp.freq_blocks, tp.freq_block_offsets.tolist(),
+                tp.pos_blocks, tp.pos_block_offsets.tolist(),
+                tp.block_last_docs.tolist(),
+                tp.impacts_flat.tolist(), tp.impacts_offsets.tolist(),
+            )
+        )
+    # sentinel: norms in doc_blocks, exact lengths in freq_blocks
+    rows.append(
+        (
+            seg_id, SENTINEL_TERM, n, int(lengths[:n].sum()) if n else 0,
+            -1, 0,
+            norm_arr[:n].astype(np.uint8).tobytes(), [],
+            lengths[:n].astype("<i8").tobytes(), [],
+            b"", [],
+            [], [], [],
+        )
+    )
+    return pd.DataFrame(rows, columns=_SEG_COLS)
+
+
+def encode_segments_fused(inverted: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """inverted rows (postings + doc markers) -> complete segment rows."""
     seg_size = cfg.segment_size
     index_positions = cfg.index_positions
-
-    p = postings.withColumn(
+    p = inverted.withColumn(
         "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
     )
-    m = docmeta.select("segment_id", "doc_id", "norm")
 
-    def encode(key, pdf: pd.DataFrame, meta: pd.DataFrame) -> pd.DataFrame:
-        seg_id = int(key[0])
-        base = seg_id * seg_size
-        # per-segment norm lookup table indexed by local doc id
-        norm_arr = np.zeros(seg_size, dtype=np.int64)
-        if len(meta):
-            norm_arr[meta["doc_id"].to_numpy(dtype=np.int64) - base] = meta[
-                "norm"
-            ].to_numpy(dtype=np.int64)
-        pdf = pdf.sort_values(["term", "doc_id"], kind="stable", ignore_index=True)
-        docs_all = pdf["doc_id"].to_numpy(dtype=np.int64) - base
-        freqs_all = pdf["freq"].to_numpy(dtype=np.int64)
-        pos_col = pdf["positions"] if index_positions and "positions" in pdf else None
-        codes, uniques = pd.factorize(pdf["term"], sort=False)
-        # factorize preserves first-seen order == sorted order here
-        boundaries = np.searchsorted(codes, np.arange(len(uniques) + 1))
-        rows = []
-        for t in range(len(uniques)):
-            s, e = boundaries[t], boundaries[t + 1]
-            docs = docs_all[s:e]
-            freqs = freqs_all[s:e]
-            norms = norm_arr[docs]
-            positions = None
-            if pos_col is not None:
-                plists = [np.asarray(x, dtype=np.int64) for x in pos_col.iloc[s:e]]
-                positions = (
-                    np.concatenate(plists) if plists else np.empty(0, np.int64)
-                )
-            tp = encode_term_postings(docs, freqs, norms, positions)
-            rows.append(
-                (
-                    seg_id,
-                    uniques[t],
-                    tp.df,
-                    tp.ttf,
-                    tp.singleton_doc,
-                    tp.singleton_freq,
-                    tp.doc_blocks,
-                    tp.doc_block_offsets.tolist(),
-                    tp.freq_blocks,
-                    tp.freq_block_offsets.tolist(),
-                    tp.pos_blocks,
-                    tp.pos_block_offsets.tolist(),
-                    tp.block_last_docs.tolist(),
-                    tp.impacts_flat.tolist(),
-                    tp.impacts_offsets.tolist(),
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "segment_id", "term", "df", "ttf",
-                "singleton_doc", "singleton_freq",
-                "doc_blocks", "doc_block_offsets",
-                "freq_blocks", "freq_block_offsets",
-                "pos_blocks", "pos_block_offsets",
-                "block_last_docs", "impacts_flat", "impacts_offsets",
-            ],
-        )
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_segment_group(int(key[0]), pdf, seg_size, index_positions)
 
-    return (
-        p.groupby("segment_id")
-        .cogroup(m.groupby("segment_id"))
-        .applyInPandas(encode, schema=SEGMENT_SCHEMA)
+    return p.groupby("segment_id").applyInPandas(encode, schema=SEGMENT_SCHEMA)
+
+
+def norms_from_segments(segments: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Per-segment norms view (the standalone .nvd analog), derived
+    from the sentinel rows — used by merge and explain."""
+    return segments.filter(F.col("term") == SENTINEL_TERM).select(
+        "segment_id",
+        (F.col("segment_id").cast("long") * F.lit(cfg.segment_size)).alias("base_doc"),
+        F.col("df").alias("num_docs"),
+        F.col("doc_blocks").alias("norms"),
     )
 
 
-def build_norms(docmeta: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Per-segment norms table — the .nvd analog
-    (Lucene80NormsFormat.java:37-58): one byte per doc, addressed by
-    segment-local doc id, stored as a single binary per segment."""
+def lengths_from_segments(segments: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """(doc_id, length) exploded from the sentinel rows."""
     seg_size = cfg.segment_size
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        seg_id = int(key[0])
-        base = seg_id * seg_size
-        local = pdf["doc_id"].to_numpy(dtype=np.int64) - base
-        n = int(local.max()) + 1 if len(local) else 0
-        arr = np.zeros(n, dtype=np.uint8)
-        arr[local] = pdf["norm"].to_numpy(dtype=np.int64).astype(np.uint8)
-        return pd.DataFrame(
-            {
-                "segment_id": [seg_id],
-                "base_doc": [base],
-                "num_docs": [n],
-                "norms": [arr.tobytes()],
-            }
-        )
+    def explode(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                lengths = np.frombuffer(r.freq_blocks, dtype="<i8")
+                base = int(r.segment_id) * seg_size
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": base + np.arange(len(lengths), dtype=np.int64),
+                            "length": lengths,
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"doc_id": [], "length": []}
+            )
 
     return (
-        docmeta.select("segment_id", "doc_id", "norm")
-        .groupby("segment_id")
-        .applyInPandas(pack, schema=NORMS_SCHEMA)
+        segments.filter(F.col("term") == SENTINEL_TERM)
+        .select("segment_id", "freq_blocks")
+        .mapInPandas(explode, schema="doc_id bigint, length bigint")
     )

@@ -166,3 +166,15 @@ def test_nested_boolean(engine):
     b.add(Q.TermQuery("class"), Q.Occur.MUST_NOT)
     b.add(Q.PrefixQuery("get"), Q.Occur.SHOULD)
     assert_identical(searcher, oi, b.build())
+
+
+def test_explain(engine):
+    searcher, _ = engine
+    q = Q.term_or(["public", "return"], 1)
+    td = searcher.search(q, k=3)
+    ex = searcher.explain(q, int(td.doc_ids[0]))
+    assert ex["matches"]
+    assert np.float32(ex["score"]) == td.scores[0]
+    assert any(d["matches"] and d["freq"] for d in ex["details"])
+    miss = searcher.explain(Q.term_and(["public", "zzzz_missing"]), int(td.doc_ids[0]))
+    assert not miss["matches"]
