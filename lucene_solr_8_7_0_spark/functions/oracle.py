@@ -22,6 +22,8 @@ from .bm25 import BM25Scorer, avg_field_length, idf
 from .smallfloat import int_to_byte4_np
 from ..plans.queries import (
     BooleanQuery,
+    DisjunctionMaxQuery,
+    SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
     MatchAllDocsQuery,
@@ -137,6 +139,30 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
             total += float(idf(oi.term_df.get(t, 0), oi.doc_count))
         sc = _scorer(oi, np.float32(total), boost)
         return docs, sc.score(np.asarray(out_f, dtype=np.int64), _norm_of(oi, docs))
+    if isinstance(q, SynonymQuery):
+        rows = oi.tf[oi.tf["term"].isin(q.terms)]
+        agg = rows.groupby("doc_id")["freq"].sum().sort_index()
+        docs = agg.index.to_numpy(dtype=np.int64)
+        if not scoring:
+            return docs, np.zeros(len(docs), np.float32)
+        df = max((oi.term_df.get(t, 0) for t in q.terms), default=0)
+        sc = _scorer(oi, idf(df, oi.doc_count), boost)
+        return docs, sc.score(agg.to_numpy(), _norm_of(oi, docs))
+    if isinstance(q, DisjunctionMaxQuery):
+        subs = [_eval(oi, x, boost, scoring) for x in q.queries]
+        subs = [s for s in subs if len(s[0])]
+        if not subs:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        all_docs = np.concatenate([s[0] for s in subs])
+        all_scores = np.concatenate([s[1] for s in subs])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        tot = np.zeros(len(uniq), np.float64)
+        np.add.at(tot, inv, all_scores.astype(np.float64))
+        mx = np.full(len(uniq), -np.inf, dtype=np.float32)
+        np.maximum.at(mx, inv, all_scores)
+        final = (mx.astype(np.float64)
+                 + np.float64(q.tie_breaker) * (tot - mx.astype(np.float64)))
+        return uniq, final.astype(np.float32)
     if isinstance(q, BooleanQuery):
         return _eval_bool(oi, q, boost, scoring)
     raise NotImplementedError(type(q))

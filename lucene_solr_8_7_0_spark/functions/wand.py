@@ -66,10 +66,11 @@ class ScoringClause:
     const_score: float | None = None  # ConstantScoreQuery: fixed score
     slop: int = 0
     sub: "CompiledQuery | None" = None
+    kind: str = "term"  # "term" | "synonym" (multi-term = phrase unless synonym)
 
     @property
     def is_phrase(self) -> bool:
-        return len(self.terms) > 1
+        return len(self.terms) > 1 and self.kind != "synonym"
 
 
 @dataclass
@@ -80,6 +81,10 @@ class CompiledQuery:
     must_nots: list[ScoringClause]
     msm: int = 0
     match_all: bool = False  # MatchAllDocsQuery component
+    # disjunction combination: "sum" (BooleanQuery) or "dismax"
+    # (DisjunctionMaxQuery: max + tie * sum-of-others)
+    combine: str = "sum"
+    tie: float = 0.0
 
 
 @dataclass
@@ -156,9 +161,34 @@ def _phrase_docs_scores(
     return docs, clause.scorer.score(freqs, norms[docs])
 
 
+def _synonym_docs_scores(
+    tps: list, norms: np.ndarray, clause: ScoringClause
+) -> tuple[np.ndarray, np.ndarray]:
+    """SynonymQuery: per-doc freq = sum of sub-term freqs, scored once
+    with the blended pseudo-term scorer (SynonymQuery.java:564-575)."""
+    tps = [tp for tp in tps if tp is not None]
+    if not tps:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    parts = [decode_term_postings(tp)[:2] for tp in tps]
+    all_docs = np.concatenate([p[0] for p in parts])
+    all_freqs = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    freq_sum = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(freq_sum, inv, all_freqs)
+    if clause.const_score is not None:
+        return uniq, np.full(len(uniq), np.float32(clause.const_score))
+    if clause.scorer is None:
+        return uniq, np.zeros(len(uniq), np.float32)
+    return uniq, clause.scorer.score(freq_sum, norms[uniq])
+
+
 def _eval_clause(
     posting_map: dict[str, TermPostings], norms: np.ndarray, clause: ScoringClause
 ) -> tuple[np.ndarray, np.ndarray]:
+    if clause.kind == "synonym":
+        return _synonym_docs_scores(
+            [posting_map.get(t) for t in clause.terms], norms, clause
+        )
     if clause.sub is not None:
         res = score_segment(posting_map, norms, clause.sub, None, prune=False)
         if clause.const_score is not None:
@@ -220,9 +250,11 @@ def score_segment(
     # pure disjunction
     simple = all(
         (not c.is_phrase) and c.const_score is None and c.sub is None
+        and c.kind == "term"
         for c in cq.shoulds
     )
-    if prune and simple and max(cq.msm, 1) == 1 and not cq.must_nots:
+    if (prune and simple and max(cq.msm, 1) == 1 and not cq.must_nots
+            and cq.combine == "sum"):
         return _wand_or(posting_map, norms, cq.shoulds, k, total_hits_threshold)
     return _exhaustive_or(posting_map, norms, cq, k)
 
@@ -291,6 +323,15 @@ def _exhaustive_or(posting_map, norms, cq: CompiledQuery, k: int) -> SegmentTopK
     uniq, inv = np.unique(all_docs, return_inverse=True)
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, all_scores.astype(np.float64))
+    if cq.combine == "dismax":
+        # score = (float)(max + tie * (sum_f64 - max))
+        # (DisjunctionMaxScorer.java:63-75); f64 sums of f32 values are
+        # exact here, so sum-minus-max equals the reference's loop
+        mx = np.full(len(uniq), -np.inf, dtype=np.float32)
+        np.maximum.at(mx, inv, all_scores)
+        acc = mx.astype(np.float64) + np.float64(cq.tie) * (
+            acc - mx.astype(np.float64)
+        )
     counts = np.bincount(inv, minlength=len(uniq))
     keep = counts >= max(cq.msm, 1)
     cand, acc = uniq[keep], acc[keep]

@@ -15,6 +15,8 @@ from ..functions.bm25 import BM25Scorer, avg_field_length, idf
 from ..functions.wand import CompiledQuery, ScoringClause
 from .queries import (
     BooleanQuery,
+    DisjunctionMaxQuery,
+    SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
     MatchAllDocsQuery,
@@ -39,8 +41,13 @@ class CollectionStats:
 def collect_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
-    if isinstance(q, PhraseQuery):
+    if isinstance(q, (PhraseQuery, SynonymQuery)):
         return set(q.terms)
+    if isinstance(q, DisjunctionMaxQuery):
+        out: set[str] = set()
+        for sub in q.queries:
+            out |= collect_terms(sub)
+        return out
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
         return collect_terms(q.query)
     if isinstance(q, BooleanQuery):
@@ -54,6 +61,8 @@ def collect_terms(q: Query) -> set[str]:
 def has_phrase(q: Query) -> bool:
     if isinstance(q, PhraseQuery):
         return True
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(has_phrase(sub) for sub in q.queries)
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
         return has_phrase(q.query)
     if isinstance(q, BooleanQuery):
@@ -83,6 +92,27 @@ def _make_clause(
             boost, stats.k1, stats.b, idf(df, stats.doc_count), stats.avgdl
         )
         return ScoringClause((q.term,), scorer)
+    if isinstance(q, SynonymQuery):
+        if constant or not scoring:
+            return ScoringClause(
+                tuple(q.terms), None,
+                const_score=(boost if scoring else 0.0), kind="synonym",
+            )
+        # blended pseudo-term stats: df = max sub df (ttf summed but
+        # unused by idf) — SynonymQuery.java:233-247
+        df = max((term_stats.get(t, (0, 0))[0] for t in q.terms), default=0)
+        scorer = BM25Scorer.create(
+            boost, stats.k1, stats.b, idf(df, stats.doc_count), stats.avgdl
+        )
+        return ScoringClause(tuple(q.terms), scorer, kind="synonym")
+    if isinstance(q, DisjunctionMaxQuery):
+        sub = compile_query(q, stats, term_stats,
+                            "filter" if (constant or not scoring) else "top_scores",
+                            1.0 if (constant or not scoring) else boost)
+        const = (boost if scoring else 0.0) if (constant or not scoring) else None
+        if sub is None:
+            return ScoringClause(("\x00matchnone",), None, const_score=0.0)
+        return ScoringClause((), None, const_score=const, sub=sub)
     if isinstance(q, PhraseQuery):
         if constant or not scoring:
             return ScoringClause(
@@ -135,7 +165,15 @@ def compile_query(
         return compile_query(q.query, stats, term_stats, score_mode, boost * q.boost)
     if isinstance(q, MatchAllDocsQuery):
         return CompiledQuery([], [], [], [], 0, match_all=True)
-    if isinstance(q, (TermQuery, PhraseQuery, BoostQuery, ConstantScoreQuery)):
+    if isinstance(q, DisjunctionMaxQuery):
+        return CompiledQuery(
+            [],
+            [_make_clause(sub, stats, term_stats, boost=boost, scoring=scoring)
+             for sub in q.queries],
+            [], [], 1, combine="dismax", tie=q.tie_breaker,
+        )
+    if isinstance(q, (TermQuery, PhraseQuery, SynonymQuery, BoostQuery,
+                      ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
         return CompiledQuery([clause], [], [], [], 0)
     if isinstance(q, BooleanQuery):

@@ -48,6 +48,30 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Terms scored as one pseudo-term: blended stats (df = max sub df,
+    ttf = sum), per-doc freq = sum of sub freqs (SynonymQuery.java:233-247,
+    :564-575)."""
+
+    terms: tuple[str, ...]
+
+    def __str__(self) -> str:
+        return "Synonym(" + " ".join(self.terms) + ")"
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """score = max(sub) + tie_breaker * sum(other subs)
+    (DisjunctionMaxScorer.java:63-75)."""
+
+    queries: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+    def __str__(self) -> str:
+        return "(" + " | ".join(str(q) for q in self.queries) + f")~{self.tie_breaker}"
+
+
+@dataclass(frozen=True)
 class BoostQuery(Query):
     query: Query
     boost: float

@@ -17,6 +17,8 @@ import re
 
 from .queries import (
     BooleanClause,
+    DisjunctionMaxQuery,
+    SynonymQuery,
     BooleanQuery,
     BoostQuery,
     Builder,
@@ -76,6 +78,18 @@ def _rewrite_once(q: Query, term_lookup) -> Query:
         if len(q.terms) == 1:  # PhraseQuery.rewrite: single term unwraps
             return TermQuery(q.terms[0])
         return q
+    if isinstance(q, SynonymQuery):
+        if len(q.terms) == 1:  # blended stats of one term == the term
+            return TermQuery(q.terms[0])
+        return q
+    if isinstance(q, DisjunctionMaxQuery):
+        subs = tuple(_rewrite_once(x, term_lookup) for x in q.queries)
+        subs = tuple(x for x in subs if not isinstance(x, MatchNoDocsQuery))
+        if not subs:
+            return MatchNoDocsQuery("all DisMax disjuncts match nothing")
+        if len(subs) == 1:  # DisjunctionMaxQuery.rewrite single unwrap
+            return subs[0]
+        return DisjunctionMaxQuery(subs, q.tie_breaker)
     if isinstance(q, BooleanQuery):
         return _rewrite_boolean(q, term_lookup)
     return q

@@ -27,6 +27,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # local corpora are small files: without this, the scan packs
+        # everything into 1-2 map tasks and the Python-UDF tokenize
+        # stage cannot use the cores (cluster deployments with real
+        # file sizes don't need it)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # keep AQE-coalesced shuffle partitions fine-grained enough for
+        # the Arrow-UDF encode stage
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

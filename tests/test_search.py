@@ -178,3 +178,26 @@ def test_explain(engine):
     assert any(d["matches"] and d["freq"] for d in ex["details"])
     miss = searcher.explain(Q.term_and(["public", "zzzz_missing"]), int(td.doc_ids[0]))
     assert not miss["matches"]
+
+
+def test_synonym_and_dismax(engine):
+    searcher, oi = engine
+    # synonym: blended stats, summed freqs
+    assert_identical(searcher, oi, Q.SynonymQuery(("public", "return")))
+    # synonym inside a boolean
+    b = Q.Builder()
+    b.add(Q.SynonymQuery(("public", "static")), Q.Occur.SHOULD)
+    b.add(Q.TermQuery("import"), Q.Occur.SHOULD)
+    assert_identical(searcher, oi, b.build())
+    # dismax: max + tie * others
+    dm = Q.DisjunctionMaxQuery(
+        (Q.TermQuery("public"), Q.TermQuery("return"), Q.TermQuery("import")),
+        tie_breaker=0.3,
+    )
+    assert_identical(searcher, oi, dm)
+    # dismax with tie 0 (pure max) nested under MUST
+    b = Q.Builder()
+    b.add(Q.DisjunctionMaxQuery((Q.TermQuery("public"), Q.TermQuery("if")), 0.0),
+          Q.Occur.MUST)
+    b.add(Q.TermQuery("return"), Q.Occur.SHOULD)
+    assert_identical(searcher, oi, b.build())
