@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import EngineConfig
 from ..functions.analysis import analyze_batch
-from ..functions.smallfloat import int_to_byte4_np
 
 # marker value in `term` for per-doc summary rows
 DOC_MARKER = ""
@@ -91,45 +90,3 @@ def split_postings(inverted: DataFrame) -> tuple[DataFrame, DataFrame]:
         "doc_id", F.col("freq").cast("long").alias("length")
     )
     return postings, lengths
-
-
-def doc_meta(
-    docs_with_ids: DataFrame,
-    lengths: DataFrame,
-    cfg: EngineConfig,
-    content_col: str = "content",
-) -> DataFrame:
-    """Per-document metadata table: identity, sha256 invariant, norm byte.
-
-    norm = SmallFloat.intToByte4(kept token count) — BM25Similarity
-    computeNorm (BM25Similarity.java:116-126); sha256 stays JVM-side
-    (F.sha2) so the invariant never round-trips through Python.
-    """
-    seg = cfg.segment_size
-
-    meta = (
-        docs_with_ids.select(
-            "doc_id",
-            "repo",
-            "path",
-            "commit",
-            "lang",
-            F.sha2(F.col(content_col), 256).alias("sha256"),
-        )
-        .join(lengths, "doc_id", "left")
-        .fillna({"length": 0})
-    )
-
-    def add_norm(batches):
-        for pdf in batches:
-            pdf["norm"] = int_to_byte4_np(pdf["length"].to_numpy(dtype=np.int64)).astype(
-                np.int32
-            )
-            pdf["segment_id"] = (pdf["doc_id"] // seg).astype(np.int32)
-            yield pdf
-
-    schema = (
-        "doc_id bigint, repo string, path string, commit string, lang string, "
-        "sha256 string, length bigint, norm int, segment_id int"
-    )
-    return meta.mapInPandas(add_norm, schema=schema)
