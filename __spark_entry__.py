@@ -191,6 +191,17 @@ def _q_bm25_and_topk(spark, sf_dir):
     return _ranked_topk(spark, s, Q.term_and(["data", "join"]))
 
 
+def _q_facet_lang(spark, sf_dir):
+    """Faceting: per-lang counts over the hit set of a term query."""
+    from lucene_solr_8_7_0_spark.operators.facets import facet_counts
+
+    s = _searcher(spark, sf_dir)
+    # engine docmeta has lang copied from the source table
+    return facet_counts(s, Q.TermQuery("data"), "lang").select(
+        "lang", "count"
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir)).select(
         "keep_doc_id", "dup_count"
@@ -266,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_and_not": _q_bool_and_not,
         "phrase_match": _q_phrase_match,
         "prefix_match": _q_prefix_match,
+        "facet_lang": _q_facet_lang,
         "bm25_topk": _q_bm25_topk,
         "bm25_and_topk": _q_bm25_and_topk,
         "dedup_exact": _q_dedup_exact,
@@ -358,6 +370,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
                    doc_id
             FROM scored WHERE n_match = 2 ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
+        "facet_lang": f"""
+            SELECT lang, count(*) AS count
+            FROM documents WHERE doc_id IN (
+              SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok = 'data')
+            GROUP BY lang""",
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",

@@ -201,3 +201,18 @@ def test_synonym_and_dismax(engine):
           Q.Occur.MUST)
     b.add(Q.TermQuery("return"), Q.Occur.SHOULD)
     assert_identical(searcher, oi, b.build())
+
+
+def test_facets(engine):
+    from lucene_solr_8_7_0_spark.operators.facets import facet_counts, facet_ranges
+
+    searcher, oi = engine
+    fc = facet_counts(searcher, Q.TermQuery("public"), "lang").toPandas()
+    hits = searcher.matches_df(Q.TermQuery("public")).toPandas()
+    assert fc["count"].sum() == len(hits)
+    assert (fc["count"] > 0).all()
+    fr = facet_ranges(
+        searcher, Q.TermQuery("public"), "length",
+        [("short", 0, 100), ("long", 100, 10**9)],
+    ).toPandas()
+    assert fr["count"].sum() == len(hits)
