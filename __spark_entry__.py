@@ -152,6 +152,27 @@ def _q_prefix_match(spark, sf_dir):
     return _orig_ids(s, s.matches_df(Q.PrefixQuery("va"))).select("doc_id")
 
 
+def _q_wildcard_match(spark, sf_dir):
+    """Leading-wildcard term expansion (full JVM-side dict match)."""
+    s = _searcher(spark, sf_dir)
+    return _orig_ids(s, s.matches_df(Q.WildcardQuery("*or*"))).select("doc_id")
+
+
+def _q_regexp_match(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return _orig_ids(
+        s, s.matches_df(Q.RegexpQuery("(sc|st|sp)[a-z]+"))
+    ).select("doc_id")
+
+
+def _q_fuzzy_match(spark, sf_dir):
+    """FuzzyQuery: edit-distance <= 2 expansion over the term dict."""
+    s = _searcher(spark, sf_dir)
+    return _orig_ids(
+        s, s.matches_df(Q.FuzzyQuery("spark", max_edits=2))
+    ).select("doc_id")
+
+
 def _ranked_topk(spark, s, query, k=10):
     """Rank by (score rounded to 4 decimals desc, doc asc).
 
@@ -277,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_and_not": _q_bool_and_not,
         "phrase_match": _q_phrase_match,
         "prefix_match": _q_prefix_match,
+        "wildcard_match": _q_wildcard_match,
+        "regexp_match": _q_regexp_match,
+        "fuzzy_match": _q_fuzzy_match,
         "facet_lang": _q_facet_lang,
         "bm25_topk": _q_bm25_topk,
         "bm25_and_topk": _q_bm25_and_topk,
@@ -360,6 +384,15 @@ def oracle_sql() -> dict[str, str]:
                   '(^|[^a-z0-9_])data[^a-z0-9_]+join($|[^a-z0-9_])')""",
         "prefix_match": f"""
             SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok LIKE 'va%'""",
+        "wildcard_match": f"""
+            SELECT DISTINCT doc_id FROM ({_TOKS})
+            WHERE regexp_matches(tok, '^.*or.*$')""",
+        "regexp_match": f"""
+            SELECT DISTINCT doc_id FROM ({_TOKS})
+            WHERE regexp_matches(tok, '^(?:(sc|st|sp)[a-z]+)$')""",
+        "fuzzy_match": f"""
+            SELECT DISTINCT doc_id FROM ({_TOKS})
+            WHERE levenshtein(tok, 'spark') <= 2""",
         "bm25_topk": _BM25_CTE.format(terms="'data','join','vector'")
         + """
             SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,

@@ -81,6 +81,9 @@ class CompiledQuery:
     must_nots: list[ScoringClause]
     msm: int = 0
     match_all: bool = False  # MatchAllDocsQuery component
+    # MatchAll contributes boost * 1.0, not a hard-coded 1.0
+    # (MatchAllDocsQuery.java: createWeight scores score() == boost)
+    match_all_score: float = 1.0
     # disjunction combination: "sum" (BooleanQuery) or "dismax"
     # (DisjunctionMaxQuery: max + tie * sum-of-others)
     combine: str = "sum"
@@ -238,12 +241,20 @@ def score_segment(
         prune = False
     required = cq.musts + cq.filters
     if cq.match_all and not required:
-        # MatchAllDocs (score 1.0 constant) minus exclusions
+        # MatchAllDocs (score boost * 1.0) minus exclusions.  SHOULD
+        # clauses still contribute their scores over the match-all
+        # candidates, and minimumShouldMatch still filters — Lucene
+        # keeps the optional sub-scorers alive under a required
+        # MatchAll (Boolean2ScorerSupplier.java: req + opt branch).
         n = num_docs if num_docs is not None else len(norms)
         cand = np.arange(n, dtype=np.int64)
         cand = _apply_must_nots(cand, posting_map, norms, cq.must_nots)
-        scores = np.full(len(cand), np.float32(1.0))
-        d, s = _topk(cand, scores, k)
+        acc = np.full(
+            len(cand), np.float64(np.float32(cq.match_all_score)), dtype=np.float64
+        )
+        cand, acc = _add_shoulds(posting_map, norms, cq, cand, acc)
+        final = acc.astype(np.float32)
+        d, s = _topk(cand, final, k)
         return SegmentTopK(d, s, len(cand), True)
     if required:
         return _conjunctive(posting_map, norms, cq, k)
@@ -265,6 +276,30 @@ def _apply_must_nots(cand, posting_map, norms, must_nots):
         if len(nd):
             cand = cand[~np.isin(cand, nd, assume_unique=True)]
     return cand
+
+
+def _add_shoulds(posting_map, norms, cq: CompiledQuery, cand, acc):
+    """Add optional (SHOULD) contributions onto the required-candidate
+    accumulator and enforce minimumShouldMatch (ReqOptSumScorer +
+    MinShouldMatch filtering over a required candidate set)."""
+    if not cq.shoulds:
+        if cq.msm > 0:  # msm > 0 with zero SHOULD clauses matches nothing
+            return cand[:0], acc[:0]
+        return cand, acc
+    match_counts = np.zeros(len(cand), dtype=np.int64)
+    for c in cq.shoulds:
+        docs, scores = _eval_clause(posting_map, norms, c)
+        if len(docs) == 0:
+            continue
+        idx = np.searchsorted(docs, cand)
+        safe = np.minimum(idx, len(docs) - 1)
+        present = docs[safe] == cand
+        acc[present] += scores[safe[present]].astype(np.float64)
+        match_counts += present
+    if cq.msm > 0:
+        keep = match_counts >= cq.msm
+        cand, acc = cand[keep], acc[keep]
+    return cand, acc
 
 
 def _conjunctive(posting_map, norms, cq: CompiledQuery, k: int) -> SegmentTopK:
@@ -291,19 +326,7 @@ def _conjunctive(posting_map, norms, cq: CompiledQuery, k: int) -> SegmentTopK:
         idx = np.searchsorted(docs, cand)
         acc += scores[idx].astype(np.float64)
     # optional (SHOULD) contributions + minimumShouldMatch filter
-    match_counts = np.zeros(len(cand), dtype=np.int64)
-    for c in cq.shoulds:
-        docs, scores = _eval_clause(posting_map, norms, c)
-        if len(docs) == 0:
-            continue
-        idx = np.searchsorted(docs, cand)
-        safe = np.minimum(idx, len(docs) - 1)
-        present = docs[safe] == cand
-        acc[present] += scores[safe[present]].astype(np.float64)
-        match_counts += present
-    if cq.msm > 0:
-        keep = match_counts >= cq.msm
-        cand, acc = cand[keep], acc[keep]
+    cand, acc = _add_shoulds(posting_map, norms, cq, cand, acc)
     final = acc.astype(np.float32)
     d, s = _topk(cand, final, k)
     return SegmentTopK(d, s, len(cand), True)

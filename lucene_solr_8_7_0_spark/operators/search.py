@@ -128,19 +128,47 @@ class IndexSearcher:
         elif isinstance(q, TermInSetQuery):
             df = td.filter(F.col("term").isin(list(q.terms)))
         elif isinstance(q, (WildcardQuery, RegexpQuery, FuzzyQuery)):
-            # cheap prefix pushdown first, exact match driver-side
+            # the FULL match predicate runs JVM-side over the term dict
+            # (the automaton-intersection analog, MultiTermQuery.java
+            # rewrites) — matching may never be applied after a limit,
+            # or terms beyond it would be dropped nondeterministically.
+            # A literal-prefix filter is kept for parquet min/max
+            # pruning on the sorted term column.
+            import re as _re
+            cap = MAX_CLAUSE_COUNT + 1
             if isinstance(q, WildcardQuery):
                 prefix = q.pattern.split("*")[0].split("?")[0]
+                # only escaped literals + .*/. survive the translation,
+                # where Java and Python regex semantics coincide
+                pat = _re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".")
+                df = td.filter(F.col("term").startswith(prefix)) if prefix else td
+                df = df.filter(F.col("term").rlike(f"^(?:{pat})$"))
             elif isinstance(q, FuzzyQuery):
+                # exact same predicate as expand_terms: shared prefix +
+                # length band + plain Levenshtein <= max_edits
                 prefix = q.term[: q.prefix_length]
+                df = td.filter(F.col("term").startswith(prefix)) if prefix else td
+                df = df.filter(
+                    (F.length("term") >= F.lit(len(q.term) - q.max_edits))
+                    & (F.length("term") <= F.lit(len(q.term) + q.max_edits))
+                    & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
+                )
             else:
-                prefix = ""
-            df = td.filter(F.col("term").startswith(prefix)) if prefix else td
+                df = td.filter(F.col("term").rlike(f"^(?:{q.pattern})$"))
+                # Java regex may accept a superset of Python's for
+                # exotic patterns; widen the safety cap so the Python
+                # re-check below still sees every true match
+                cap = 8 * MAX_CLAUSE_COUNT
+            terms = [r["term"] for r in df.select("term").limit(cap).collect()]
+            terms = rw.expand_terms(q, sorted(terms))
+            if len(terms) > MAX_CLAUSE_COUNT:
+                raise ValueError(
+                    f"TooManyClauses: {type(q).__name__} expands to >{MAX_CLAUSE_COUNT} terms"
+                )
+            return sorted(terms)
         else:
             raise TypeError(type(q))
         terms = [r["term"] for r in df.select("term").limit(MAX_CLAUSE_COUNT + 1).collect()]
-        if isinstance(q, (WildcardQuery, RegexpQuery, FuzzyQuery)):
-            terms = rw.expand_terms(q, sorted(terms))
         if len(terms) > MAX_CLAUSE_COUNT:
             raise ValueError(f"TooManyClauses: {type(q).__name__} expands to >{MAX_CLAUSE_COUNT} terms")
         return sorted(terms)
@@ -243,6 +271,9 @@ class IndexSearcher:
         norms = np.frombuffer(norm_row[0]["norms"], dtype=np.uint8).astype(np.int64)
         pmap = rows_to_posting_map(seg_rows)
         details, total = [], 0.0
+        if cq.match_all and not (cq.musts or cq.filters):
+            total += float(np.float32(cq.match_all_score))
+        should_scores: list[float] = []
         matches_all_required = True
         for kind, clauses in (
             ("MUST", cq.musts), ("SHOULD", cq.shoulds),
@@ -269,14 +300,26 @@ class IndexSearcher:
                     "norm": int(norms[local]) if local < len(norms) else None,
                 }
                 details.append(entry)
-                if kind in ("MUST", "SHOULD") and hit:
+                if kind == "MUST" and hit:
                     total += float(scores[idx])
+                if kind == "SHOULD" and hit:
+                    should_scores.append(float(scores[idx]))
                 if kind == "MUST" and not hit:
                     matches_all_required = False
                 if kind == "FILTER" and not hit:
                     matches_all_required = False
                 if kind == "MUST_NOT" and hit:
                     matches_all_required = False
+        # combine optional contributions the way search() scores them:
+        # sum for BooleanQuery, max + tie * sum(others) for DisMax
+        # (DisjunctionMaxScorer.java:63-75) — keeps explain() in
+        # agreement with the returned score
+        if should_scores:
+            if cq.combine == "dismax":
+                mx = max(should_scores)
+                total += mx + float(cq.tie) * (sum(should_scores) - mx)
+            else:
+                total += sum(should_scores)
         matched_shoulds = sum(
             1 for e in details if e["occur"] == "SHOULD" and e["matches"]
         )

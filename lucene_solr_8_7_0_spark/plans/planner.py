@@ -164,7 +164,12 @@ def compile_query(
     if isinstance(q, BoostQuery) and isinstance(q.query, (BooleanQuery, MatchAllDocsQuery)):
         return compile_query(q.query, stats, term_stats, score_mode, boost * q.boost)
     if isinstance(q, MatchAllDocsQuery):
-        return CompiledQuery([], [], [], [], 0, match_all=True)
+        # MatchAll scores boost * 1.0 (MatchAllDocsQuery createWeight);
+        # filter mode keeps the constant-score-1 contract of matches_df
+        return CompiledQuery(
+            [], [], [], [], 0, match_all=True,
+            match_all_score=(boost if scoring else 1.0),
+        )
     if isinstance(q, DisjunctionMaxQuery):
         return CompiledQuery(
             [],
@@ -183,6 +188,11 @@ def compile_query(
             rest = [x for x in groups[Occur.MUST] + groups[Occur.FILTER]
                     if not isinstance(x, MatchAllDocsQuery)]
             if not rest:
+                # MatchAll contributes boost only when it occurs as a
+                # scoring MUST clause; a FILTER MatchAll scores 0
+                scoring_ma = scoring and any(
+                    isinstance(x, MatchAllDocsQuery) for x in groups[Occur.MUST]
+                )
                 return CompiledQuery(
                     [],
                     [_make_clause(s, stats, term_stats, boost=boost, scoring=scoring) for s in groups[Occur.SHOULD]],
@@ -190,6 +200,7 @@ def compile_query(
                     [_make_clause(n, stats, term_stats, scoring=False) for n in groups[Occur.MUST_NOT]],
                     q.minimum_should_match,
                     match_all=True,
+                    match_all_score=(boost if scoring_ma else 0.0),
                 )
         return CompiledQuery(
             musts=[_make_clause(m, stats, term_stats, boost=boost, scoring=scoring) for m in groups[Occur.MUST]],

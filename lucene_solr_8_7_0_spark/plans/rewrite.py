@@ -162,8 +162,13 @@ def _rewrite_boolean(q: BooleanQuery, term_lookup) -> Query:
                 s for s in groups[Occur.SHOULD] if _key(s) not in pk
             ]
 
-    # dedup SHOULD / MUST summing boosts (:369-430)
-    groups[Occur.SHOULD] = _dedup_sum_boosts(groups[Occur.SHOULD])
+    # dedup SHOULD / MUST summing boosts (:369-430).  SHOULD merging
+    # only applies when minimumNumberShouldMatch <= 1: with msm >= 2 a
+    # duplicated SHOULD clause counts twice toward msm, so merging
+    # [a, a, b] to [a^2, b] would wrongly exclude docs matching only
+    # 'a' (BooleanQuery.java:383-386 guards on the same condition).
+    if msm <= 1:
+        groups[Occur.SHOULD] = _dedup_sum_boosts(groups[Occur.SHOULD])
     groups[Occur.MUST] = _dedup_sum_boosts(groups[Occur.MUST])
 
     # drop MatchNoDocs SHOULD clauses; a required MatchNoDocs kills the query
