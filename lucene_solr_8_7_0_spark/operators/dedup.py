@@ -91,13 +91,37 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop buckets larger than max_bucket_size before a bucket
+    self-join.  An m-member bucket yields O(m^2) pairs in ONE reducer;
+    at corpus scale boilerplate/license clusters make m huge, so the
+    join is quadratic-skewed without a cap.  Oversized buckets are
+    near-certainly giant duplicate clusters — handle those with
+    exact_duplicates (content-hash groups) instead of pairwise LSH."""
+    if max_bucket_size is None:
+        return banded
+    ok = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_bucket_n"))
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
+    )
+    return banded.join(ok, keys, "left_semi")
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
 
-    Bucket join is a self-join on (band, band_hash) — uniform keys.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    Bucket join is a self-join on (band, band_hash) — uniform keys,
+    with buckets above ``max_bucket_size`` dropped (skew guard; see
+    _cap_buckets).  Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
     banded = signatures.select(
         "doc_id",
         F.posexplode(
@@ -109,6 +133,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    banded = _cap_buckets(banded, ["band", "band_hash"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -182,10 +207,11 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline -> verified (doc_a, doc_b, jaccard)."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, seed)
-    pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands, max_bucket_size)
     return jaccard_verify(pairs, docs, id_col, text_col, shingle_k, threshold)
 
 
@@ -226,24 +252,34 @@ def simhash(
     )
 
 
-def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dups by SimHash: block on 4 x 16-bit chunks (a pair within
-    hamming distance 3 must agree on at least one chunk), verify with
-    popcount."""
+def simhash_near_dups(
+    fps: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Near-dups by SimHash via multi-index hashing: block on
+    ``max_hamming + 1`` bit-chunks.  Pigeonhole: a pair differing in at
+    most max_hamming bits cannot differ in all n_chunks > max_hamming
+    chunks, so it must agree exactly on at least one — blocking is
+    RECALL-COMPLETE for the requested radius (fixes the round-1 bug
+    where a fixed 4-chunk split silently missed hamming 4..8 pairs).
+    Verification is an exact popcount on the joined pair."""
+    n_chunks = max_hamming + 1
+    widths = [(64 // n_chunks) + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     chunked = fps.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
-                        F.lit(0xFFFF)
+                    F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+                        F.lit((1 << widths[i]) - 1)
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("chunk_id", "chunk"),
     )
+    chunked = _cap_buckets(chunked, ["chunk_id", "chunk"], max_bucket_size)
     pairs = (
         chunked.alias("a")
         .join(

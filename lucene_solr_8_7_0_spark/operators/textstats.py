@@ -131,27 +131,79 @@ def winnowing_fingerprint(
     numpy inside mapInPandas; used for code-clone style matching."""
 
     def fp(batches):
+        # Fully batch-vectorized: every doc in the Arrow batch is
+        # concatenated into ONE byte buffer; k-gram hashing and the
+        # sliding window-min run as O(kgram)/O(window) whole-buffer
+        # numpy passes, and per-doc validity is pure index arithmetic
+        # (grams/windows crossing doc boundaries are never emitted).
+        weights = np.uint64(31) ** np.arange(kgram, dtype=np.uint64)[::-1]
         for pdf in batches:
-            out_ids, out_fps = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col].fillna("")):
-                b = np.frombuffer(text.lower().encode("utf-8", "ignore"), dtype=np.uint8)
-                if len(b) < kgram:
-                    out_ids.append(did)
-                    out_fps.append([])
-                    continue
-                n = len(b) - kgram + 1
-                idx = np.arange(n)[:, None] + np.arange(kgram)[None, :]
-                grams = b[idx].astype(np.uint64)
-                weights = np.uint64(31) ** np.arange(kgram, dtype=np.uint64)[::-1]
-                hashes = (grams * weights[None, :]).sum(axis=1, dtype=np.uint64)
-                if n >= window:
-                    widx = np.arange(n - window + 1)[:, None] + np.arange(window)[None, :]
-                    mins = hashes[widx].min(axis=1)
-                else:
-                    mins = hashes.min(keepdims=True)
-                out_ids.append(did)
-                out_fps.append(np.unique(mins).astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": out_ids, "fingerprints": out_fps})
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            texts = [
+                t.lower().encode("utf-8", "ignore")
+                for t in pdf[text_col].fillna("")
+            ]
+            blens = np.asarray([len(t) for t in texts], dtype=np.int64)
+            buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(blens)))
+            ndocs, total = len(ids), len(buf)
+            fps_per_doc: list[list[int]]
+            if total < kgram:
+                fps_per_doc = [[] for _ in range(ndocs)]
+                yield pd.DataFrame({"doc_id": ids, "fingerprints": fps_per_doc})
+                continue
+            # rolling hash at every buffer position (kgram passes)
+            ng = total - kgram + 1
+            hashes = np.zeros(ng, dtype=np.uint64)
+            for j in range(kgram):
+                hashes += buf[j : j + ng].astype(np.uint64) * weights[j]
+            # per-doc gram ranges [g_start, g_end)
+            g_start = starts[:-1]
+            g_end = np.maximum(starts[1:] - kgram + 1, g_start)
+            g_cnt = g_end - g_start
+            # sliding min of `window` consecutive hashes (window passes)
+            if ng >= window:
+                nw = ng - window + 1
+                wmins = hashes[:nw].copy()
+                for j in range(1, window):
+                    np.minimum(wmins, hashes[j : j + nw], out=wmins)
+            else:
+                wmins = np.empty(0, dtype=np.uint64)
+            # gather (doc, min-hash) pairs: windowed docs via a grouped
+            # arange over wmins; short docs (0 < grams < window) take
+            # the min over all their grams via reduceat
+            n_wins = np.where(g_cnt >= window, g_cnt - window + 1, 0)
+            doc_idx = np.repeat(np.arange(ndocs), n_wins)
+            offs = np.arange(int(n_wins.sum())) - np.repeat(
+                np.cumsum(n_wins) - n_wins, n_wins
+            )
+            vals = wmins[np.repeat(g_start, n_wins) + offs]
+            short = (g_cnt > 0) & (g_cnt < window)
+            if short.any():
+                # tiny docs (< window grams, i.e. < ~window+kgram bytes)
+                # are rare; an exact per-segment min is fine here
+                smin = np.array(
+                    [
+                        hashes[s:e].min()
+                        for s, e in zip(g_start[short], g_end[short])
+                    ],
+                    dtype=np.uint64,
+                )
+                doc_idx = np.concatenate([doc_idx, np.nonzero(short)[0]])
+                vals = np.concatenate([vals, smin])
+            # per-doc distinct, split back into lists
+            order = np.lexsort((vals, doc_idx))
+            doc_idx, vals = doc_idx[order], vals[order]
+            if len(doc_idx):
+                first = np.concatenate(
+                    ([True], (doc_idx[1:] != doc_idx[:-1]) | (vals[1:] != vals[:-1]))
+                )
+                doc_idx, vals = doc_idx[first], vals[first].astype(np.int64)
+            bounds = np.searchsorted(doc_idx, np.arange(ndocs + 1))
+            fps_per_doc = [
+                vals[bounds[d] : bounds[d + 1]].tolist() for d in range(ndocs)
+            ]
+            yield pd.DataFrame({"doc_id": ids, "fingerprints": fps_per_doc})
 
     return docs.select(id_col, text_col).mapInPandas(
         fp, schema="doc_id bigint, fingerprints array<bigint>"
