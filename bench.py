@@ -101,6 +101,18 @@ def main() -> None:
             )
         docs = spark.read.parquet(corpus_dir)
 
+        # untimed JVM/codegen warmup: a small build exercises every
+        # stage's codegen + Arrow path once, so the timed run measures
+        # steady-state throughput rather than first-job JIT costs
+        warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+        try:
+            build_index(
+                spark, docs.limit(256), warm_dir,
+                EngineConfig(segment_size=128), resume=False,
+            )
+        finally:
+            shutil.rmtree(warm_dir, ignore_errors=True)
+
         # ---- index build throughput (the north-rule metric) ----
         t0 = time.time()
         cfg = EngineConfig(segment_size=max(1024, n_files // (4 * cpus)))

@@ -168,6 +168,131 @@ def decode_selected_blocks(
     return out
 
 
+def _grouped_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated — the segmented iota."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    return np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+
+
+def encode_blocks_batched(
+    values: np.ndarray, starts: np.ndarray
+) -> tuple[list[bytes], list[np.ndarray]]:
+    """Encode T independent value streams (``starts`` int64[T+1]
+    boundaries into ``values``) into 128-value blocks in ONE set of
+    whole-matrix numpy passes — byte-format-identical to per-stream
+    ``encode_blocks`` decoding (same header/packing/exception layout).
+
+    This is the scale-critical encoder: the per-block Python loop of
+    ``encode_blocks`` costs ~300 interpreted calls per term, which
+    dominated the segment-flush stage (round-1 BENCH); here sort,
+    width/exception selection and bit-packing each run once over a
+    (num_blocks, 128) matrix covering every block of every term.
+
+    Returns (payloads[t] bytes, offsets[t] int32[nb_t + 1]) per stream.
+    """
+    values = np.ascontiguousarray(values, dtype=np.uint32)
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.diff(starts)
+    T = len(lens)
+    nb = (lens + BLOCK_SIZE - 1) // BLOCK_SIZE
+    B = int(nb.sum())
+    if B == 0:
+        return [b""] * T, [np.zeros(1, np.int32)] * T
+    blk_first = np.concatenate(([0], np.cumsum(nb)))
+    blk_stream = np.repeat(np.arange(T), nb)
+    # scatter every value into its (global block, column) slot
+    off = _grouped_arange(lens)
+    gblock = np.repeat(blk_first[:-1], lens) + off // BLOCK_SIZE
+    col = off % BLOCK_SIZE
+    M = np.zeros((B, BLOCK_SIZE), dtype=np.uint32)
+    M[gblock, col] = values
+    blk_local = _grouped_arange(nb)
+    n_valid = np.minimum(
+        lens[blk_stream] - blk_local * BLOCK_SIZE, BLOCK_SIZE
+    ).astype(np.int64)
+    # width selection: pads are 0, so the k-th largest of the padded
+    # row equals the k-th largest of the valid prefix for k <= n_valid
+    S = np.sort(M, axis=1)
+    top4 = S[:, -1 : -5 : -1].astype(np.float64)  # descending top-4
+    w_e = np.frexp(top4)[1].astype(np.int64)      # bit_length (exact: uint32 in f64)
+    e_range = np.arange(4, dtype=np.int64)
+    cost = (n_valid[:, None] * w_e + 7) // 8 + 5 * e_range[None, :]
+    max_e = np.minimum(3, n_valid - 1)
+    cost = np.where(e_range[None, :] <= max_e[:, None], cost, np.int64(2**62))
+    best_e = np.argmin(cost, axis=1)  # ties -> smaller e, like the scalar path
+    w = np.take_along_axis(w_e, best_e[:, None], axis=1)[:, 0]
+    # all-equal blocks: min over the valid prefix == max
+    vmin = np.take_along_axis(S, (BLOCK_SIZE - n_valid)[:, None], axis=1)[:, 0]
+    all_eq = vmin == S[:, -1]
+    first_val = M[:, 0]
+    # exceptions: only blocks that chose num_exc > 0 can have values
+    # above 2^w - 1, and at most best_e of them
+    mask64 = (np.uint64(1) << w.astype(np.uint64)) - np.uint64(1)
+    nexc = np.zeros(B, dtype=np.int64)
+    exc_row = exc_col = exc_high = np.empty(0, dtype=np.int64)
+    cand = np.nonzero((best_e > 0) & ~all_eq)[0]
+    if len(cand):
+        sub = M[cand].astype(np.uint64)
+        r, c = np.nonzero(sub > mask64[cand][:, None])  # row-major: grouped by block
+        exc_row, exc_col = cand[r], c
+        exc_high = (sub[r, c] >> w[cand][r].astype(np.uint64)).astype(np.int64)
+        nexc = np.bincount(exc_row, minlength=B).astype(np.int64)
+    # block sizes are analytic -> one flat output buffer, no per-block
+    # bytes objects (header + packed-prefix + 5 bytes per exception,
+    # or 5 bytes for an all-equal block)
+    plen_all = (n_valid * w + 7) // 8
+    sizes = np.where(all_eq, 5, 1 + plen_all + 5 * nexc)
+    goffs = np.concatenate(([0], np.cumsum(sizes)))
+    big = np.zeros(int(goffs[-1]), dtype=np.uint8)
+    eq_rows = np.nonzero(all_eq)[0]
+    if len(eq_rows):
+        pos = goffs[eq_rows]
+        big[pos] = _ALL_EQUAL
+        for j in range(4):
+            big[pos + 1 + j] = (first_val[eq_rows] >> (8 * j)).astype(np.uint8)
+    ne_rows = np.nonzero(~all_eq)[0]
+    if len(ne_rows):
+        big[goffs[ne_rows]] = (
+            (nexc[ne_rows].astype(np.uint8) << 6) | w[ne_rows].astype(np.uint8)
+        )
+    # bit-pack per distinct width (pads contribute zero bits, so byte
+    # prefixes equal the per-stream pack_bits output exactly)
+    for wv in np.unique(w[~all_eq]):
+        wv = int(wv)
+        if wv == 0:
+            continue
+        rows = np.nonzero((w == wv) & ~all_eq)[0]
+        low = (M[rows].astype(np.uint64) & mask64[rows][:, None]).astype(np.uint32)
+        bits = (
+            (low[:, :, None] >> np.arange(wv, dtype=np.uint32)[None, None, :])
+            & np.uint32(1)
+        ).astype(np.uint8)
+        packed = np.packbits(
+            bits.reshape(len(rows), BLOCK_SIZE * wv), axis=1, bitorder="little"
+        )
+        plen = plen_all[rows]
+        valid = np.arange(packed.shape[1])[None, :] < plen[:, None]
+        dst = np.repeat(goffs[rows] + 1, plen) + _grouped_arange(plen)
+        big[dst] = packed[valid]
+    if len(exc_row):
+        # k-th exception of its block, 5 bytes each after the packed run
+        k = _grouped_arange(nexc[nexc > 0]) if nexc.any() else exc_col[:0]
+        epos = goffs[exc_row] + 1 + plen_all[exc_row] + 5 * k
+        big[epos] = exc_col.astype(np.uint8)
+        for j in range(4):
+            big[epos + 1 + j] = ((exc_high >> (8 * j)) & 0xFF).astype(np.uint8)
+    # stitch per stream: pure slicing of the flat buffer
+    buf = big.tobytes()
+    payloads: list[bytes] = []
+    offsets: list[np.ndarray] = []
+    for t in range(T):
+        b0, b1 = blk_first[t], blk_first[t + 1]
+        payloads.append(buf[goffs[b0] : goffs[b1]])
+        offsets.append((goffs[b0 : b1 + 1] - goffs[b0]).astype(np.int32))
+    return payloads, offsets
+
+
 class TermPostings(NamedTuple):
     """Encoded postings of one term within one segment."""
 

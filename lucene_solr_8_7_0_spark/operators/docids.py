@@ -8,15 +8,21 @@ size**, because BM25 ties break on doc id asc (HitQueue.java:76-81).
 ``doc_id = rank of (repo, path) in the global sort order``, computed
 scalably (SURVEY.md §7 hard-part #2):
 
-1. range-repartition by the sort key (ordered, disjoint ranges),
+1. project the (unique) sort key columns ONLY and range-repartition
+   them — the wide ``content`` column never shuffles and never crosses
+   the Arrow boundary,
 2. sort within partitions,
 3. count rows per partition (small collect),
-4. add the exclusive prefix sum of counts as the partition's base.
+4. add the exclusive prefix sum of counts as the partition's base,
+5. join the tiny (key, doc_id) mapping back onto the source rows —
+   declared as a plain equi-join so Catalyst/AQE picks a broadcast
+   hash join at small scale and a shuffle join at 10^12-file scale.
 
 This is the distributed zipWithIndex pattern: no single-partition
 window, no ``monotonically_increasing_id`` (whose values depend on
 partitioning).  The result is invariant to the number/boundaries of
-range partitions because a global-sort rank is.
+range partitions because a global-sort rank is.  The sort key must be
+unique per row (a repository file path is).
 """
 
 from __future__ import annotations
@@ -37,18 +43,19 @@ def assign_doc_ids(
     sort_cols = sort_cols or ["repo", "path"]
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
-    ranged = (
-        df.repartitionByRange(n_parts, *[F.col(c) for c in sort_cols])
+    keys = (
+        df.select(*sort_cols)
+        .repartitionByRange(n_parts, *[F.col(c) for c in sort_cols])
         .sortWithinPartitions(*sort_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     if persist:
         # Pin the sampled range boundaries: the count job and the
         # assignment job must see the same partitioning.
-        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+        keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         r["_pid"]: r["cnt"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        for r in keys.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
     max_pid = max(counts, default=-1)
     bases = np.zeros(max_pid + 2, dtype=np.int64)
@@ -56,8 +63,10 @@ def assign_doc_ids(
         bases[pid + 1] = bases[pid] + counts.get(pid, 0)
     bases_bc = spark.sparkContext.broadcast(bases[: max_pid + 1].tolist())
 
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    keys_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in keys.schema.fields
+        if f.name != "_pid"
     ) + f", {id_col} bigint"
 
     def add_ids(batches):
@@ -72,5 +81,7 @@ def assign_doc_ids(
             seen += len(pdf)
             yield pdf
 
-    out = ranged.mapInPandas(add_ids, schema=out_schema)
-    return out
+    mapping = keys.mapInPandas(add_ids, schema=keys_schema)
+    # key-equality join back onto the untouched source rows; Catalyst /
+    # AQE selects broadcast vs shuffle join by the mapping's actual size
+    return df.join(mapping, sort_cols)

@@ -33,7 +33,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import EngineConfig
-from ..functions.codec import encode_term_postings
 from ..functions.smallfloat import int_to_byte4_np
 from .invert import DOC_MARKER
 
@@ -59,6 +58,107 @@ _SEG_COLS = [
     "pos_blocks", "pos_block_offsets",
     "block_last_docs", "impacts_flat", "impacts_offsets",
 ]
+
+
+def _encode_all_terms(
+    seg_id: int,
+    uniques,
+    boundaries: np.ndarray,
+    docs_all: np.ndarray,
+    freqs_all: np.ndarray,
+    norm_arr: np.ndarray,
+    pos_col,
+) -> list[tuple]:
+    """Encode EVERY term of a segment in one batched pass.
+
+    The round-1 encoder called encode_term_postings per term (~300
+    interpreted calls each); here doc-delta computation, block
+    bit-packing, impact frontiers and block-last extraction are each a
+    single whole-segment numpy pass (functions/codec.py
+    encode_blocks_batched, functions/impacts.py block_impacts_batched)
+    — format-identical to the scalar path, which remains the oracle in
+    tests/test_codec.py.  Per-term work is reduced to tuple assembly.
+    """
+    from ..functions.codec import BLOCK_SIZE, _grouped_arange, encode_blocks_batched
+    from ..functions.impacts import block_impacts_batched
+
+    T = len(uniques)
+    if T == 0:
+        return []
+    df_t = np.diff(boundaries)
+    norms_all = norm_arr[docs_all]
+    ttf_t = np.add.reduceat(freqs_all, boundaries[:-1])
+    has_pos = pos_col is not None
+    # singleton pulsing (Lucene84PostingsWriter singletonDocID) applies
+    # only to builds without positions, mirroring the scalar encoder
+    singleton = (df_t == 1) & (not has_pos)
+    multi = ~singleton
+    keep = np.repeat(multi, df_t)
+    m_docs = docs_all[keep]
+    m_freqs = freqs_all[keep]
+    m_norms = norms_all[keep]
+    m_df = df_t[multi]
+    m_starts = np.concatenate(([0], np.cumsum(m_df)))
+    # doc deltas: first posting of a term keeps its absolute doc id
+    deltas = m_docs.copy()
+    deltas[1:] -= m_docs[:-1]
+    term_starts = m_starts[:-1]
+    deltas[term_starts] = m_docs[term_starts]
+    doc_pay, doc_offs = encode_blocks_batched(deltas, m_starts)
+    freq_pay, freq_offs = encode_blocks_batched(m_freqs, m_starts)
+    flats, imp_offs = block_impacts_batched(m_freqs, m_norms, m_starts, BLOCK_SIZE)
+    # block-last doc ids, one grouped-arange pass over all blocks
+    nb_t = (m_df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blk_first = np.concatenate(([0], np.cumsum(nb_t)))
+    bt = np.repeat(np.arange(len(m_df)), nb_t)
+    bl = _grouped_arange(nb_t)
+    last_idx = term_starts[bt] + np.minimum(
+        (bl + 1) * BLOCK_SIZE - 1, m_df[bt] - 1
+    )
+    last_docs = m_docs[last_idx].astype(np.int32)
+    if has_pos:
+        pv = pos_col.to_numpy()
+        pos_all = (
+            np.concatenate(pv).astype(np.int64, copy=False)
+            if len(pv)
+            else np.empty(0, np.int64)
+        )
+        # per-doc delta encoding: reset at every posting's first position
+        pdelta = pos_all.copy()
+        pdelta[1:] -= pos_all[:-1]
+        doc_pos_starts = np.concatenate(([0], np.cumsum(m_freqs)[:-1]))
+        pdelta[doc_pos_starts] = pos_all[doc_pos_starts]
+        p_starts = np.concatenate(([0], np.cumsum(ttf_t[multi])))
+        pos_pay, pos_offs = encode_blocks_batched(pdelta, p_starts)
+    rows = []
+    mi = 0
+    for t in range(T):
+        s = boundaries[t]
+        if singleton[t]:
+            rows.append(
+                (
+                    seg_id, uniques[t], 1, int(freqs_all[s]),
+                    int(docs_all[s]), int(freqs_all[s]),
+                    b"", [], b"", [], b"", [],
+                    [int(docs_all[s])],
+                    [int(freqs_all[s]), int(norms_all[s])], [0, 1],
+                )
+            )
+            continue
+        rows.append(
+            (
+                seg_id, uniques[t], int(df_t[t]), int(ttf_t[t]),
+                -1, 0,
+                doc_pay[mi], doc_offs[mi].tolist(),
+                freq_pay[mi], freq_offs[mi].tolist(),
+                pos_pay[mi] if has_pos else b"",
+                pos_offs[mi].tolist() if has_pos else [],
+                last_docs[blk_first[mi] : blk_first[mi + 1]].tolist(),
+                flats[mi].tolist(), imp_offs[mi].tolist(),
+            )
+        )
+        mi += 1
+    return rows
 
 
 def encode_segment_group(
@@ -87,29 +187,10 @@ def encode_segment_group(
     freqs_all = posts["freq"].to_numpy(dtype=np.int64)
     pos_col = posts["positions"] if index_positions and "positions" in posts else None
     codes, uniques = pd.factorize(posts["term"], sort=False)
-    boundaries = np.searchsorted(codes, np.arange(len(uniques) + 1))
-    rows = []
-    for t in range(len(uniques)):
-        s, e = boundaries[t], boundaries[t + 1]
-        docs = docs_all[s:e]
-        freqs = freqs_all[s:e]
-        norms = norm_arr[docs]
-        positions = None
-        if pos_col is not None:
-            plists = [np.asarray(x, dtype=np.int64) for x in pos_col.iloc[s:e]]
-            positions = np.concatenate(plists) if plists else np.empty(0, np.int64)
-        tp = encode_term_postings(docs, freqs, norms, positions)
-        rows.append(
-            (
-                seg_id, uniques[t], tp.df, tp.ttf,
-                tp.singleton_doc, tp.singleton_freq,
-                tp.doc_blocks, tp.doc_block_offsets.tolist(),
-                tp.freq_blocks, tp.freq_block_offsets.tolist(),
-                tp.pos_blocks, tp.pos_block_offsets.tolist(),
-                tp.block_last_docs.tolist(),
-                tp.impacts_flat.tolist(), tp.impacts_offsets.tolist(),
-            )
-        )
+    boundaries = np.searchsorted(codes, np.arange(len(uniques) + 1)).astype(np.int64)
+    rows = _encode_all_terms(
+        seg_id, uniques, boundaries, docs_all, freqs_all, norm_arr, pos_col
+    )
     # sentinel: norms in doc_blocks, exact lengths in freq_blocks
     rows.append(
         (

@@ -104,6 +104,136 @@ def test_term_postings_roundtrip(df):
     assert tp.block_last_docs[-1] == docs[-1]
 
 
+def test_batched_blocks_match_scalar_encoder():
+    """encode_blocks_batched over many streams decodes to the originals
+    and chooses the same widths/costs as the scalar encoder (the
+    per-stream payloads may differ only in no-op exception patches the
+    scalar path writes for values that already fit the width)."""
+    from lucene_solr_8_7_0_spark.functions.codec import encode_blocks_batched
+
+    rng = np.random.default_rng(13)
+    streams = []
+    for trial in range(60):
+        kind = trial % 5
+        n = int(rng.integers(1, 400))
+        if kind == 0:  # all-equal
+            v = np.full(n, int(rng.integers(0, 2**20)), dtype=np.uint32)
+        elif kind == 1:  # small values + outliers (exception patching)
+            v = rng.integers(0, 8, size=n).astype(np.uint32)
+            v[rng.integers(0, n, size=min(3, n))] = 2**29
+        elif kind == 2:  # zeros
+            v = np.zeros(n, dtype=np.uint32)
+        elif kind == 3:  # full 32-bit range
+            v = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+        else:
+            v = rng.integers(0, 2 ** int(rng.integers(1, 31)), size=n).astype(
+                np.uint32
+            )
+        streams.append(v)
+    flat = np.concatenate(streams)
+    starts = np.concatenate(
+        ([0], np.cumsum([len(s) for s in streams]))
+    ).astype(np.int64)
+    payloads, offsets = encode_blocks_batched(flat, starts)
+    for v, buf, offs in zip(streams, payloads, offsets):
+        got = decode_blocks(buf, np.asarray(offs), len(v))
+        np.testing.assert_array_equal(got, v)
+        # batched encoding is never larger than the scalar one
+        sbuf, _ = encode_blocks(v)
+        assert len(buf) <= len(sbuf)
+
+
+def test_batched_impacts_match_scalar():
+    from lucene_solr_8_7_0_spark.functions.impacts import (
+        block_impacts,
+        block_impacts_batched,
+    )
+
+    rng = np.random.default_rng(29)
+    freq_streams, norm_streams = [], []
+    for _ in range(40):
+        n = int(rng.integers(1, 500))
+        freq_streams.append(rng.integers(1, 50, size=n).astype(np.int64))
+        norm_streams.append(rng.integers(0, 256, size=n).astype(np.int64))
+    starts = np.concatenate(
+        ([0], np.cumsum([len(s) for s in freq_streams]))
+    ).astype(np.int64)
+    flats, offs = block_impacts_batched(
+        np.concatenate(freq_streams), np.concatenate(norm_streams), starts, BLOCK_SIZE
+    )
+    for f, nm, flat, off in zip(freq_streams, norm_streams, flats, offs):
+        exp_flat, exp_off = block_impacts(f, nm, BLOCK_SIZE)
+        np.testing.assert_array_equal(flat, exp_flat)
+        np.testing.assert_array_equal(off, exp_off)
+
+
+def test_batched_segment_encode_matches_scalar():
+    """_encode_all_terms rows decode identically to encode_term_postings
+    for every term, including positions and block-last skip data."""
+    from lucene_solr_8_7_0_spark.operators.segments import _encode_all_terms
+
+    rng = np.random.default_rng(31)
+    seg_size = 1024
+    norm_arr = rng.integers(0, 256, size=seg_size).astype(np.int64)
+    terms, all_docs, all_freqs, all_pos = [], [], [], []
+    for t in range(50):
+        df = int(rng.integers(1, 300))
+        docs, freqs, _, positions = _random_postings(
+            rng, df, max_doc=seg_size, with_positions=True
+        )
+        terms.append(f"term{t:03d}")
+        all_docs.append(docs)
+        all_freqs.append(freqs)
+        all_pos.append(positions)
+    boundaries = np.concatenate(
+        ([0], np.cumsum([len(d) for d in all_docs]))
+    ).astype(np.int64)
+    import pandas as pd
+
+    pos_lists = []
+    for freqs, positions in zip(all_freqs, all_pos):
+        bounds = np.concatenate(([0], np.cumsum(freqs)))
+        pos_lists.extend(
+            positions[bounds[i] : bounds[i + 1]] for i in range(len(freqs))
+        )
+    pos_col = pd.Series(pos_lists)
+    rows = _encode_all_terms(
+        0, np.array(terms), boundaries,
+        np.concatenate(all_docs), np.concatenate(all_freqs), norm_arr, pos_col,
+    )
+    from lucene_solr_8_7_0_spark.functions.codec import TermPostings
+
+    for t, row in enumerate(rows):
+        exp = encode_term_postings(
+            all_docs[t], all_freqs[t], norm_arr[all_docs[t]], all_pos[t]
+        )
+        tp = TermPostings(
+            df=row[2], ttf=row[3], singleton_doc=row[4], singleton_freq=row[5],
+            doc_blocks=row[6], doc_block_offsets=np.asarray(row[7], np.int32),
+            freq_blocks=row[8], freq_block_offsets=np.asarray(row[9], np.int32),
+            pos_blocks=row[10], pos_block_offsets=np.asarray(row[11], np.int32),
+            block_last_docs=np.asarray(row[12], np.int32),
+            impacts_flat=np.asarray(row[13], np.int32),
+            impacts_offsets=np.asarray(row[14], np.int32),
+        )
+        assert row[1] == terms[t]
+        assert tp.df == exp.df and tp.ttf == exp.ttf
+        np.testing.assert_array_equal(tp.block_last_docs, exp.block_last_docs)
+        np.testing.assert_array_equal(tp.impacts_flat, exp.impacts_flat)
+        np.testing.assert_array_equal(tp.impacts_offsets, exp.impacts_offsets)
+        gd, gf, gp = decode_term_postings(tp, with_positions=True)
+        ed, ef, ep = decode_term_postings(exp, with_positions=True)
+        np.testing.assert_array_equal(gd, ed)
+        np.testing.assert_array_equal(gf, ef)
+        np.testing.assert_array_equal(gp, ep)
+    # no-positions mode pulses singletons exactly like the scalar path
+    rows2 = _encode_all_terms(
+        0, np.array(["single"]), np.array([0, 1]),
+        np.array([42]), np.array([3]), norm_arr, None,
+    )
+    assert rows2[0][4] == 42 and rows2[0][5] == 3 and rows2[0][6] == b""
+
+
 def test_singleton_pulsing():
     tp = encode_term_postings(
         np.array([42]), np.array([3]), np.array([17]), None
