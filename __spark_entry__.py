@@ -188,13 +188,19 @@ def _ranked_topk(spark, s, query, k=10):
     meta = spark.read.parquet(s.docmeta_path).select(
         "doc_id", F.col("path").cast("long").alias("orig")
     )
-    w = Window.orderBy(
-        F.round(F.col("score").cast("double"), 4).desc(), F.col("orig").asc()
-    )
-    return (
+    # orderBy + limit compiles to TakeOrderedAndProject: per-partition
+    # partial top-k merged on the driver — no single-partition global
+    # window (that was a scale bottleneck flagged in round 1).  The
+    # row_number window then runs over only k rows.
+    topk = (
         scored.join(meta, "doc_id")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .select(F.round(F.col("score").cast("double"), 4).alias("r"), "orig")
+        .orderBy(F.col("r").desc(), F.col("orig").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("r").desc(), F.col("orig").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", F.col("orig").alias("doc_id"))
         .orderBy("rank")
     )

@@ -129,36 +129,23 @@ def _phrase_docs_scores(
     decoded = [decode_term_postings(tp, with_positions=True) for tp in tps]
     if any(d[2] is None for d in decoded):
         raise ValueError("phrase query requires positions in the index")
-    # candidate docs: intersection
-    cand = decoded[0][0]
-    for docs, _, _ in decoded[1:]:
-        cand = cand[np.isin(cand, docs, assume_unique=True)]
-    if len(cand) == 0:
-        return cand, np.empty(0, np.float32)
-    # per-doc position slices; phrase positions normalized to the
-    # first term's offset: match iff pos0 ∈ P0 and pos0+off ∈ P_off
-    out_docs, out_freqs = [], []
-    slices = []
-    for docs, freqs, poss in decoded:
-        bounds = np.concatenate(([0], np.cumsum(freqs)))
-        idx = np.searchsorted(docs, cand)
-        slices.append((bounds, idx, poss))
-    for ci, d in enumerate(cand):
-        bounds0, idx0, poss0 = slices[0]
-        acc = poss0[bounds0[idx0[ci]] : bounds0[idx0[ci] + 1]]
-        for off in range(1, len(slices)):
-            bounds, idx, poss = slices[off]
-            p = poss[bounds[idx[ci]] : bounds[idx[ci] + 1]]
-            acc = np.intersect1d(acc, p - off, assume_unique=True)
-            if len(acc) == 0:
-                break
-        if len(acc):
-            out_docs.append(d)
-            out_freqs.append(len(acc))
-    if not out_docs:
-        return np.empty(0, np.int64), np.empty(0, np.float32)
-    docs = np.asarray(out_docs, dtype=np.int64)
-    freqs = np.asarray(out_freqs, dtype=np.int64)
+    # Vectorized exact matching (ExactPhraseMatcher semantics, batched):
+    # every (doc, position) is packed into one sortable int64 key with
+    # the term's offset subtracted, so a phrase occurrence is a key
+    # present in EVERY term's key set — k-1 sorted intersections over
+    # flat arrays replace the per-candidate-doc Python loop.
+    nterms = len(decoded)
+    SHIFT = np.int64(1) << 32  # positions < 2^31, so no key collisions
+    keys = None
+    for off, (docs, freqs, poss) in enumerate(decoded):
+        drep = np.repeat(docs, freqs)
+        k_off = drep * SHIFT + (poss - off + nterms)  # keep non-negative
+        keys = k_off if keys is None else keys[
+            np.isin(keys, k_off, assume_unique=True)
+        ]
+        if len(keys) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+    docs, freqs = np.unique(keys // SHIFT, return_counts=True)
     if clause.const_score is not None:
         return docs, np.full(len(docs), np.float32(clause.const_score))
     return docs, clause.scorer.score(freqs, norms[docs])
@@ -220,6 +207,35 @@ def _topk(
     return docs[order], scores[order].astype(np.float32)
 
 
+def _heap_insert(heap: list, k: int, docs: np.ndarray, scores: np.ndarray) -> None:
+    """Bulk top-k insertion, docs ascending (TopScoreDocCollector's
+    collect loop).  Tie-break is Lucene's: strict >, so an equal score
+    on a later doc never displaces an earlier one.  A vectorized
+    prefilter against the pre-insert heap minimum keeps the Python
+    loop to candidates that can actually compete."""
+    n = len(docs)
+    if len(heap) < k:
+        take = min(k - len(heap), n)
+        for i in range(take):
+            heapq.heappush(heap, (scores[i], -int(docs[i])))
+        if take == n:
+            return
+        docs, scores = docs[take:], scores[take:]
+    mask = scores > heap[0][0]
+    if not mask.any():
+        return
+    for d, s in zip(docs[mask], scores[mask]):
+        if s > heap[0][0]:
+            heapq.heapreplace(heap, (s, -int(d)))
+
+
+def _heap_topk(heap: list) -> tuple[np.ndarray, np.ndarray]:
+    entries = sorted(heap, key=lambda e: (-float(e[0]), -e[1]))
+    docs = np.asarray([-e[1] for e in entries], dtype=np.int64)
+    scores = np.asarray([e[0] for e in entries], dtype=np.float32)
+    return docs, scores
+
+
 # ---------------- main kernel ----------------
 
 
@@ -257,6 +273,20 @@ def score_segment(
         d, s = _topk(cand, final, k)
         return SegmentTopK(d, s, len(cand), True)
     if required:
+        simple_and = (
+            prune
+            and k is not None
+            and not cq.shoulds
+            and not cq.must_nots
+            and all(
+                (not c.is_phrase) and c.sub is None and c.kind == "term"
+                for c in required
+            )
+        )
+        if simple_and:
+            return _bm_conjunction(
+                posting_map, norms, cq, k, total_hits_threshold
+            )
         return _conjunctive(posting_map, norms, cq, k)
     # pure disjunction
     simple = all(
@@ -368,6 +398,145 @@ def _exhaustive_or(posting_map, norms, cq: CompiledQuery, k: int) -> SegmentTopK
     return SegmentTopK(d, s, len(cand), True)
 
 
+# ---------------- block-max conjunction (pruned AND) ----------------
+
+
+class _ConjTermState:
+    """Per-clause block access for the pruned AND path: random-access
+    block decode with per-block cache, plus range queries over the
+    skip table (block_last_docs) and the impact score maxes — the
+    ImpactsDISI.advanceShallow / MaxScoreCache.getMaxScore pair."""
+
+    __slots__ = ("tp", "clause", "df", "block_last", "block_max", "nb", "cache")
+
+    def __init__(self, tp: TermPostings, clause: ScoringClause):
+        self.tp = tp
+        self.clause = clause
+        self.df = tp.df
+        self.block_last = np.asarray(tp.block_last_docs, dtype=np.int64)
+        self.nb = len(self.block_last)
+        if clause.scorer is not None and clause.const_score is None:
+            self.block_max = max_scores_per_block(
+                tp.impacts_flat, tp.impacts_offsets, clause.scorer
+            )
+        elif clause.const_score is not None:
+            self.block_max = np.full(self.nb, np.float32(clause.const_score))
+        else:  # FILTER: matches but contributes no score
+            self.block_max = np.zeros(self.nb, dtype=np.float32)
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block_range(self, ws: int, we: int) -> tuple[int, int]:
+        """Blocks whose doc range intersects [ws, we] (block b covers
+        (block_last[b-1], block_last[b]])."""
+        lo = int(np.searchsorted(self.block_last, ws, side="left"))
+        hi = int(np.searchsorted(self.block_last, we, side="left"))
+        return lo, min(hi, self.nb - 1)
+
+    def max_in_range(self, ws: int, we: int) -> float:
+        lo, hi = self._block_range(ws, we)
+        if lo > hi:
+            return 0.0
+        return float(self.block_max[lo : hi + 1].max())
+
+    def decode_block(self, b: int, norms: np.ndarray):
+        hit = self.cache.get(b)
+        if hit is not None:
+            return hit
+        tp = self.tp
+        if tp.singleton_doc >= 0:
+            docs = np.asarray([tp.singleton_doc], dtype=np.int64)
+            freqs = np.asarray([tp.singleton_freq], dtype=np.int64)
+        else:
+            start = b * BLOCK_SIZE
+            n = min(BLOCK_SIZE, tp.df - start)
+            deltas = _decode_one_block(
+                bytes(tp.doc_blocks[tp.doc_block_offsets[b] : tp.doc_block_offsets[b + 1]]),
+                n,
+            ).astype(np.int64)
+            base = int(self.block_last[b - 1]) if b > 0 else 0
+            docs = base + np.cumsum(deltas)
+            freqs = _decode_one_block(
+                bytes(tp.freq_blocks[tp.freq_block_offsets[b] : tp.freq_block_offsets[b + 1]]),
+                n,
+            ).astype(np.int64)
+        c = self.clause
+        if c.const_score is not None:
+            scores = np.full(len(docs), np.float32(c.const_score))
+        elif c.scorer is None:
+            scores = np.zeros(len(docs), dtype=np.float32)
+        else:
+            scores = c.scorer.score(freqs, norms[docs])
+        self.cache[b] = (docs, scores)
+        return docs, scores
+
+    def docs_scores_in_range(self, ws: int, we: int, norms: np.ndarray):
+        lo, hi = self._block_range(ws, we)
+        if lo > hi:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        parts = [self.decode_block(b, norms) for b in range(lo, hi + 1)]
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        s = np.searchsorted(docs, ws, side="left")
+        e = np.searchsorted(docs, we, side="right")
+        return docs[s:e], scores[s:e]
+
+
+def _bm_conjunction(
+    posting_map, norms, cq: CompiledQuery, k: int, threshold: int
+) -> SegmentTopK:
+    """Pruned AND: lead with the rarest clause's blocks; a window is
+    decoded only when the float32-safe sum of per-clause block maxes
+    can beat the current heap minimum
+    (BlockMaxConjunctionScorer.java:101-140 advanceTarget +
+    Boolean2ScorerSupplier.java:169-175 selection).  Results are
+    bitwise-identical to the exhaustive path; only `hits` degrades to
+    a lower bound once a window is skipped."""
+    states = []
+    for c in cq.musts + cq.filters:
+        tp = posting_map.get(c.terms[0])
+        if tp is None:  # a required term absent from the segment
+            return SegmentTopK(np.empty(0, np.int64), np.empty(0, np.float32), 0, True)
+        states.append(_ConjTermState(tp, c))
+    states.sort(key=lambda s: s.df)
+    lead, others = states[0], states[1:]
+    heap: list[tuple[float, int]] = []
+    hits = 0
+    pruned_any = False
+    inf32 = np.float32(np.inf)
+    for b in range(lead.nb):
+        ws = int(lead.block_last[b - 1]) + 1 if b > 0 else 0
+        we = int(lead.block_last[b])
+        if len(heap) >= k and hits >= threshold:
+            bound64 = float(lead.block_max[b])
+            for s in others:
+                bound64 += s.max_in_range(ws, we)
+            bound = np.nextafter(np.float32(bound64), inf32)
+            if bound <= heap[0][0]:
+                pruned_any = True
+                continue  # skip the window WITHOUT decoding any clause
+        cand, lead_scores = lead.decode_block(b, norms)
+        acc = lead_scores.astype(np.float64)
+        for s in others:
+            od, oscores = s.docs_scores_in_range(ws, we, norms)
+            if len(od) == 0:
+                cand = cand[:0]
+                break
+            idx = np.searchsorted(od, cand)
+            safe = np.minimum(idx, len(od) - 1)
+            present = od[safe] == cand
+            cand = cand[present]
+            acc = acc[present] + oscores[safe[present]].astype(np.float64)
+            if len(cand) == 0:
+                break
+        if len(cand) == 0:
+            continue
+        final = acc.astype(np.float32)
+        hits += len(cand)
+        _heap_insert(heap, k, cand, final)
+    docs, scores = _heap_topk(heap)
+    return SegmentTopK(docs, scores, hits, hits_exact=not pruned_any)
+
+
 # ---------------- block-max WAND ----------------
 
 
@@ -474,22 +643,9 @@ def _wand_or(
             np.add.at(acc, inv, all_scores.astype(np.float64))
             final = acc.astype(np.float32)
             hits += len(uniq)
-            # heap insert in ascending-doc order; strict > because an
-            # equal score on a later doc can never win the tie-break
-            if len(heap) < k:
-                need = k - len(heap)
-                for i in range(min(need, len(uniq))):
-                    heapq.heappush(heap, (final[i], -int(uniq[i])))
-                start = min(need, len(uniq))
-            else:
-                start = 0
-            for i in range(start, len(uniq)):
-                if final[i] > heap[0][0]:
-                    heapq.heapreplace(heap, (final[i], -int(uniq[i])))
+            _heap_insert(heap, k, uniq, final)
         for s in active:
             if s.cur < s.nb and int(s.block_last[s.cur]) == window_end:
                 s.advance_block()
-    entries = sorted(heap, key=lambda e: (-float(e[0]), -e[1]))
-    docs = np.asarray([-e[1] for e in entries], dtype=np.int64)
-    scores = np.asarray([e[0] for e in entries], dtype=np.float32)
+    docs, scores = _heap_topk(heap)
     return SegmentTopK(docs, scores, hits, hits_exact=not pruned_any)

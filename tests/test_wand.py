@@ -137,6 +137,52 @@ def test_micro_and_not_filter():
     assert sorted(res.doc_ids.tolist()) == [0, 3, 6]
 
 
+def test_randomized_block_max_and_vs_exhaustive():
+    """TestBlockMaxConjunction strategy: the pruned AND path must be
+    rank- and bitwise-score-identical to the exhaustive conjunction for
+    random segments, clause mixes (scoring MUST + FILTER), k and
+    threshold — the skip decision may only change `hits_exact`."""
+    rng = np.random.default_rng(17)
+    for trial in range(15):
+        n_docs = int(rng.integers(300, 3000))
+        lengths = rng.integers(1, 50, size=n_docs).astype(np.int64)
+        norms = int_to_byte4_np(lengths)
+        posting_map, tfs = {}, {}
+        vocab = [f"t{j}" for j in range(5)]
+        for j, t in enumerate(vocab):
+            # mix hot terms (dense, many blocks) and rare terms
+            frac = [0.9, 0.5, 0.2, 0.05, 0.01][j]
+            df = max(1, int(n_docs * frac))
+            docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+            freqs = rng.integers(1, 8, size=df).astype(np.int64)
+            posting_map[t] = encode_term_postings(docs, freqs, norms[docs])
+            tfs[t] = (docs, freqs)
+        for _ in range(4):
+            m = int(rng.integers(2, 4))
+            terms = list(rng.choice(vocab, size=m, replace=False))
+            k = int(rng.integers(1, 15))
+            threshold = int(rng.choice([0, 1, 10]))
+            n_filter = int(rng.integers(0, m))  # some clauses non-scoring
+            musts = [
+                ScoringClause((t,), scorer_for(t, posting_map, lengths))
+                for t in terms[: m - n_filter]
+            ]
+            filters = [
+                ScoringClause((t,), None, const_score=0.0)
+                for t in terms[m - n_filter :]
+            ]
+            cq = CompiledQuery(musts, [], filters, [], 0)
+            pruned = score_segment(posting_map, norms, cq, k,
+                                   total_hits_threshold=threshold, prune=True)
+            exact = score_segment(posting_map, norms, cq, k, prune=False)
+            assert pruned.doc_ids.tolist() == exact.doc_ids.tolist(), (
+                trial, terms, k, threshold)
+            np.testing.assert_array_equal(pruned.scores, exact.scores)
+            assert pruned.hits <= exact.hits or pruned.hits_exact
+            if pruned.hits_exact:
+                assert pruned.hits == exact.hits
+
+
 def test_randomized_wand_vs_exhaustive():
     """Property harness: random segments, random OR queries, every
     threshold — pruned == exhaustive (rank + bitwise scores)."""
