@@ -152,6 +152,22 @@ def _q_prefix_match(spark, sf_dir):
     return _orig_ids(s, s.matches_df(Q.PrefixQuery("va"))).select("doc_id")
 
 
+def _q_phrase_slop(spark, sf_dir):
+    """Sloppy phrase: "data join"~2 (greedy SloppyPhraseMatcher port)."""
+    s = _searcher(spark, sf_dir)
+    return _orig_ids(
+        s, s.matches_df(Q.PhraseQuery(("data", "join"), slop=2))
+    ).select("doc_id")
+
+
+def _q_multi_phrase(spark, sf_dir):
+    """MultiPhraseQuery: "(data|big) join" — per-slot term alternatives."""
+    s = _searcher(spark, sf_dir)
+    return _orig_ids(
+        s, s.matches_df(Q.MultiPhraseQuery((("data", "big"), ("join",))))
+    ).select("doc_id")
+
+
 def _q_wildcard_match(spark, sf_dir):
     """Leading-wildcard term expansion (full JVM-side dict match)."""
     s = _searcher(spark, sf_dir)
@@ -303,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_or_msm2": _q_bool_or_msm2,
         "bool_and_not": _q_bool_and_not,
         "phrase_match": _q_phrase_match,
+        "phrase_slop": _q_phrase_slop,
+        "multi_phrase": _q_multi_phrase,
         "prefix_match": _q_prefix_match,
         "wildcard_match": _q_wildcard_match,
         "regexp_match": _q_regexp_match,
@@ -388,6 +406,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE regexp_matches(lower(text),
                   '(^|[^a-z0-9_])data[^a-z0-9_]+join($|[^a-z0-9_])')""",
+        "phrase_slop": f"""
+            SELECT DISTINCT a.doc_id FROM (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
+              FROM documents) a
+            JOIN (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
+              FROM documents) b USING (doc_id)
+            WHERE a.tok = 'data' AND b.tok = 'join' AND abs(a.p - (b.p - 1)) <= 2""",
+        "multi_phrase": r"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                  '(^|[^a-z0-9_])(data|big)[^a-z0-9_]+join($|[^a-z0-9_])')""",
         "prefix_match": f"""
             SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok LIKE 'va%'""",
         "wildcard_match": f"""

@@ -23,6 +23,7 @@ from .smallfloat import int_to_byte4_np
 from ..plans.queries import (
     BooleanQuery,
     DisjunctionMaxQuery,
+    MultiPhraseQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -116,29 +117,58 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
             return docs, np.zeros(len(docs), np.float32)
         sc = _scorer(oi, idf(oi.term_df.get(q.term, 0), oi.doc_count), boost)
         return docs, sc.score(rows["freq"].to_numpy(), _norm_of(oi, docs))
-    if isinstance(q, PhraseQuery):
-        if q.slop != 0:
-            raise NotImplementedError
-        per_term = [oi.positions.get(t, {}) for t in q.terms]
+    if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
+        from .sloppy import sloppy_phrase_freq
+
+        if isinstance(q, PhraseQuery):
+            per_term = [oi.positions.get(t, {}) for t in q.terms]
+            group_keys = list(q.terms)
+            all_terms = list(q.terms)
+        else:
+            # union the alternatives' position sets per slot
+            per_term = []
+            for alts in q.positions:
+                merged: dict = {}
+                for t in alts:
+                    for d, p in oi.positions.get(t, {}).items():
+                        merged[d] = (
+                            np.union1d(merged[d], p) if d in merged else p
+                        )
+                per_term.append(merged)
+            group_keys = [frozenset(alts) for alts in q.positions]
+            all_terms = [t for alts in q.positions for t in alts]
+        if not per_term or any(len(pt) == 0 for pt in per_term):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
         cand = sorted(set(per_term[0]).intersection(*map(set, per_term[1:])))
         out_d, out_f = [], []
         for d in cand:
-            acc = per_term[0][d]
-            for off in range(1, len(per_term)):
-                acc = np.intersect1d(acc, per_term[off][d] - off, assume_unique=True)
-                if not len(acc):
-                    break
-            if len(acc):
+            if q.slop == 0:
+                acc = per_term[0][d]
+                for off in range(1, len(per_term)):
+                    acc = np.intersect1d(
+                        acc, per_term[off][d] - off, assume_unique=True
+                    )
+                    if not len(acc):
+                        break
+                f = np.float32(len(acc))
+            else:
+                f = sloppy_phrase_freq(
+                    [per_term[i][d] for i in range(len(per_term))],
+                    list(range(len(per_term))),
+                    q.slop,
+                    group_keys,
+                )
+            if f > 0:
                 out_d.append(d)
-                out_f.append(len(acc))
+                out_f.append(f)
         docs = np.asarray(out_d, dtype=np.int64)
         if not scoring:
             return docs, np.zeros(len(docs), np.float32)
         total = 0.0
-        for t in q.terms:
+        for t in all_terms:
             total += float(idf(oi.term_df.get(t, 0), oi.doc_count))
         sc = _scorer(oi, np.float32(total), boost)
-        return docs, sc.score(np.asarray(out_f, dtype=np.int64), _norm_of(oi, docs))
+        return docs, sc.score(np.asarray(out_f, dtype=np.float32), _norm_of(oi, docs))
     if isinstance(q, SynonymQuery):
         rows = oi.tf[oi.tf["term"].isin(q.terms)]
         agg = rows.groupby("doc_id")["freq"].sum().sort_index()

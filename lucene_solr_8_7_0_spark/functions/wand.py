@@ -66,11 +66,17 @@ class ScoringClause:
     const_score: float | None = None  # ConstantScoreQuery: fixed score
     slop: int = 0
     sub: "CompiledQuery | None" = None
-    kind: str = "term"  # "term" | "synonym" (multi-term = phrase unless synonym)
+    # "term" | "synonym" | "multiphrase" (multi-term = phrase otherwise)
+    kind: str = "term"
+    # MultiPhraseQuery: term alternatives per phrase slot
+    alts: tuple[tuple[str, ...], ...] | None = None
 
     @property
     def is_phrase(self) -> bool:
-        return len(self.terms) > 1 and self.kind != "synonym"
+        return (
+            self.kind == "multiphrase"
+            or (len(self.terms) > 1 and self.kind != "synonym")
+        )
 
 
 @dataclass
@@ -115,37 +121,104 @@ def _term_docs_scores(
     return docs, clause.scorer.score(freqs, norms[docs])
 
 
+_POS_SHIFT = np.int64(1) << 32  # positions < 2^31, so no key collisions
+
+
 def _phrase_docs_scores(
     tps: list[TermPostings | None], norms: np.ndarray, clause: ScoringClause
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact phrase (slop=0): positional intersection
-    (ExactPhraseMatcher semantics); phrase freq = number of positions
-    where all terms align, scored like a term with the summed-idf
-    scorer (BM25Similarity.idfExplain(termStats[]))."""
+    """PhraseQuery: exact (slop=0) via vectorized key intersection
+    (ExactPhraseMatcher) or sloppy via the greedy matcher
+    (SloppyPhraseMatcher); phrase freq scored like a term with the
+    summed-idf scorer (BM25Similarity.idfExplain(termStats[]))."""
     if any(tp is None for tp in tps):
         return np.empty(0, np.int64), np.empty(0, np.float32)
-    if clause.slop != 0:
-        raise NotImplementedError("sloppy phrase not yet supported")
     decoded = [decode_term_postings(tp, with_positions=True) for tp in tps]
     if any(d[2] is None for d in decoded):
         raise ValueError("phrase query requires positions in the index")
-    # Vectorized exact matching (ExactPhraseMatcher semantics, batched):
-    # every (doc, position) is packed into one sortable int64 key with
-    # the term's offset subtracted, so a phrase occurrence is a key
-    # present in EVERY term's key set — k-1 sorted intersections over
-    # flat arrays replace the per-candidate-doc Python loop.
-    nterms = len(decoded)
-    SHIFT = np.int64(1) << 32  # positions < 2^31, so no key collisions
-    keys = None
-    for off, (docs, freqs, poss) in enumerate(decoded):
-        drep = np.repeat(docs, freqs)
-        k_off = drep * SHIFT + (poss - off + nterms)  # keep non-negative
-        keys = k_off if keys is None else keys[
-            np.isin(keys, k_off, assume_unique=True)
-        ]
-        if len(keys) == 0:
+    return _phrase_core(decoded, norms, clause, group_keys=list(clause.terms))
+
+
+def _multiphrase_docs_scores(
+    posting_map: dict, norms: np.ndarray, clause: ScoringClause
+) -> tuple[np.ndarray, np.ndarray]:
+    """MultiPhraseQuery: each slot's alternatives merge into one union
+    postings stream (UnionPostingsEnum semantics — distinct (doc, pos)
+    pairs of any alternative), then exact/sloppy matching runs as for a
+    plain phrase over the union streams."""
+    decoded = []
+    group_keys = []
+    for alt in clause.alts:
+        tps = [posting_map.get(t) for t in alt]
+        tps = [tp for tp in tps if tp is not None]
+        if not tps:
             return np.empty(0, np.int64), np.empty(0, np.float32)
-    docs, freqs = np.unique(keys // SHIFT, return_counts=True)
+        keys_parts = []
+        for tp in tps:
+            d, f, p = decode_term_postings(tp, with_positions=True)
+            if p is None:
+                raise ValueError("multiphrase query requires positions")
+            keys_parts.append(np.repeat(d, f) * _POS_SHIFT + p)
+        uk = np.unique(np.concatenate(keys_parts))
+        d = uk // _POS_SHIFT
+        docs, freqs = np.unique(d, return_counts=True)
+        decoded.append((docs, freqs, uk % _POS_SHIFT))
+        group_keys.append(frozenset(alt))
+    return _phrase_core(decoded, norms, clause, group_keys=group_keys)
+
+
+def _phrase_core(
+    decoded: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    norms: np.ndarray,
+    clause: ScoringClause,
+    group_keys: list,
+) -> tuple[np.ndarray, np.ndarray]:
+    nterms = len(decoded)
+    if clause.slop == 0:
+        # Vectorized exact matching: every (doc, position) packs into
+        # one sortable int64 key with the slot offset subtracted, so a
+        # phrase occurrence is a key present in EVERY slot's key set —
+        # k-1 sorted intersections over flat arrays, no per-doc Python.
+        keys = None
+        for off, (docs, freqs, poss) in enumerate(decoded):
+            drep = np.repeat(docs, freqs)
+            k_off = drep * _POS_SHIFT + (poss - off + nterms)  # non-negative
+            keys = k_off if keys is None else keys[
+                np.isin(keys, k_off, assume_unique=True)
+            ]
+            if len(keys) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+        docs, freqs = np.unique(keys // _POS_SHIFT, return_counts=True)
+    else:
+        # sloppy: candidates from the vectorized conjunction, then the
+        # sequential greedy matcher per candidate (see functions/sloppy)
+        from .sloppy import sloppy_phrase_freq
+
+        cand = decoded[0][0]
+        for docs, _, _ in decoded[1:]:
+            cand = cand[np.isin(cand, docs, assume_unique=True)]
+        if len(cand) == 0:
+            return cand, np.empty(0, np.float32)
+        slices = []
+        for docs, freqs, poss in decoded:
+            bounds = np.concatenate(([0], np.cumsum(freqs)))
+            idx = np.searchsorted(docs, cand)
+            slices.append((bounds, idx, poss))
+        offsets = list(range(nterms))
+        out_docs, out_freqs = [], []
+        for ci in range(len(cand)):
+            pos_lists = [
+                poss[bounds[idx[ci]] : bounds[idx[ci] + 1]]
+                for bounds, idx, poss in slices
+            ]
+            f = sloppy_phrase_freq(pos_lists, offsets, clause.slop, group_keys)
+            if f > 0:
+                out_docs.append(int(cand[ci]))
+                out_freqs.append(f)
+        if not out_docs:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        docs = np.asarray(out_docs, dtype=np.int64)
+        freqs = np.asarray(out_freqs, dtype=np.float32)
     if clause.const_score is not None:
         return docs, np.full(len(docs), np.float32(clause.const_score))
     return docs, clause.scorer.score(freqs, norms[docs])
@@ -179,6 +252,8 @@ def _eval_clause(
         return _synonym_docs_scores(
             [posting_map.get(t) for t in clause.terms], norms, clause
         )
+    if clause.kind == "multiphrase":
+        return _multiphrase_docs_scores(posting_map, norms, clause)
     if clause.sub is not None:
         res = score_segment(posting_map, norms, clause.sub, None, prune=False)
         if clause.const_score is not None:

@@ -16,6 +16,7 @@ from ..functions.wand import CompiledQuery, ScoringClause
 from .queries import (
     BooleanQuery,
     DisjunctionMaxQuery,
+    MultiPhraseQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -43,6 +44,8 @@ def collect_terms(q: Query) -> set[str]:
         return {q.term}
     if isinstance(q, (PhraseQuery, SynonymQuery)):
         return set(q.terms)
+    if isinstance(q, MultiPhraseQuery):
+        return {t for p in q.positions for t in p}
     if isinstance(q, DisjunctionMaxQuery):
         out: set[str] = set()
         for sub in q.queries:
@@ -59,7 +62,7 @@ def collect_terms(q: Query) -> set[str]:
 
 
 def has_phrase(q: Query) -> bool:
-    if isinstance(q, PhraseQuery):
+    if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
         return True
     if isinstance(q, DisjunctionMaxQuery):
         return any(has_phrase(sub) for sub in q.queries)
@@ -113,6 +116,36 @@ def _make_clause(
         if sub is None:
             return ScoringClause(("\x00matchnone",), None, const_score=0.0)
         return ScoringClause((), None, const_score=const, sub=sub)
+    if isinstance(q, MultiPhraseQuery):
+        # reject multi-term repeats up front (SloppyPhraseMatcher
+        # hasMultiTermRpts): a term shared between slots where any
+        # involved slot has alternatives is unsupported
+        seen: dict[str, int] = {}
+        for si, alts in enumerate(q.positions):
+            for t in alts:
+                if t in seen and (len(alts) > 1 or len(q.positions[seen[t]]) > 1):
+                    raise NotImplementedError(
+                        "multi-term repeats in MultiPhraseQuery are not supported"
+                    )
+                seen.setdefault(t, si)
+        all_terms = tuple(t for p in q.positions for t in p)
+        if constant or not scoring:
+            return ScoringClause(
+                all_terms, None, const_score=(boost if scoring else 0.0),
+                slop=q.slop, kind="multiphrase", alts=q.positions,
+            )
+        # idf sums over ALL terms of every position
+        # (MultiPhraseQuery.java createWeight getStats)
+        total = 0.0
+        for t in all_terms:
+            df, _ = term_stats.get(t, (0, 0))
+            total += float(idf(df, stats.doc_count))
+        scorer = BM25Scorer.create(
+            boost, stats.k1, stats.b, np.float32(total), stats.avgdl
+        )
+        return ScoringClause(
+            all_terms, scorer, slop=q.slop, kind="multiphrase", alts=q.positions
+        )
     if isinstance(q, PhraseQuery):
         if constant or not scoring:
             return ScoringClause(
@@ -177,8 +210,8 @@ def compile_query(
              for sub in q.queries],
             [], [], 1, combine="dismax", tie=q.tie_breaker,
         )
-    if isinstance(q, (TermQuery, PhraseQuery, SynonymQuery, BoostQuery,
-                      ConstantScoreQuery)):
+    if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery,
+                      BoostQuery, ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
         return CompiledQuery([clause], [], [], [], 0)
     if isinstance(q, BooleanQuery):

@@ -48,6 +48,21 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with term alternatives per position (MultiPhraseQuery.java):
+    each slot matches ANY of its terms (analyzer-produced synonyms at a
+    position); scored like a phrase whose idf sums over ALL terms."""
+
+    positions: tuple[tuple[str, ...], ...]
+    slop: int = 0
+
+    def __str__(self) -> str:
+        return '"' + " ".join(
+            "(" + "|".join(p) + ")" if len(p) > 1 else p[0] for p in self.positions
+        ) + '"'
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Terms scored as one pseudo-term: blended stats (df = max sub df,
     ttf = sum), per-doc freq = sum of sub freqs (SynonymQuery.java:233-247,

@@ -18,6 +18,7 @@ import re
 from .queries import (
     BooleanClause,
     DisjunctionMaxQuery,
+    MultiPhraseQuery,
     SynonymQuery,
     BooleanQuery,
     BoostQuery,
@@ -77,6 +78,17 @@ def _rewrite_once(q: Query, term_lookup) -> Query:
     if isinstance(q, PhraseQuery):
         if len(q.terms) == 1:  # PhraseQuery.rewrite: single term unwraps
             return TermQuery(q.terms[0])
+        return q
+    if isinstance(q, MultiPhraseQuery):
+        # MultiPhraseQuery.rewrite (:193-206): empty -> MatchNoDocs,
+        # one position -> OR over its terms; otherwise unchanged
+        if not q.positions:
+            return MatchNoDocsQuery("empty MultiPhraseQuery")
+        if len(q.positions) == 1:
+            b = Builder()
+            for t in q.positions[0]:
+                b.add(TermQuery(t), Occur.SHOULD)
+            return b.build()
         return q
     if isinstance(q, SynonymQuery):
         if len(q.terms) == 1:  # blended stats of one term == the term
