@@ -152,6 +152,46 @@ def _q_prefix_match(spark, sf_dir):
     return _orig_ids(s, s.matches_df(Q.PrefixQuery("va"))).select("doc_id")
 
 
+def _q_merged_bool_and(spark, sf_dir):
+    """The merge path under the oracle: build a base index over the
+    first half of the corpus, add_documents the second half (delta
+    build + SegmentMerger-style boundary re-encode), then run bool_and
+    on the merged snapshot — must hash-match the single-build oracle."""
+    from lucene_solr_8_7_0_spark.operators.merge import add_documents
+
+    key = hashlib.md5(f"{sf_dir}:merged:v1".encode()).hexdigest()[:10]
+    d = f"/tmp/lucene_ps_merged_{key}"
+    if key not in _SEARCHERS:
+        cfg = EngineConfig(analyzer="simple", segment_size=256, index_positions=True)
+        if not os.path.exists(os.path.join(d, "engine_config.json")):
+            adapted = _adapted(spark, sf_dir)
+            n = adapted.count()
+            cut = F.format_string("%010d", F.lit(n // 2))
+            base_dir = d + "_base"
+            build_index(
+                spark, adapted.filter(F.col("path") < cut), base_dir, cfg,
+                resume=False,
+            )
+            # second half numbers after the existing max -> ids identical
+            # to a full single-shot build (paths are the global sort key)
+            add_documents(
+                spark, base_dir, adapted.filter(F.col("path") >= cut), d, cfg
+            )
+        _SEARCHERS[key] = IndexSearcher(spark, d)
+    s = _SEARCHERS[key]
+    return _orig_ids(s, s.matches_df(Q.term_and(["data", "join"]))).select("doc_id")
+
+
+def _q_range_filter(spark, sf_dir):
+    """Numeric point range (docmeta length) AND a term — PointRangeQuery
+    as FILTER composed with TermQuery in the kernel."""
+    s = _searcher(spark, sf_dir)
+    b = Q.Builder()
+    b.add(Q.TermQuery("data"), Q.Occur.MUST)
+    b.add(Q.PointRangeQuery("length", 60, 120), Q.Occur.FILTER)
+    return _orig_ids(s, s.matches_df(b.build())).select("doc_id")
+
+
 def _q_phrase_slop(spark, sf_dir):
     """Sloppy phrase: "data join"~2 (greedy SloppyPhraseMatcher port)."""
     s = _searcher(spark, sf_dir)
@@ -320,6 +360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_and_not": _q_bool_and_not,
         "phrase_match": _q_phrase_match,
         "phrase_slop": _q_phrase_slop,
+        "range_filter": _q_range_filter,
+        "merged_bool_and": _q_merged_bool_and,
         "multi_phrase": _q_multi_phrase,
         "prefix_match": _q_prefix_match,
         "wildcard_match": _q_wildcard_match,
@@ -422,6 +464,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE regexp_matches(lower(text),
                   '(^|[^a-z0-9_])(data|big)[^a-z0-9_]+join($|[^a-z0-9_])')""",
+        "range_filter": f"""
+            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
+            HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
+               AND count(*) BETWEEN 60 AND 120""",
+        "merged_bool_and": f"""
+            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
+            HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2""",
         "prefix_match": f"""
             SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok LIKE 'va%'""",
         "wildcard_match": f"""

@@ -31,6 +31,7 @@ from ..plans.queries import (
     MatchNoDocsQuery,
     Occur,
     PhraseQuery,
+    PointRangeQuery,
     Query,
     TermQuery,
 )
@@ -109,6 +110,16 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
         return _eval(oi, q.query, boost * q.boost, scoring)
     if isinstance(q, ConstantScoreQuery):
         docs, _ = _eval(oi, q.query, 1.0, False)
+        return docs, np.full(len(docs), np.float32(boost if scoring else 0.0))
+    if isinstance(q, PointRangeQuery):
+        if q.field != "length":
+            raise NotImplementedError("oracle points support: length only")
+        mask = np.ones(len(oi.doc_ids), dtype=bool)
+        if q.lower is not None:
+            mask &= (oi.lengths >= q.lower) if q.include_lower else (oi.lengths > q.lower)
+        if q.upper is not None:
+            mask &= (oi.lengths <= q.upper) if q.include_upper else (oi.lengths < q.upper)
+        docs = oi.doc_ids[mask]
         return docs, np.full(len(docs), np.float32(boost if scoring else 0.0))
     if isinstance(q, TermQuery):
         rows = oi.tf[oi.tf["term"] == q.term].sort_values("doc_id")

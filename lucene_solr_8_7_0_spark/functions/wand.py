@@ -322,12 +322,20 @@ def score_segment(
     total_hits_threshold: int = 1000,
     prune: bool = True,
     num_docs: int | None = None,
+    min_competitive: float = 0.0,
 ) -> SegmentTopK:
     """Evaluate one compiled boolean query against one segment.
 
     ``k=None`` returns ALL matches in doc order (bulk-collector /
     filter mode — the BooleanScorer COMPLETE analog); pruning is then
-    meaningless and disabled."""
+    meaningless and disabled.
+
+    ``min_competitive`` is a cross-segment score floor (the
+    MaxScoreAccumulator analog, L/search/MaxScoreAccumulator.java used
+    at TopScoreDocCollector.java:303-318): windows whose upper bound is
+    STRICTLY below it are skipped immediately, before this segment's
+    own heap fills.  Strict comparison keeps equal-score docs alive for
+    the doc-id tie-break, so results stay exact."""
     if k is None:
         prune = False
     required = cq.musts + cq.filters
@@ -360,7 +368,8 @@ def score_segment(
         )
         if simple_and:
             return _bm_conjunction(
-                posting_map, norms, cq, k, total_hits_threshold
+                posting_map, norms, cq, k, total_hits_threshold,
+                min_competitive=min_competitive,
             )
         return _conjunctive(posting_map, norms, cq, k)
     # pure disjunction
@@ -371,7 +380,8 @@ def score_segment(
     )
     if (prune and simple and max(cq.msm, 1) == 1 and not cq.must_nots
             and cq.combine == "sum"):
-        return _wand_or(posting_map, norms, cq.shoulds, k, total_hits_threshold)
+        return _wand_or(posting_map, norms, cq.shoulds, k, total_hits_threshold,
+                        min_competitive=min_competitive)
     return _exhaustive_or(posting_map, norms, cq, k)
 
 
@@ -557,7 +567,8 @@ class _ConjTermState:
 
 
 def _bm_conjunction(
-    posting_map, norms, cq: CompiledQuery, k: int, threshold: int
+    posting_map, norms, cq: CompiledQuery, k: int, threshold: int,
+    min_competitive: float = 0.0,
 ) -> SegmentTopK:
     """Pruned AND: lead with the rarest clause's blocks; a window is
     decoded only when the float32-safe sum of per-clause block maxes
@@ -578,15 +589,19 @@ def _bm_conjunction(
     hits = 0
     pruned_any = False
     inf32 = np.float32(np.inf)
+    floor = np.float32(min_competitive)
     for b in range(lead.nb):
         ws = int(lead.block_last[b - 1]) + 1 if b > 0 else 0
         we = int(lead.block_last[b])
-        if len(heap) >= k and hits >= threshold:
+        local_on = len(heap) >= k and hits >= threshold
+        if local_on or floor > 0:
             bound64 = float(lead.block_max[b])
             for s in others:
                 bound64 += s.max_in_range(ws, we)
             bound = np.nextafter(np.float32(bound64), inf32)
-            if bound <= heap[0][0]:
+            # local heap floor prunes at <= (later ties lose by doc id);
+            # the cross-segment floor prunes STRICTLY below only
+            if (local_on and bound <= heap[0][0]) or bound < floor:
                 pruned_any = True
                 continue  # skip the window WITHOUT decoding any clause
         cand, lead_scores = lead.decode_block(b, norms)
@@ -665,7 +680,8 @@ class _TermState:
 
 
 def _wand_or(
-    posting_map, norms, shoulds: list[ScoringClause], k: int, threshold: int
+    posting_map, norms, shoulds: list[ScoringClause], k: int, threshold: int,
+    min_competitive: float = 0.0,
 ) -> SegmentTopK:
     states = [
         _TermState(posting_map[c.terms[0]], c.scorer)
@@ -678,13 +694,14 @@ def _wand_or(
     hits = 0
     pruned_any = False
     inf32 = np.float32(np.inf)
+    floor = np.float32(min_competitive)
     while True:
         active = [s for s in states if s.cur < s.nb]
         if not active:
             break
         window_end = min(int(s.block_last[s.cur]) for s in active)
-        prune_on = len(heap) >= k and hits >= threshold
-        if prune_on:
+        local_on = len(heap) >= k and hits >= threshold
+        if local_on or floor > 0:
             bound64 = 0.0
             for s in active:
                 # block can only contribute if it may contain docs <= window_end
@@ -692,7 +709,8 @@ def _wand_or(
                 if prev_last < window_end:
                     bound64 += float(s.block_max[s.cur])
             bound = np.nextafter(np.float32(bound64), inf32)
-            if bound <= heap[0][0]:
+            # cross-segment floor prunes STRICTLY below (tie-break safety)
+            if (local_on and bound <= heap[0][0]) or bound < floor:
                 pruned_any = True
                 for s in active:
                     if s.cur < s.nb and int(s.block_last[s.cur]) == window_end:

@@ -189,6 +189,59 @@ def merge_indexes(
         )
 
 
+def merge_indexes_tiered(
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+    max_fan_in: int = 10,
+    work_dir: str | None = None,
+) -> list[list[str]]:
+    """Multi-round merge with bounded fan-in — the TieredMergePolicy
+    analog (L/index/TieredMergePolicy.java:92-103, maxMergeAtOnce=10).
+
+    One global N-way merge is wrong at 10^12-file scale: a single round
+    unions every input's segment table into one shuffle and the driver
+    tracks N inputs at once.  Instead inputs merge in rounds of at most
+    ``max_fan_in``, picking SIMILAR-SIZED inputs together (sorted by
+    num_docs, consecutive batches) exactly like the reference scores
+    candidate merges by size skew; log_{fan_in}(N) rounds total.
+
+    Returns the merge plan (list of rounds, each a list of produced
+    dirs) for inspection/testing.
+    """
+    import tempfile
+
+    from .build import load_config
+
+    cfg = cfg or load_config(index_dirs[0])
+    work_dir = work_dir or tempfile.mkdtemp(prefix="tiered_merge_")
+    rounds: list[list[str]] = []
+    current = list(index_dirs)
+    rnd = 0
+    while len(current) > max_fan_in:
+        # size-sorted consecutive batches = similar-sized merges
+        sized = sorted(
+            current,
+            key=lambda d: _read(spark, d, "stats").collect()[0]["num_docs"],
+        )
+        nxt: list[str] = []
+        for i in range(0, len(sized), max_fan_in):
+            batch = sized[i : i + max_fan_in]
+            if len(batch) == 1:
+                nxt.append(batch[0])
+                continue
+            dst = os.path.join(work_dir, f"r{rnd}_m{i // max_fan_in}")
+            merge_indexes(spark, batch, dst, cfg)
+            nxt.append(dst)
+        rounds.append(nxt)
+        current = nxt
+        rnd += 1
+    merge_indexes(spark, current, out_dir, cfg)
+    rounds.append([out_dir])
+    return rounds
+
+
 def add_documents(
     spark: SparkSession,
     index_dir: str,

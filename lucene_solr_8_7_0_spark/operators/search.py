@@ -35,6 +35,7 @@ from .segments import SENTINEL_TERM
 from ..plans import planner, rewrite as rw
 from ..plans.queries import (
     FuzzyQuery,
+    PointRangeQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -187,14 +188,36 @@ class IndexSearcher:
         k: int = 10,
         score_mode: str = "top_scores",
         total_hits_threshold: int = DEFAULT_TOTAL_HITS_THRESHOLD,
+        two_pass_threshold: bool = False,
     ) -> TopDocs:
+        """``two_pass_threshold=True`` adds the MaxScoreAccumulator
+        analog: a first pass over one segment establishes a global
+        min-competitive score that every segment's kernel then prunes
+        against from its first window (cross-slice threshold sharing,
+        TopScoreDocCollector.java:303-318).  Results are identical —
+        the shared floor prunes strictly-below only — at the cost of
+        one extra (tiny) Spark job; it pays off when segments are many
+        and k is small."""
         q = rw.rewrite(query, self._term_lookup)
         terms = planner.collect_terms(q)
         cq = planner.compile_query(q, self.stats, self._term_stats(terms), score_mode)
         if cq is None:
             return TopDocs(0, "EQ", np.empty(0, np.int64), np.empty(0, np.float32))
+        pqs = planner.collect_point_queries(q)
+        min_comp = 0.0
+        if two_pass_threshold and score_mode == "top_scores":
+            seed = self._run_segments(
+                cq, terms, planner.has_phrase(q), k, score_mode,
+                total_hits_threshold, pqs, only_segment=0,
+            ).toPandas()
+            seed = seed[seed["doc_id"] >= 0]
+            if len(seed) >= k:
+                min_comp = float(
+                    np.sort(seed["score"].to_numpy(dtype=np.float32))[-k]
+                )
         pdf = self._run_segments(cq, terms, planner.has_phrase(q), k,
-                                 score_mode, total_hits_threshold).toPandas()
+                                 score_mode, total_hits_threshold, pqs,
+                                 min_competitive=min_comp).toPandas()
         return self._merge(pdf, k)
 
     def matches_df(self, query: Query) -> DataFrame:
@@ -218,7 +241,8 @@ class IndexSearcher:
                 F.col("doc_id") >= 0
             )
         out = self._run_segments(cq, terms, planner.has_phrase(q), None,
-                                 score_mode, 0)
+                                 score_mode, 0,
+                                 planner.collect_point_queries(q))
         return out.filter(F.col("doc_id") >= 0)
 
     def search_df(self, query: Query, k: int = 10, with_meta: bool = True, **kw) -> DataFrame:
@@ -270,6 +294,26 @@ class IndexSearcher:
             return {"doc_id": doc_id, "matches": False, "description": str(q)}
         norms = np.frombuffer(norm_row[0]["norms"], dtype=np.uint8).astype(np.int64)
         pmap = rows_to_posting_map(seg_rows)
+        # point clauses: materialize this segment's matching doc set
+        for pq in planner.collect_point_queries(q):
+            from ..functions.codec import encode_term_postings
+
+            sel = self.spark.read.parquet(self.docmeta_path).filter(
+                F.col("segment_id") == seg_id
+            )
+            c = F.col(pq.field)
+            if pq.lower is not None:
+                sel = sel.filter(c >= pq.lower if pq.include_lower else c > pq.lower)
+            if pq.upper is not None:
+                sel = sel.filter(c <= pq.upper if pq.include_upper else c < pq.upper)
+            ld = np.sort(
+                np.asarray([r["doc_id"] for r in sel.select("doc_id").collect()],
+                           dtype=np.int64)
+            ) - seg_id * self.cfg.segment_size
+            if len(ld):
+                pmap[pq.token_key()] = encode_term_postings(
+                    ld, np.ones(len(ld), np.int64), np.zeros(len(ld), np.int64)
+                )
         details, total = [], 0.0
         if cq.match_all and not (cq.musts or cq.filters):
             total += float(np.float32(cq.match_all_score))
@@ -338,9 +382,65 @@ class IndexSearcher:
 
     # ---- internals ----
 
+    def _points_rows(self, point_qs, cols) -> list[DataFrame]:
+        """PointRangeQuery doc sets as per-segment constant pseudo-
+        postings rows.  One pushed-down docmeta scan per point clause
+        (parquet min/max stats prune row groups — the BKD analog); the
+        result unions into the same kernel input, so booleans over
+        points need no special kernel path."""
+        from ..functions.codec import encode_term_postings
+        from .segments import SEGMENT_SCHEMA, _SEG_COLS
+
+        meta = self.spark.read.parquet(self.docmeta_path)
+        seg_size = self.cfg.segment_size
+        outs = []
+        for q in sorted(point_qs, key=lambda x: x.token_key()):
+            c = F.col(q.field)
+            sel = meta
+            if q.lower is not None:
+                sel = sel.filter(c >= q.lower if q.include_lower else c > q.lower)
+            if q.upper is not None:
+                sel = sel.filter(c <= q.upper if q.include_upper else c < q.upper)
+            sel = sel.select("segment_id", "doc_id")
+
+            def make_pack(key):
+                def pack(kv, pdf: pd.DataFrame) -> pd.DataFrame:
+                    seg_id = int(kv[0])
+                    local = (
+                        np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
+                        - seg_id * seg_size
+                    )
+                    tp = encode_term_postings(
+                        local,
+                        np.ones(len(local), dtype=np.int64),
+                        np.zeros(len(local), dtype=np.int64),
+                    )
+                    return pd.DataFrame(
+                        [(
+                            seg_id, key, tp.df, tp.ttf,
+                            tp.singleton_doc, tp.singleton_freq,
+                            tp.doc_blocks, tp.doc_block_offsets.tolist(),
+                            tp.freq_blocks, tp.freq_block_offsets.tolist(),
+                            b"", [],
+                            tp.block_last_docs.tolist(),
+                            tp.impacts_flat.tolist(), tp.impacts_offsets.tolist(),
+                        )],
+                        columns=_SEG_COLS,
+                    )
+
+                return pack
+
+            outs.append(
+                sel.groupby("segment_id")
+                .applyInPandas(make_pack(q.token_key()), schema=SEGMENT_SCHEMA)
+                .select(*cols)
+            )
+        return outs
+
     def _run_segments(
         self, cq: CompiledQuery, terms: set[str], need_pos: bool, k: int | None,
-        score_mode: str, threshold: int,
+        score_mode: str, threshold: int, point_qs: set | frozenset = frozenset(),
+        min_competitive: float = 0.0, only_segment: int | None = None,
     ) -> DataFrame:
         seg_size = self.cfg.segment_size
         prune = score_mode == "top_scores"
@@ -354,11 +454,7 @@ class IndexSearcher:
         # ONE pushed-down scan fetches the query terms' postings AND the
         # per-segment sentinel norms row — a segment is self-contained,
         # so a query is: scan -> groupBy(segment) -> kernel -> merge.
-        if cq.match_all and not terms:
-            want = [SENTINEL_TERM]
-        elif cq.match_all:
-            want = list(terms) + [SENTINEL_TERM]
-        elif terms:
+        if cq.match_all or terms or point_qs:
             want = list(terms) + [SENTINEL_TERM]
         else:
             want = []
@@ -366,10 +462,10 @@ class IndexSearcher:
             seg_rows = self.segments.filter(F.lit(False)).select(*cols)
         else:
             seg_rows = self.segments.filter(F.col("term").isin(want)).select(*cols)
-        if not cq.match_all and terms:
-            # segments where ONLY the sentinel matched are dropped in
-            # the kernel (no query term present there)
-            pass
+        for pdf_rows in self._points_rows(point_qs, cols):
+            seg_rows = seg_rows.unionByName(pdf_rows)
+        if only_segment is not None:
+            seg_rows = seg_rows.filter(F.col("segment_id") == only_segment)
 
         def kernel(key, seg_pdf: pd.DataFrame) -> pd.DataFrame:
             seg_id = int(key[0])
@@ -390,7 +486,7 @@ class IndexSearcher:
             pmap = rows_to_posting_map(post_rows)
             res = score_segment(
                 pmap, norms, cq, k, total_hits_threshold=threshold,
-                prune=prune, num_docs=num_docs,
+                prune=prune, num_docs=num_docs, min_competitive=min_competitive,
             )
             base = seg_id * seg_size
             return pd.DataFrame(

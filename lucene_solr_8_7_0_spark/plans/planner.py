@@ -24,6 +24,7 @@ from .queries import (
     MatchNoDocsQuery,
     Occur,
     PhraseQuery,
+    PointRangeQuery,
     Query,
     TermQuery,
 )
@@ -61,6 +62,27 @@ def collect_terms(q: Query) -> set[str]:
     return set()
 
 
+def collect_point_queries(q: Query) -> set[PointRangeQuery]:
+    """All PointRangeQuery leaves — their doc sets are materialized
+    from the docmeta point index and fed to the kernel as constant
+    pseudo-postings (see IndexSearcher._points_rows)."""
+    if isinstance(q, PointRangeQuery):
+        return {q}
+    if isinstance(q, DisjunctionMaxQuery):
+        out: set[PointRangeQuery] = set()
+        for sub in q.queries:
+            out |= collect_point_queries(sub)
+        return out
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return collect_point_queries(q.query)
+    if isinstance(q, BooleanQuery):
+        out = set()
+        for c in q.clauses:
+            out |= collect_point_queries(c.query)
+        return out
+    return set()
+
+
 def has_phrase(q: Query) -> bool:
     if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
         return True
@@ -85,6 +107,12 @@ def _make_clause(
         return _make_clause(q.query, stats, term_stats, boost * q.boost, constant, scoring)
     if isinstance(q, ConstantScoreQuery):
         return _make_clause(q.query, stats, term_stats, boost, True, scoring)
+    if isinstance(q, PointRangeQuery):
+        # PointRangeQuery scores are constant (boost): the weight is a
+        # ConstantScoreWeight (PointRangeQuery.java:107)
+        return ScoringClause(
+            (q.token_key(),), None, const_score=(boost if scoring else 0.0)
+        )
     if isinstance(q, TermQuery):
         if constant or not scoring:
             return ScoringClause(
@@ -211,7 +239,7 @@ def compile_query(
             [], [], 1, combine="dismax", tie=q.tie_breaker,
         )
     if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery,
-                      BoostQuery, ConstantScoreQuery)):
+                      PointRangeQuery, BoostQuery, ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
         return CompiledQuery([clause], [], [], [], 0)
     if isinstance(q, BooleanQuery):

@@ -144,6 +144,36 @@ class FuzzyQuery(Query):
 
 
 @dataclass(frozen=True)
+class PointRangeQuery(Query):
+    """Numeric range over an indexed point field (PointRangeQuery.java,
+    IntPoint.newRangeQuery).  Spark-first analog: the docmeta table's
+    numeric columns are the point index — parquet row-group min/max
+    stats play the BKD tree's role, and the matching docs surface as a
+    constant-score per-segment posting list (IndexOrDocValuesQuery's
+    index side).  Scores are constant (boost), as in the reference."""
+
+    field: str
+    lower: float | int | None
+    upper: float | int | None
+    include_lower: bool = True
+    include_upper: bool = True
+
+    def token_key(self) -> str:
+        """Reserved pseudo-term carrying this filter's per-segment doc
+        set through the postings plumbing ('\\x01' sorts below every
+        real token but above the norms sentinel)."""
+        return (
+            f"\x01pts:{self.field}:{self.lower}:{self.upper}:"
+            f"{int(self.include_lower)}{int(self.include_upper)}"
+        )
+
+    def __str__(self) -> str:
+        lo = "[" if self.include_lower else "("
+        hi = "]" if self.include_upper else ")"
+        return f"{self.field}:{lo}{self.lower} TO {self.upper}{hi}"
+
+
+@dataclass(frozen=True)
 class TermRangeQuery(Query):
     lower: str | None
     upper: str | None

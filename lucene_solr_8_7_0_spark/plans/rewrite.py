@@ -29,6 +29,7 @@ from .queries import (
     MatchNoDocsQuery,
     Occur,
     PhraseQuery,
+    PointRangeQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -75,6 +76,16 @@ def _rewrite_once(q: Query, term_lookup) -> Query:
     if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
                       TermRangeQuery, TermInSetQuery)):
         return rewrite_multi_term(q, term_lookup)
+    if isinstance(q, PointRangeQuery):
+        if (
+            q.lower is not None
+            and q.upper is not None
+            and (q.lower > q.upper
+                 or (q.lower == q.upper
+                     and not (q.include_lower and q.include_upper)))
+        ):
+            return MatchNoDocsQuery("empty point range")
+        return q
     if isinstance(q, PhraseQuery):
         if len(q.terms) == 1:  # PhraseQuery.rewrite: single term unwraps
             return TermQuery(q.terms[0])

@@ -52,6 +52,48 @@ def full_and_split(spark, tmp_path_factory):
     return root, corpus, full_dir
 
 
+def test_tiered_merge_rounds_equal_full_build(spark, full_and_split):
+    """20 delta indexes merged with fan-in 4 (log-fan-in rounds,
+    TieredMergePolicy analog) answer identically to the one-shot build."""
+    from lucene_solr_8_7_0_spark.operators.merge import merge_indexes_tiered
+
+    root, corpus, full_dir = full_and_split
+    deltas = []
+    for i in range(20):
+        lo, hi = i * 13, min((i + 1) * 13, N)
+        part = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        d = str(root / f"delta{i:02d}")
+        build_index(spark, part, d, CFG, resume=False, precomputed_ids=True)
+        deltas.append(d)
+    out = str(root / "tiered")
+    rounds = merge_indexes_tiered(
+        spark, deltas, out, CFG, max_fan_in=4, work_dir=str(root / "tw")
+    )
+    assert len(rounds) >= 3  # 20 -> 5 -> 2 -> 1 (or similar), not one shot
+    s_full = IndexSearcher(spark, full_dir)
+    s_tiered = IndexSearcher(spark, out)
+    assert s_tiered.stats.num_docs == N
+    for q in _queries():
+        assert _results(s_full, q) == _results(s_tiered, q), str(q)
+
+
+def test_two_pass_shared_threshold_identical(spark, full_and_split):
+    """Cross-segment min-competitive sharing returns identical results
+    (MaxScoreAccumulator analog; strict-floor pruning is lossless)."""
+    _, _, full_dir = full_and_split
+    s = IndexSearcher(spark, full_dir)
+    for q in [
+        Q.TermQuery("public"),
+        Q.term_or(["public", "return", "import"], 1),
+        Q.term_and(["public", "return"]),
+    ]:
+        for k in (1, 3, 10):
+            a = s.search(q, k=k, total_hits_threshold=1)
+            b = s.search(q, k=k, total_hits_threshold=1, two_pass_threshold=True)
+            assert a.doc_ids.tolist() == b.doc_ids.tolist(), (str(q), k)
+            np.testing.assert_array_equal(a.scores, b.scores)
+
+
 def test_incremental_merge_equals_full_build(spark, full_and_split):
     root, corpus, full_dir = full_and_split
     # split at a non-segment-aligned point: doc ids 0..149 | 150..259

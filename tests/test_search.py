@@ -246,6 +246,35 @@ def test_synonym_and_dismax(engine):
     assert_identical(searcher, oi, b.build())
 
 
+def test_point_range_query(engine):
+    """PointRangeQuery over the docmeta length column: constant-score
+    doc sets composed with term clauses inside the kernel."""
+    searcher, oi = engine
+    med = int(np.median(oi.lengths))
+    # standalone numeric range (constant score 1.0)
+    pq = Q.PointRangeQuery("length", med, None)
+    td, exp = assert_identical(searcher, oi, pq, k=5)
+    assert (td.scores == np.float32(1.0)).all()
+    # default threshold (1000 > corpus) -> exact hit count
+    assert searcher.search(pq, k=5).total_hits == int((oi.lengths >= med).sum())
+    # term MUST + numeric FILTER (the classic filtered search)
+    b = Q.Builder()
+    b.add(Q.TermQuery("public"), Q.Occur.MUST)
+    b.add(Q.PointRangeQuery("length", None, med, include_upper=False), Q.Occur.FILTER)
+    assert_identical(searcher, oi, b.build())
+    # exclusive bounds + boolean NOT
+    b = Q.Builder()
+    b.add(Q.PointRangeQuery("length", 0, med), Q.Occur.MUST)
+    b.add(Q.TermQuery("public"), Q.Occur.MUST_NOT)
+    assert_identical(searcher, oi, b.build())
+    # empty range rewrites to MatchNoDocs
+    td = searcher.search(Q.PointRangeQuery("length", 10, 5), k=3)
+    assert td.total_hits == 0
+    # matches_df agrees with a direct docmeta count
+    n = searcher.matches_df(Q.PointRangeQuery("length", med, None)).count()
+    assert n == int((oi.lengths >= med).sum())
+
+
 def test_multi_term_no_truncation(spark, tmp_path_factory):
     """Wildcard/regexp/fuzzy expansion over a term dict far larger than
     MAX_CLAUSE_COUNT: matches are found exactly (no arbitrary limit
