@@ -344,6 +344,22 @@ def _q_simhash_near_dups(spark, sf_dir):
     )
 
 
+def _q_media_stats(spark, sf_dir):
+    """Multimodal plumbing under the oracle: text bytes as an opaque
+    binary media column -> JVM-side type sniff + size stats."""
+    from lucene_solr_8_7_0_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("media")
+    )
+    out = mm.media_stats(mm.sniff_media_type(docs))
+    return out.select(
+        "doc_id",
+        F.col("media_bytes").cast("int").alias("media_bytes"),
+        "media_type",
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     return textstats.language_id(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "hits_en", "lang_guess"
@@ -379,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id": _q_lang_id,
+        "media_stats": _q_media_stats,
     }
 
 
@@ -536,6 +553,11 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
                    neighbor_id
             FROM sims QUALIFY rank <= 5""",
+        "media_stats": """
+            SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_bytes,
+                   'application/octet-stream' AS media_type
+            FROM documents""",
         "lang_id": f"""
             SELECT d.doc_id,
                    CAST(coalesce(t.n, 0) AS INT) AS n_tokens,

@@ -42,6 +42,9 @@ class EngineConfig:
     analyzer: str = "standard"  # "standard" | "simple"
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     index_positions: bool = True
+    # StopFilter stop set (position-hole semantics); empty = the
+    # StandardAnalyzer() default (StandardAnalyzer.java:51-53)
+    stopwords: tuple = ()
 
     # --- physical layout (never affects results) ---
     # Docs per segment.  Segment boundaries are a pure function of the

@@ -84,8 +84,17 @@ def analyze_batch(
     texts: pd.Series,
     analyzer: str = "standard",
     max_token_length: int = 255,
+    stopwords=(),
 ) -> TokenBatch:
-    """Tokenize a batch of documents into flat columnar token arrays."""
+    """Tokenize a batch of documents into flat columnar token arrays.
+
+    ``stopwords``: StopFilter with Lucene's position-hole semantics
+    (StopFilter.java:28,106 via FilteringTokenFilter: the removed
+    token's position increment accumulates onto the next kept token, so
+    phrases never match "across" a stopword at slop 0); stopped tokens
+    do not reach the indexing chain, so they don't count toward the
+    field length.  Filtering runs AFTER LowerCaseFilter, matching
+    StandardAnalyzer's chain order."""
     n = len(texts)
     token_lists = _extract(texts, analyzer)
     counts = token_lists.str.len().to_numpy(dtype=np.int64)
@@ -107,19 +116,22 @@ def analyze_batch(
     )
     # Over-long tokens: dropped, position-consuming, not length-counted.
     keep = (flat.str.len() <= max_token_length).to_numpy(dtype=bool)
+    if analyzer == "standard":
+        flat = flat.str.lower()
+    if stopwords:
+        keep &= ~flat.isin(frozenset(stopwords)).to_numpy(dtype=bool)
     if not keep.all():
         flat = flat[keep].reset_index(drop=True)
         doc_idx = doc_idx[keep]
         positions = positions[keep]
-    if analyzer == "standard":
-        flat = flat.str.lower()
     doc_lengths = np.bincount(doc_idx, minlength=n).astype(np.int64)
     return TokenBatch(doc_idx, flat, positions, doc_lengths)
 
 
 def tokenize_text(
-    text: str, analyzer: str = "standard", max_token_length: int = 255
+    text: str, analyzer: str = "standard", max_token_length: int = 255,
+    stopwords=(),
 ) -> list[str]:
     """Convenience scalar path (query analysis, tests)."""
-    batch = analyze_batch(pd.Series([text]), analyzer, max_token_length)
+    batch = analyze_batch(pd.Series([text]), analyzer, max_token_length, stopwords)
     return batch.terms.tolist()

@@ -196,6 +196,7 @@ def build_index(
                 "max_token_length": cfg.max_token_length,
                 "index_positions": cfg.index_positions,
                 "segment_size": cfg.segment_size,
+                "stopwords": list(cfg.stopwords),
             },
             f,
         )

@@ -34,10 +34,11 @@ def invert(docs: DataFrame, cfg: EngineConfig, content_col: str = "content") -> 
     analyzer = cfg.analyzer
     max_len = cfg.max_token_length
     index_positions = cfg.index_positions
+    stopwords = tuple(cfg.stopwords)
 
     def run(batches):
         for pdf in batches:
-            tb = analyze_batch(pdf[content_col], analyzer, max_len)
+            tb = analyze_batch(pdf[content_col], analyzer, max_len, stopwords)
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             if len(tb.terms) == 0:
                 agg = pd.DataFrame(

@@ -184,6 +184,7 @@ def merge_indexes(
                 "max_token_length": cfg.max_token_length,
                 "index_positions": cfg.index_positions,
                 "segment_size": cfg.segment_size,
+                "stopwords": list(cfg.stopwords),
             },
             f,
         )

@@ -84,3 +84,63 @@ def test_null_safety():
     batch = analyze_batch(pd.Series([None, "a"]))
     assert batch.terms.tolist() == ["a"]
     assert batch.doc_lengths.tolist() == [0, 1]
+
+
+def test_stop_filter_position_holes():
+    """StopFilter semantics (StopFilter.java:28,106): stopped tokens
+    are removed, leave position holes, and don't count toward length."""
+    batch = analyze_batch(
+        pd.Series(["The quick THE fox", "the the the"]),
+        analyzer="standard",
+        stopwords=("the",),
+    )
+    assert batch.terms.tolist() == ["quick", "fox"]
+    # positions keep the holes: quick@1, fox@3
+    assert batch.positions.tolist() == [1, 3]
+    # field lengths count only kept tokens
+    assert batch.doc_lengths.tolist() == [2, 0]
+    # stop filtering runs after lowercasing (chain order)
+    batch2 = analyze_batch(
+        pd.Series(["THE Quick"]), analyzer="standard", stopwords=("the",)
+    )
+    assert batch2.terms.tolist() == ["quick"]
+
+
+def test_stop_filter_end_to_end(spark, tmp_path_factory):
+    """Phrases never match across a stopword hole at slop 0; the hole
+    is bridgeable with slop 1 (Lucene position-increment behavior)."""
+    import pandas as _pd
+    from lucene_solr_8_7_0_spark.config import EngineConfig
+    from lucene_solr_8_7_0_spark.operators.build import build_index
+    from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+    from lucene_solr_8_7_0_spark.plans import queries as Q
+
+    rows = [
+        ("r", "000", "c", "txt", "quick the fox runs"),
+        ("r", "001", "c", "txt", "quick fox sleeps"),
+        ("r", "002", "c", "txt", "the the the fox"),
+    ]
+    docs = spark.createDataFrame(
+        _pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    )
+    d = str(tmp_path_factory.mktemp("stopidx"))
+    cfg = EngineConfig(analyzer="simple", segment_size=8, stopwords=("the",))
+    build_index(spark, docs, d, cfg)
+    s = IndexSearcher(spark, d)
+    # 'the' left no postings at all
+    assert s.termdict.filter("term = 'the'").count() == 0
+    # exact phrase does NOT bridge the hole
+    assert s.matches_df(Q.PhraseQuery(("quick", "fox"))).toPandas()[
+        "doc_id"
+    ].tolist() == [1]
+    # slop 1 bridges it
+    got = sorted(
+        s.matches_df(Q.PhraseQuery(("quick", "fox"), slop=1)).toPandas()["doc_id"]
+    )
+    assert got == [0, 1]
+    # norm lengths exclude stopped tokens (doc 2: only 'fox' remains)
+    meta = spark.read.parquet(s.docmeta_path).toPandas().set_index("doc_id")
+    assert meta.loc[2, "length"] == 1
+    # the stop set persists with the index and survives reload
+    s2 = IndexSearcher(spark, d)
+    assert tuple(s2.cfg.stopwords) == ("the",)

@@ -205,3 +205,49 @@ def test_winnowing_detects_containment(spark):
     overlap_near = len(f1 & f2) / max(len(f1 | f2), 1)
     overlap_far = len(f1 & f3) / max(len(f1 | f3), 1)
     assert overlap_near > 0.5 > overlap_far
+
+
+def test_multimodal_columns(spark):
+    """Binary media columns: JVM-side type sniffing, vectorized byte
+    features, fake-decode plumbing, frame sampling shapes."""
+    import pytest as _pytest
+    from lucene_solr_8_7_0_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (0, b"\x89PNG\r\n\x1a\n" + rng.bytes(500)),
+        (1, b"\xff\xd8\xff\xe0" + rng.bytes(300)),
+        (2, b"RIFF" + rng.bytes(100)),
+        (3, b"\x00\x00\x00\x18ftypmp42" + rng.bytes(40000)),
+        (4, rng.bytes(64)),
+        (5, b""),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, media binary")
+    typed = mm.sniff_media_type(docs).toPandas().set_index("doc_id")["media_type"]
+    assert typed[0] == "image/png"
+    assert typed[1] == "image/jpeg"
+    assert typed[2] == "audio/wav"
+    assert typed[3] == "video/mp4"
+    assert typed[4] == "application/octet-stream"
+    stats = mm.media_stats(docs).toPandas().set_index("doc_id")
+    assert stats.loc[3, "media_bytes"] == 8 + 40000 + 4
+    # byte-histogram features: fixed width, L1-normalized, deterministic
+    f = mm.byte_histogram_features(docs, bins=64).toPandas().set_index("doc_id")
+    v0 = np.asarray(f.loc[0, "features"], dtype=np.float32)
+    assert v0.shape == (64,) and abs(v0.sum() - 1.0) < 1e-3
+    assert np.asarray(f.loc[5, "features"]).sum() == 0  # empty blob
+    f2 = mm.byte_histogram_features(docs, bins=64).toPandas().set_index("doc_id")
+    assert list(f.loc[0, "features"]) == list(f2.loc[0, "features"])
+    # real decode is honestly gated (PIL absent here)
+    with _pytest.raises(NotImplementedError):
+        mm.decode_images(docs)
+    # fake decode: stable pixels, right shape
+    px = mm.fake_decode_images(docs, size=(8, 8)).toPandas().set_index("doc_id")
+    assert len(px.loc[0, "pixels"]) == 64
+    px2 = mm.fake_decode_images(docs, size=(8, 8)).toPandas().set_index("doc_id")
+    assert list(px.loc[0, "pixels"]) == list(px2.loc[0, "pixels"])
+    # frame sampling: one row per sampled fixed-size window
+    fr = mm.sample_frames(docs, frame_bytes=4096, every_n=2).toPandas()
+    vid = fr[fr.doc_id == 3]
+    assert vid["frame_index"].tolist() == [0, 2, 4, 6, 8]
+    assert all(len(b) == 4096 for b in vid["frame"].iloc[:-1])
