@@ -152,6 +152,16 @@ def _q_prefix_match(spark, sf_dir):
     return _orig_ids(s, s.matches_df(Q.PrefixQuery("va"))).select("doc_id")
 
 
+def _q_parsed_query(spark, sf_dir):
+    """QueryParser surface: classic syntax -> IR -> kernel, verified
+    against the equivalent hand-built boolean's SQL oracle."""
+    from lucene_solr_8_7_0_spark.cli import parse_query_string
+
+    s = _searcher(spark, sf_dir)
+    q = parse_query_string('+data "data join" -vector batc*')
+    return _orig_ids(s, s.matches_df(q)).select("doc_id")
+
+
 def _q_merged_bool_and(spark, sf_dir):
     """The merge path under the oracle: build a base index over the
     first half of the corpus, add_documents the second half (delta
@@ -331,6 +341,20 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN (scale path) — rows-only check;
+    full-probe-equals-exact and recall are asserted in tests/."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_pdf = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    return ann.ivf_topk(
+        emb, queries_pdf, k=5, n_centroids=32, n_probe=12, seed=42
+    ).select("query_id", "rank", "neighbor_id")
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     return dedup.minhash_dedup(
         _docs(spark, sf_dir), threshold=0.5
@@ -377,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_slop": _q_phrase_slop,
         "range_filter": _q_range_filter,
+        "parsed_query": _q_parsed_query,
         "merged_bool_and": _q_merged_bool_and,
         "multi_phrase": _q_multi_phrase,
         "prefix_match": _q_prefix_match,
@@ -392,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id": _q_lang_id,
@@ -485,6 +511,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
                AND count(*) BETWEEN 60 AND 120""",
+        "parsed_query": f"""
+            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
+            HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) = 0""",
         "merged_bool_and": f"""
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2""",

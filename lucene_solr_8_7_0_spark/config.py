@@ -47,6 +47,12 @@ class EngineConfig:
     stopwords: tuple = ()
 
     # --- physical layout (never affects results) ---
+    # Tokenizer execution backend: "jvm" runs the analyzer regex inside
+    # whole-stage codegen (scales with executor threads, no Python
+    # allocation); "python" is the Arrow-UDF path.  Token-identical by
+    # construction (tests assert full-index equality) — a physical
+    # knob, not a semantic one.
+    tokenize_backend: str = "jvm"
     # Docs per segment.  Segment boundaries are a pure function of the
     # global doc id (segment_id = doc_id // segment_size), so the index
     # contents are identical at any cluster size.

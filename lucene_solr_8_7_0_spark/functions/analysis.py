@@ -39,7 +39,13 @@ from typing import NamedTuple
 import numpy as np
 import pandas as pd
 
-__all__ = ["TokenBatch", "analyze_batch", "tokenize_text", "ANALYZERS"]
+__all__ = [
+    "TokenBatch",
+    "analyze_batch",
+    "jvm_token_array",
+    "tokenize_text",
+    "ANALYZERS",
+]
 
 _HAN = "⺀-⿿㐀-䶿一-鿿豈-﫿"
 _W = rf"(?:(?![{_HAN}])\w)"  # word char excluding CJK ideographs
@@ -60,6 +66,32 @@ STANDARD_TOKEN_RE = re.compile(STANDARD_TOKEN_PATTERN, re.UNICODE)
 SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 
 ANALYZERS = {"standard": "standard", "simple": "simple"}
+
+
+def jvm_token_array(content_col: str, analyzer: str):
+    """Tokenization as a JVM Column (array<string>) — whole-stage
+    codegen, zero Python.  This is the hot-path tokenizer: Python
+    workers pay the VM's serialized allocation path per batch, while
+    the JVM regex scales across executor threads.
+
+    Parity contract with analyze_batch (asserted by tests on golden +
+    randomized corpora): 'simple' lowers then extracts [a-z0-9_]+;
+    'standard' runs the same UAX#29-subset pattern under Java regex
+    with (?U) (UNICODE_CHARACTER_CLASS makes \\w match Python's) and
+    returns RAW (un-lowered) tokens — the caller lowercases AFTER the
+    max-token-length filter, exactly like the Python chain measures
+    length pre-lowercase."""
+    from pyspark.sql import functions as F
+
+    if analyzer == "simple":
+        return F.regexp_extract_all(
+            F.lower(F.col(content_col)), F.lit(SIMPLE_TOKEN_RE.pattern), F.lit(0)
+        )
+    if analyzer == "standard":
+        return F.regexp_extract_all(
+            F.col(content_col), F.lit("(?U)" + STANDARD_TOKEN_PATTERN), F.lit(0)
+        )
+    raise ValueError(f"unknown analyzer {analyzer!r}")
 
 
 class TokenBatch(NamedTuple):

@@ -36,6 +36,7 @@ from . import docids, invert, stats as stats_ops
 from .segments import (
     SENTINEL_TERM,
     encode_segments_fused,
+    encode_segments_fused_tokens,
     lengths_from_segments,
     norms_from_segments,
 )
@@ -120,8 +121,12 @@ def build_index(
     # -- stage: segments (fused tokenize -> shuffle -> encode) --------------
     t0 = time.time()
     if stage("segments"):
-        inverted = invert.invert(docs_ids, cfg, content_col)
-        encoded = encode_segments_fused(inverted, cfg)
+        if cfg.tokenize_backend == "jvm":
+            tokens = invert.invert_tokens(docs_ids, cfg, content_col)
+            encoded = encode_segments_fused_tokens(tokens, cfg)
+        else:
+            inverted = invert.invert(docs_ids, cfg, content_col)
+            encoded = encode_segments_fused(inverted, cfg)
         _write(encoded, index_dir, "segments", sort_cols=["segment_id", "term"])
         record(
             "segments", time.time() - t0,

@@ -84,6 +84,50 @@ def invert(docs: DataFrame, cfg: EngineConfig, content_col: str = "content") -> 
     return docs.select("doc_id", content_col).mapInPandas(run, schema=POSTINGS_SCHEMA)
 
 
+TOKENS_SCHEMA = "doc_id bigint, pos int, term string"
+
+
+def invert_tokens(
+    docs: DataFrame, cfg: EngineConfig, content_col: str = "content"
+) -> DataFrame:
+    """JVM-side inversion input: one row per token (doc_id, pos, term)
+    plus one DOC_MARKER row per document — produced WITHOUT any Python.
+
+    This replaces the Arrow-UDF tokenize for the build hot path: the
+    regex + posexplode run inside whole-stage codegen and scale with
+    JVM threads (the Python tokenizer showed NEGATIVE core scaling on
+    allocation-throttled hosts).  The (doc, term) aggregation that
+    invert() did map-side moves into the segment-encode kernel, which
+    already sorts the group — so the plan stays ONE tokenize and ONE
+    shuffle, with the shuffle carrying per-token rows.
+
+    The marker is appended to each doc's token array before the
+    explode, so empty docs still surface (their segment must know they
+    exist for norms and MatchAllDocs) and the corpus is scanned once.
+    Filters mirror the Python chain order exactly: max_token_length on
+    the RAW token, then lowercase, then the stop set."""
+    from ..functions.analysis import jvm_token_array
+
+    toks = F.coalesce(jvm_token_array(content_col, cfg.analyzer), F.array())
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(F.concat(toks, F.array(F.lit(DOC_MARKER)))).alias(
+            "pos", "term"
+        ),
+    )
+    is_marker = F.col("term") == DOC_MARKER
+    out = exploded.filter(
+        is_marker | (F.length("term") <= cfg.max_token_length)
+    )
+    if cfg.analyzer == "standard":
+        out = out.withColumn("term", F.lower(F.col("term")))
+    if cfg.stopwords:
+        out = out.filter(
+            is_marker | ~F.col("term").isin(list(cfg.stopwords))
+        )
+    return out
+
+
 def split_postings(inverted: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split the combined stream into (postings, doc_lengths)."""
     postings = inverted.filter(F.col("term") != DOC_MARKER)

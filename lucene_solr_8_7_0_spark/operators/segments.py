@@ -68,6 +68,7 @@ def _encode_all_terms(
     freqs_all: np.ndarray,
     norm_arr: np.ndarray,
     pos_col,
+    pos_flat: np.ndarray | None = None,
 ) -> list[tuple]:
     """Encode EVERY term of a segment in one batched pass.
 
@@ -88,7 +89,7 @@ def _encode_all_terms(
     df_t = np.diff(boundaries)
     norms_all = norm_arr[docs_all]
     ttf_t = np.add.reduceat(freqs_all, boundaries[:-1])
-    has_pos = pos_col is not None
+    has_pos = pos_col is not None or pos_flat is not None
     # singleton pulsing (Lucene84PostingsWriter singletonDocID) applies
     # only to builds without positions, mirroring the scalar encoder
     singleton = (df_t == 1) & (not has_pos)
@@ -117,12 +118,15 @@ def _encode_all_terms(
     )
     last_docs = m_docs[last_idx].astype(np.int32)
     if has_pos:
-        pv = pos_col.to_numpy()
-        pos_all = (
-            np.concatenate(pv).astype(np.int64, copy=False)
-            if len(pv)
-            else np.empty(0, np.int64)
-        )
+        if pos_flat is not None:
+            pos_all = np.ascontiguousarray(pos_flat, dtype=np.int64)
+        else:
+            pv = pos_col.to_numpy()
+            pos_all = (
+                np.concatenate(pv).astype(np.int64, copy=False)
+                if len(pv)
+                else np.empty(0, np.int64)
+            )
         # per-doc delta encoding: reset at every posting's first position
         pdelta = pos_all.copy()
         pdelta[1:] -= pos_all[:-1]
@@ -203,6 +207,81 @@ def encode_segment_group(
         )
     )
     return pd.DataFrame(rows, columns=_SEG_COLS)
+
+
+def encode_segment_group_tokens(
+    seg_id: int,
+    pdf: pd.DataFrame,
+    seg_size: int,
+    index_positions: bool,
+) -> pd.DataFrame:
+    """Encode one segment directly from the per-token stream produced
+    by invert_tokens: the (doc, term) aggregation happens HERE, inside
+    the group the shuffle already built, via one lexsort + run-length
+    pass — the map-side Python aggregation is gone entirely."""
+    base = seg_id * seg_size
+    term_np = pdf["term"].to_numpy()
+    docs_np = pdf["doc_id"].to_numpy(dtype=np.int64) - base
+    is_marker = term_np == DOC_MARKER
+    mdocs = docs_np[is_marker]
+    n = int(mdocs.max()) + 1 if len(mdocs) else 0
+    kept_docs = docs_np[~is_marker]
+    lengths = np.bincount(kept_docs, minlength=max(n, 1)).astype(np.int64)
+    norm_arr = int_to_byte4_np(lengths)
+    rows: list[tuple] = []
+    if len(kept_docs):
+        kept_terms = term_np[~is_marker]
+        kept_pos = pdf["pos"].to_numpy(dtype=np.int64)[~is_marker]
+        codes, uniques = pd.factorize(kept_terms, sort=False)
+        order = np.lexsort((kept_pos, kept_docs, codes))
+        c_s, d_s, p_s = codes[order], kept_docs[order], kept_pos[order]
+        change = np.empty(len(c_s), dtype=bool)
+        change[0] = True
+        change[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(change)
+        freqs_all = np.diff(np.append(starts, len(c_s)))
+        docs_all = d_s[starts]
+        pcodes = c_s[starts]
+        tchange = np.empty(len(starts), dtype=bool)
+        tchange[0] = True
+        tchange[1:] = pcodes[1:] != pcodes[:-1]
+        tstarts = np.flatnonzero(tchange)
+        boundaries = np.append(tstarts, len(starts)).astype(np.int64)
+        rows = _encode_all_terms(
+            seg_id,
+            uniques[pcodes[tstarts]],
+            boundaries,
+            docs_all,
+            freqs_all,
+            norm_arr,
+            pos_col=None,
+            pos_flat=(p_s if index_positions else None),
+        )
+    rows.append(
+        (
+            seg_id, SENTINEL_TERM, n, int(lengths[:n].sum()) if n else 0,
+            -1, 0,
+            norm_arr[:n].astype(np.uint8).tobytes(), [],
+            lengths[:n].astype("<i8").tobytes(), [],
+            b"", [],
+            [], [], [],
+        )
+    )
+    return pd.DataFrame(rows, columns=_SEG_COLS)
+
+
+def encode_segments_fused_tokens(tokens: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Per-token stream (invert_tokens) -> complete segment rows."""
+    seg_size = cfg.segment_size
+    index_positions = cfg.index_positions
+    p = tokens.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
+    )
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_segment_group_tokens(int(key[0]), pdf, seg_size, index_positions)
+
+    return p.groupby("segment_id").applyInPandas(encode, schema=SEGMENT_SCHEMA)
 
 
 def encode_segments_fused(inverted: DataFrame, cfg: EngineConfig) -> DataFrame:

@@ -15,6 +15,14 @@ def get_spark(
 ) -> SparkSession:
     """Build a local session.  On a real cluster, spark-submit conf wins;
     these defaults only matter for local[...] runs (tests, bench)."""
+    # glibc tuning for the Arrow/numpy workers (they inherit this env):
+    # keep large buffers on the reusable main heap instead of
+    # mmap/munmap per allocation.  Hosts that throttle the mmap
+    # page-fault path serialize concurrent workers otherwise; measured
+    # here: ~7x single-worker allocation throughput and materially
+    # better multi-worker scaling (see BENCH.md hardware envelope).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -31,7 +39,7 @@ def get_spark(
         # everything into 1-2 map tasks and the Python-UDF tokenize
         # stage cannot use the cores (cluster deployments with real
         # file sizes don't need it)
-        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "1m")
         # keep AQE-coalesced shuffle partitions fine-grained enough for
         # the Arrow-UDF encode stage

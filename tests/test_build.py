@@ -140,3 +140,93 @@ def test_resume_skips_completed_stages(spark, built):
     assert set(res2.stages_skipped) == {
         "docs", "docmeta", "norms", "stats", "segments", "termdict"
     }
+
+
+def test_jvm_tokenizer_parity_with_python(spark):
+    """jvm_token_array must be token-identical to analyze_batch on
+    golden cases (unicode, CJK, joiners, overlong) for both analyzers."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from lucene_solr_8_7_0_spark.functions.analysis import (
+        analyze_batch,
+        jvm_token_array,
+    )
+
+    golden = [
+        "Lucene 8.7.0 search-engine", "216.239.63.104 IP",
+        "4,600 dogs,chase,cats", "O'Reilly can't won't",
+        "foo_bar BAZ_1 x-y", "我是中 mixed 中文 text",
+        "naïve café résumé", "a.b c.d 1.2", "don’t 21.35",
+        "under_score__double", "", "UPPER lower MiXeD",
+        "semi;colon 1;2", "colon:sep a:b 1:2", "x" * 300 + " ok",
+        "Ω≈ç√ unicode ∂elta", None,
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(golden)), "content": golden})
+    )
+    for analyzer in ("simple", "standard"):
+        got = (
+            df.select(
+                "i",
+                F.coalesce(jvm_token_array("content", analyzer), F.array()).alias("t"),
+            )
+            .orderBy("i")
+            .toPandas()
+        )
+        for i, s in enumerate(golden):
+            jvm = [
+                x.lower() for x in got.loc[i, "t"] if len(x) <= 255
+            ]
+            py = analyze_batch(pd.Series([s]), analyzer).terms.tolist()
+            assert jvm == py, (analyzer, s, jvm[:5], py[:5])
+
+
+def test_jvm_build_equals_python_build(spark, tmp_path_factory):
+    """Full-index equality: the JVM tokenize backend produces a
+    byte-identical segments table to the Python Arrow-UDF backend
+    (same postings, norms, impacts, positions), for both analyzers and
+    with stopwords."""
+    import pandas as pd
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "naïve café 中文 text with Ω unicode",
+        "a.b.c 1.2.3 O'Reilly foo_bar",
+        "", "the the the",
+        "repeat repeat repeat token stream " * 8,
+    ]
+    rows = [("r", f"{i:03d}", "c", "t", t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    )
+    for analyzer in ("standard", "simple"):
+        for stop in ((), ("the",)):
+            dirs = {}
+            for backend in ("jvm", "python"):
+                d = str(tmp_path_factory.mktemp(f"be_{backend}_{analyzer}"))
+                cfg = EngineConfig(
+                    analyzer=analyzer, segment_size=4, stopwords=stop,
+                    tokenize_backend=backend,
+                )
+                build_index(spark, docs, d, cfg, resume=False)
+                dirs[backend] = d
+            for table in ("segments", "docmeta", "stats", "termdict"):
+                a = (
+                    spark.read.parquet(f"{dirs['jvm']}/{table}")
+                    .toPandas()
+                    .sort_values(
+                        [c for c in ("segment_id", "term", "doc_id")
+                         if c in spark.read.parquet(f"{dirs['jvm']}/{table}").columns],
+                        ignore_index=True,
+                    )
+                )
+                b = (
+                    spark.read.parquet(f"{dirs['python']}/{table}")
+                    .toPandas()
+                    .sort_values(
+                        [c for c in ("segment_id", "term", "doc_id")
+                         if c in spark.read.parquet(f"{dirs['python']}/{table}").columns],
+                        ignore_index=True,
+                    )
+                )
+                pd.testing.assert_frame_equal(a, b), (analyzer, stop, table)

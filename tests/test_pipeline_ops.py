@@ -251,3 +251,36 @@ def test_multimodal_columns(spark):
     vid = fr[fr.doc_id == 3]
     assert vid["frame_index"].tolist() == [0, 2, 4, 6, 8]
     assert all(len(b) == 4096 for b in vid["frame"].iloc[:-1])
+
+
+def test_ann_ivf(spark):
+    """IVF coarse-quantized ANN: full-probe degrades to exact brute
+    force (recall 1.0), partial probe keeps useful recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    exact = ann.brute_force_topk(emb, queries, k=5).toPandas()
+    cents = ann.train_ivf_centroids(emb, n_centroids=16, seed=7)
+    assert cents.shape[1] == 64
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+    # full probe == exact (set equality per query)
+    full = ann.ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=16, centroids=cents
+    ).toPandas()
+    for qid in queries["query_id"]:
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        g = set(full[full.query_id == qid]["neighbor_id"])
+        assert e == g, qid
+    # partial probe: bounded work, decent recall
+    approx = ann.ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=6, centroids=cents
+    ).toPandas()
+    recalls = []
+    for qid in queries["query_id"]:
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    assert np.mean(recalls) >= 0.4, recalls
