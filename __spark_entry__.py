@@ -192,6 +192,28 @@ def _q_merged_bool_and(spark, sf_dir):
     return _orig_ids(s, s.matches_df(Q.term_and(["data", "join"]))).select("doc_id")
 
 
+def _q_deleted_match(spark, sf_dir):
+    """Live-docs: delete every 7th doc, re-run a term query — deleted
+    docs must vanish from the hit set (stats untouched until merge)."""
+    import shutil
+
+    from lucene_solr_8_7_0_spark.operators import deletes as dl
+
+    s0 = _searcher(spark, sf_dir)
+    key = hashlib.md5(f"{sf_dir}:deleted:v1".encode()).hexdigest()[:10]
+    d = f"/tmp/lucene_ps_del_{key}"
+    if key not in _SEARCHERS:
+        if not os.path.exists(os.path.join(d, "engine_config.json")):
+            shutil.copytree(s0.index_dir, d, dirs_exist_ok=True)
+            victims = spark.read.parquet(os.path.join(d, "docmeta")).filter(
+                F.col("doc_id") % 7 == 0
+            ).select("doc_id")
+            dl.delete_documents(spark, d, victims)
+        _SEARCHERS[key] = IndexSearcher(spark, d)
+    s = _SEARCHERS[key]
+    return _orig_ids(s, s.matches_df(Q.TermQuery("data"))).select("doc_id")
+
+
 def _q_range_filter(spark, sf_dir):
     """Numeric point range (docmeta length) AND a term — PointRangeQuery
     as FILTER composed with TermQuery in the kernel."""
@@ -402,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop": _q_phrase_slop,
         "range_filter": _q_range_filter,
         "parsed_query": _q_parsed_query,
+        "deleted_match": _q_deleted_match,
         "merged_bool_and": _q_merged_bool_and,
         "multi_phrase": _q_multi_phrase,
         "prefix_match": _q_prefix_match,
@@ -515,6 +538,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
                AND sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) = 0""",
+        "deleted_match": f"""
+            SELECT DISTINCT doc_id FROM ({_TOKS})
+            WHERE tok = 'data' AND doc_id % 7 != 0""",
         "merged_bool_and": f"""
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2""",

@@ -182,7 +182,7 @@ def cmd_bench_scaling(args) -> None:
             try:
                 walls.append(float(json.loads(line)["wall_s"]))
             except (json.JSONDecodeError, KeyError):
-                print(out.stderr[-2000:], file=sys.stderr)
+                print(out.stderr[-12000:], file=sys.stderr)
                 raise RuntimeError(f"build subprocess failed at cores={cores}")
             shutil.rmtree(idx, ignore_errors=True)
         best = min(walls)

@@ -36,7 +36,7 @@ from . import docids, invert, stats as stats_ops
 from .segments import (
     SENTINEL_TERM,
     encode_segments_fused,
-    encode_segments_fused_tokens,
+    encode_segments_fused_docarrays,
     lengths_from_segments,
     norms_from_segments,
 )
@@ -122,8 +122,8 @@ def build_index(
     t0 = time.time()
     if stage("segments"):
         if cfg.tokenize_backend == "jvm":
-            tokens = invert.invert_tokens(docs_ids, cfg, content_col)
-            encoded = encode_segments_fused_tokens(tokens, cfg)
+            doc_tokens = invert.invert_doc_arrays(docs_ids, cfg, content_col)
+            encoded = encode_segments_fused_docarrays(doc_tokens, cfg)
         else:
             inverted = invert.invert(docs_ids, cfg, content_col)
             encoded = encode_segments_fused(inverted, cfg)

@@ -87,6 +87,44 @@ def invert(docs: DataFrame, cfg: EngineConfig, content_col: str = "content") -> 
 TOKENS_SCHEMA = "doc_id bigint, pos int, term string"
 
 
+def invert_doc_arrays(
+    docs: DataFrame, cfg: EngineConfig, content_col: str = "content"
+) -> DataFrame:
+    """JVM-side inversion input, ONE ROW PER DOCUMENT:
+    (doc_id, terms array<string>, poss array<int>).
+
+    Same single shuffle as the per-token variant but ~20 bytes of row
+    overhead per TOKEN cheaper — at 10^8+ tokens the per-token rows
+    dominated shuffle volume and spilled.  Positions are the pre-filter
+    token indices (holes where the max-length/stop filters dropped a
+    token), chain order identical to analyze_batch: tokenize ->
+    length-filter (raw token) -> lowercase -> stop-filter.  Every doc
+    keeps its row (empty arrays), so segments see every doc without
+    marker rows."""
+    from ..functions.analysis import jvm_token_array
+
+    toks = F.coalesce(jvm_token_array(content_col, cfg.analyzer), F.array())
+    structs = F.transform(
+        toks, lambda x, i: F.struct(x.alias("t"), i.alias("p"))
+    )
+    kept = F.filter(
+        structs, lambda s: F.length(s["t"]) <= cfg.max_token_length
+    )
+    if cfg.analyzer == "standard":
+        kept = F.transform(
+            kept, lambda s: F.struct(F.lower(s["t"]).alias("t"), s["p"].alias("p"))
+        )
+    if cfg.stopwords:
+        kept = F.filter(
+            kept, lambda s: ~s["t"].isin(*[str(w) for w in cfg.stopwords])
+        )
+    return docs.select(
+        "doc_id",
+        F.transform(kept, lambda s: s["t"]).alias("terms"),
+        F.transform(kept, lambda s: s["p"]).alias("poss"),
+    )
+
+
 def invert_tokens(
     docs: DataFrame, cfg: EngineConfig, content_col: str = "content"
 ) -> DataFrame:

@@ -382,17 +382,42 @@ class IndexSearcher:
 
     # ---- internals ----
 
+    def _has_deletes(self) -> bool:
+        """Live-docs check (cheap, per query — deletes may land after
+        this searcher was opened, like reopening a del generation)."""
+        import os as _os
+
+        return _os.path.exists(
+            _os.path.join(self.index_dir, "deletes", "_SUCCESS")
+        )
+
+    def _deleted_clause_and_rows(self, cols):
+        """(MUST_NOT clause, per-segment mask rows) for deleted docs —
+        the live-docs bitset as a pseudo-posting (operators/deletes)."""
+        from ..plans.queries import PointRangeQuery as _PRQ  # noqa: F401
+        from .deletes import DELETES_TOKEN, deletes_path
+
+        sel = (
+            self.spark.read.parquet(deletes_path(self.index_dir))
+            .select(
+                (F.col("doc_id") / F.lit(self.cfg.segment_size))
+                .cast("int")
+                .alias("segment_id"),
+                "doc_id",
+            )
+        )
+        from ..functions.wand import ScoringClause
+
+        clause = ScoringClause((DELETES_TOKEN,), None, const_score=0.0)
+        return clause, self._docset_rows(sel, DELETES_TOKEN, cols)
+
     def _points_rows(self, point_qs, cols) -> list[DataFrame]:
         """PointRangeQuery doc sets as per-segment constant pseudo-
         postings rows.  One pushed-down docmeta scan per point clause
         (parquet min/max stats prune row groups — the BKD analog); the
         result unions into the same kernel input, so booleans over
         points need no special kernel path."""
-        from ..functions.codec import encode_term_postings
-        from .segments import SEGMENT_SCHEMA, _SEG_COLS
-
         meta = self.spark.read.parquet(self.docmeta_path)
-        seg_size = self.cfg.segment_size
         outs = []
         for q in sorted(point_qs, key=lambda x: x.token_key()):
             c = F.col(q.field)
@@ -402,40 +427,50 @@ class IndexSearcher:
             if q.upper is not None:
                 sel = sel.filter(c <= q.upper if q.include_upper else c < q.upper)
             sel = sel.select("segment_id", "doc_id")
-
-            def make_pack(key):
-                def pack(kv, pdf: pd.DataFrame) -> pd.DataFrame:
-                    seg_id = int(kv[0])
-                    local = (
-                        np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
-                        - seg_id * seg_size
-                    )
-                    tp = encode_term_postings(
-                        local,
-                        np.ones(len(local), dtype=np.int64),
-                        np.zeros(len(local), dtype=np.int64),
-                    )
-                    return pd.DataFrame(
-                        [(
-                            seg_id, key, tp.df, tp.ttf,
-                            tp.singleton_doc, tp.singleton_freq,
-                            tp.doc_blocks, tp.doc_block_offsets.tolist(),
-                            tp.freq_blocks, tp.freq_block_offsets.tolist(),
-                            b"", [],
-                            tp.block_last_docs.tolist(),
-                            tp.impacts_flat.tolist(), tp.impacts_offsets.tolist(),
-                        )],
-                        columns=_SEG_COLS,
-                    )
-
-                return pack
-
-            outs.append(
-                sel.groupby("segment_id")
-                .applyInPandas(make_pack(q.token_key()), schema=SEGMENT_SCHEMA)
-                .select(*cols)
-            )
+            outs.append(self._docset_rows(sel, q.token_key(), cols))
         return outs
+
+    def _docset_rows(self, sel: DataFrame, token: str, cols) -> DataFrame:
+        """(segment_id, doc_id) rows -> one pseudo-postings row per
+        segment under the reserved ``token`` term (shared plumbing for
+        point filters and the deleted-docs mask)."""
+        from ..functions.codec import encode_term_postings
+        from .segments import SEGMENT_SCHEMA, _SEG_COLS
+
+        seg_size = self.cfg.segment_size
+
+        def make_pack(key):
+            def pack(kv, pdf: pd.DataFrame) -> pd.DataFrame:
+                seg_id = int(kv[0])
+                local = (
+                    np.unique(pdf["doc_id"].to_numpy(dtype=np.int64))
+                    - seg_id * seg_size
+                )
+                tp = encode_term_postings(
+                    local,
+                    np.ones(len(local), dtype=np.int64),
+                    np.zeros(len(local), dtype=np.int64),
+                )
+                return pd.DataFrame(
+                    [(
+                        seg_id, key, tp.df, tp.ttf,
+                        tp.singleton_doc, tp.singleton_freq,
+                        tp.doc_blocks, tp.doc_block_offsets.tolist(),
+                        tp.freq_blocks, tp.freq_block_offsets.tolist(),
+                        b"", [],
+                        tp.block_last_docs.tolist(),
+                        tp.impacts_flat.tolist(), tp.impacts_offsets.tolist(),
+                    )],
+                    columns=_SEG_COLS,
+                )
+
+            return pack
+
+        return (
+            sel.groupby("segment_id")
+            .applyInPandas(make_pack(token), schema=SEGMENT_SCHEMA)
+            .select(*cols)
+        )
 
     def _run_segments(
         self, cq: CompiledQuery, terms: set[str], need_pos: bool, k: int | None,
@@ -464,6 +499,17 @@ class IndexSearcher:
             seg_rows = self.segments.filter(F.col("term").isin(want)).select(*cols)
         for pdf_rows in self._points_rows(point_qs, cols):
             seg_rows = seg_rows.unionByName(pdf_rows)
+        if self._has_deletes():
+            # live docs: exclude deleted ids via an implicit MUST_NOT
+            # (postings untouched, stats untouched — Lucene semantics)
+            del_clause, del_rows = self._deleted_clause_and_rows(cols)
+            cq = CompiledQuery(
+                cq.musts, cq.shoulds, cq.filters,
+                cq.must_nots + [del_clause],
+                cq.msm, cq.match_all, cq.match_all_score,
+                cq.combine, cq.tie,
+            )
+            seg_rows = seg_rows.unionByName(del_rows)
         if only_segment is not None:
             seg_rows = seg_rows.filter(F.col("segment_id") == only_segment)
 

@@ -270,6 +270,85 @@ def encode_segment_group_tokens(
     return pd.DataFrame(rows, columns=_SEG_COLS)
 
 
+def encode_segment_group_docarrays(
+    seg_id: int,
+    pdf: pd.DataFrame,
+    seg_size: int,
+    index_positions: bool,
+) -> pd.DataFrame:
+    """Encode one segment from per-DOC (terms[], poss[]) rows: flatten
+    the arrays (cheap — one concatenate per group), then the same
+    lexsort + run-length aggregation as the per-token kernel."""
+    base = seg_id * seg_size
+    doc_ids_np = pdf["doc_id"].to_numpy(dtype=np.int64) - base
+    tlists = pdf["terms"].to_numpy()
+    lens = np.fromiter((len(x) for x in tlists), np.int64, count=len(tlists))
+    n = int(doc_ids_np.max()) + 1 if len(doc_ids_np) else 0
+    lengths = np.zeros(max(n, 1), dtype=np.int64)
+    lengths[doc_ids_np] = lens
+    norm_arr = int_to_byte4_np(lengths)
+    rows: list[tuple] = []
+    total = int(lens.sum())
+    if total:
+        kept_terms = np.concatenate(tlists)
+        kept_pos = np.concatenate(pdf["poss"].to_numpy()).astype(np.int64)
+        kept_docs = np.repeat(doc_ids_np, lens)
+        codes, uniques = pd.factorize(kept_terms, sort=False)
+        order = np.lexsort((kept_pos, kept_docs, codes))
+        c_s, d_s, p_s = codes[order], kept_docs[order], kept_pos[order]
+        change = np.empty(len(c_s), dtype=bool)
+        change[0] = True
+        change[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(change)
+        freqs_all = np.diff(np.append(starts, len(c_s)))
+        docs_all = d_s[starts]
+        pcodes = c_s[starts]
+        tchange = np.empty(len(starts), dtype=bool)
+        tchange[0] = True
+        tchange[1:] = pcodes[1:] != pcodes[:-1]
+        tstarts = np.flatnonzero(tchange)
+        boundaries = np.append(tstarts, len(starts)).astype(np.int64)
+        rows = _encode_all_terms(
+            seg_id,
+            uniques[pcodes[tstarts]],
+            boundaries,
+            docs_all,
+            freqs_all,
+            norm_arr,
+            pos_col=None,
+            pos_flat=(p_s if index_positions else None),
+        )
+    rows.append(
+        (
+            seg_id, SENTINEL_TERM, n, int(lengths[:n].sum()) if n else 0,
+            -1, 0,
+            norm_arr[:n].astype(np.uint8).tobytes(), [],
+            lengths[:n].astype("<i8").tobytes(), [],
+            b"", [],
+            [], [], [],
+        )
+    )
+    return pd.DataFrame(rows, columns=_SEG_COLS)
+
+
+def encode_segments_fused_docarrays(
+    doc_tokens: DataFrame, cfg: EngineConfig
+) -> DataFrame:
+    """Per-doc array stream (invert_doc_arrays) -> segment rows."""
+    seg_size = cfg.segment_size
+    index_positions = cfg.index_positions
+    p = doc_tokens.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
+    )
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_segment_group_docarrays(
+            int(key[0]), pdf, seg_size, index_positions
+        )
+
+    return p.groupby("segment_id").applyInPandas(encode, schema=SEGMENT_SCHEMA)
+
+
 def encode_segments_fused_tokens(tokens: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Per-token stream (invert_tokens) -> complete segment rows."""
     seg_size = cfg.segment_size

@@ -182,3 +182,74 @@ def test_streaming_indexer(spark, tmp_path_factory):
     assert s.stats.num_docs == 120
     td = s.search(Q.TermQuery("public"), k=5)
     assert td.total_hits > 0
+
+
+def test_deletes_live_docs(spark, full_and_split, tmp_path_factory):
+    """LiveDocs semantics: deleted docs vanish from every query shape
+    while surviving docs keep BITWISE-identical scores (stats still
+    count deleted docs until a merge, exactly like the reference)."""
+    import shutil
+    from lucene_solr_8_7_0_spark.operators import deletes as dl
+
+    root, corpus, full_dir = full_and_split
+    d = str(tmp_path_factory.mktemp("delidx"))
+    shutil.copytree(full_dir, d, dirs_exist_ok=True)
+    s = IndexSearcher(spark, d)
+    q = Q.term_or(["public", "return"], 1)
+    before = s.search(q, k=10, score_mode="complete")
+    victims = [int(before.doc_ids[0]), int(before.doc_ids[2])]
+    n = dl.delete_documents(
+        spark, d, spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    )
+    assert n == 2
+    after = s.search(q, k=10, score_mode="complete")
+    assert not set(victims) & set(after.doc_ids.tolist())
+    assert after.total_hits == before.total_hits - 2
+    # surviving docs score identically (idf/norms unchanged pre-merge)
+    keep = {int(x): float(sc) for x, sc in zip(before.doc_ids, before.scores)}
+    for x, sc in zip(after.doc_ids, after.scores):
+        if int(x) in keep:
+            assert float(sc) == keep[int(x)]
+    # every query surface respects the mask
+    assert not set(victims) & set(
+        s.matches_df(Q.TermQuery("public")).toPandas()["doc_id"]
+    )
+    td_all = s.search(Q.MatchAllDocsQuery(), k=5, score_mode="complete")
+    assert td_all.total_hits == N - 2
+    assert s.count(q) == before.total_hits - 2
+    # delete-by-query composes
+    dl.delete_by_query(spark, d, s, Q.TermQuery("interface"))
+    rest = s.matches_df(Q.TermQuery("interface")).count()
+    assert rest == 0
+
+
+def test_update_documents(spark, full_and_split, tmp_path_factory):
+    """updateDocument analog: same (repo, path) keys are replaced —
+    old content unfindable, new content searchable, one live doc per
+    key."""
+    import shutil
+    import pandas as pd
+    from lucene_solr_8_7_0_spark.operators import deletes as dl
+
+    root, corpus, full_dir = full_and_split
+    base = str(tmp_path_factory.mktemp("updbase"))
+    shutil.copytree(full_dir, base, dirs_exist_ok=True)
+    meta = spark.read.parquet(f"{base}/docmeta").orderBy("doc_id").limit(2).toPandas()
+    new_rows = [
+        (r["repo"], r["path"], "c2", "java", "zzqqx unique replacement text")
+        for _, r in meta.iterrows()
+    ]
+    new_docs = spark.createDataFrame(
+        pd.DataFrame(new_rows, columns=["repo", "path", "commit", "lang", "content"])
+    )
+    out = str(tmp_path_factory.mktemp("updout"))
+    dl.update_documents(spark, base, new_docs, out)
+    s = IndexSearcher(spark, out)
+    hits = s.matches_df(Q.TermQuery("zzqqx")).toPandas()["doc_id"].tolist()
+    assert len(hits) == 2 and all(h >= N for h in hits)  # re-added at the end
+    # old ids for those keys are masked
+    old_ids = set(meta["doc_id"])
+    assert not old_ids & set(
+        s.matches_df(Q.MatchAllDocsQuery()).toPandas()["doc_id"]
+    )
+    assert s.search(Q.MatchAllDocsQuery(), k=1, score_mode="complete").total_hits == N
