@@ -44,6 +44,12 @@ def get_spark(
         # keep AQE-coalesced shuffle partitions fine-grained enough for
         # the Arrow-UDF encode stage
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # the doc-id mapping (keys + rank) stays broadcastable far past
+        # the 10m default; without this the docs stage falls back to a
+        # sort-merge join that shuffles the whole content column.  On a
+        # real cluster size this to executor memory; at 10^12 files the
+        # planner correctly degrades to a shuffle join.
+        .config("spark.sql.autoBroadcastJoinThreshold", "256m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
