@@ -53,6 +53,12 @@ class EngineConfig:
     # construction (tests assert full-index equality) — a physical
     # knob, not a semantic one.
     tokenize_backend: str = "jvm"
+    # Segment-encode kernel backend: "arrow" feeds the kernel a
+    # pyarrow Table (applyInArrow) and dictionary-encodes the token
+    # stream in Arrow C++ — zero per-token Python string objects, which
+    # is what saturates allocation-throttled hosts; "pandas" is the
+    # Arrow->pandas path.  Output is row-identical (tests assert it).
+    encode_backend: str = "arrow"
     # Docs per segment.  Segment boundaries are a pure function of the
     # global doc id (segment_id = doc_id // segment_size), so the index
     # contents are identical at any cluster size.

@@ -4,7 +4,11 @@ Stage graph (each stage materializes to ``index_dir/<table>`` with a
 ``_SUCCESS`` marker; a resumed build skips completed stages; stage
 records land in ``manifest``):
 
-  docs      source + deterministic global doc_id          (operators/docids)
+  docs      identity mapping (doc_id, repo, path, ..., sha256) — the
+            content column itself is NEVER re-materialized: the SOURCE
+            table stays the stored-fields store, addressed through this
+            mapping (a 100 TB corpus is not copied; Lucene's .fdt
+            stored-fields copy becomes source ⨝ mapping)  (operators/docids)
   segments  ONE fused pass: tokenize+invert (Arrow UDF) -> shuffle on
             segment_id -> per-term block encode + in-group norms; each
             segment is self-contained (postings + sentinel norms row),
@@ -108,11 +112,21 @@ def build_index(
         run.append(name)
         return True
 
-    # -- stage: docs (global doc numbering; the stored-fields row store) ---
+    # -- stage: docs (global doc numbering -> identity MAPPING) -------------
+    # One content scan computes the sha256 invariant; only the small
+    # identity columns ever shuffle or get written.  Content itself is
+    # read again exactly once (the fused segments scan) and never
+    # written — at 10^12 files the corpus copy Lucene's stored-fields
+    # file implies would dominate the build; here the source table IS
+    # the row store and this mapping is the docID <-> stored-fields key.
     t0 = time.time()
     if stage("docs"):
+        base_cols = [c for c in docs.columns if c not in (content_col, "sha256")]
+        proj = docs.select(
+            *base_cols, F.sha2(F.col(content_col), 256).alias("sha256")
+        )
         with_ids = (
-            docs if precomputed_ids else docids.assign_doc_ids(docs, ["repo", "path"])
+            proj if precomputed_ids else docids.assign_doc_ids(proj, ["repo", "path"])
         )
         _write(with_ids, index_dir, "docs")
         record("docs", time.time() - t0, {})
@@ -121,11 +135,16 @@ def build_index(
     # -- stage: segments (fused tokenize -> shuffle -> encode) --------------
     t0 = time.time()
     if stage("segments"):
+        # content joins the id mapping lazily: AQE broadcasts the small
+        # side locally; at cluster scale it degrades to a shuffle join
+        seg_input = docs.select("repo", "path", content_col).join(
+            docs_ids.select("repo", "path", "doc_id"), ["repo", "path"]
+        )
         if cfg.tokenize_backend == "jvm":
-            doc_tokens = invert.invert_doc_arrays(docs_ids, cfg, content_col)
+            doc_tokens = invert.invert_doc_arrays(seg_input, cfg, content_col)
             encoded = encode_segments_fused_docarrays(doc_tokens, cfg)
         else:
-            inverted = invert.invert(docs_ids, cfg, content_col)
+            inverted = invert.invert(seg_input, cfg, content_col)
             encoded = encode_segments_fused(inverted, cfg)
         _write(encoded, index_dir, "segments", sort_cols=["segment_id", "term"])
         record(
@@ -142,14 +161,13 @@ def build_index(
         record("norms", time.time() - t0, {})
 
     # -- stage: docmeta (identity + sha256 + exact length + norm) -----------
+    # No content access: sha256 rides in from the mapping, lengths from
+    # the segment sentinels.
     t0 = time.time()
     if stage("docmeta"):
         lengths = lengths_from_segments(segments, cfg)
         meta = (
-            docs_ids.select(
-                "doc_id", "repo", "path", "commit", "lang",
-                F.sha2(F.col(content_col), 256).alias("sha256"),
-            )
+            docs_ids.select("doc_id", "repo", "path", "commit", "lang", "sha256")
             .join(lengths, "doc_id", "left")
             .fillna({"length": 0})
         )
@@ -179,6 +197,15 @@ def build_index(
     if stage("stats"):
         _write(stats_ops.collection_stats(docmeta), index_dir, "stats")
         record("stats", time.time() - t0, {})
+
+    # -- stage: colstats (numeric histograms; optimizer statistics) ---------
+    t0 = time.time()
+    if stage("colstats"):
+        _write(
+            stats_ops.column_histograms(docmeta, ["length"]),
+            index_dir, "colstats",
+        )
+        record("colstats", time.time() - t0, {})
 
     # -- stage: termdict (salted global term stats) ------------------------
     t0 = time.time()

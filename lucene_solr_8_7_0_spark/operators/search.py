@@ -28,7 +28,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..config import DEFAULT_TOTAL_HITS_THRESHOLD, MAX_CLAUSE_COUNT, EngineConfig
+from ..config import DEFAULT_TOTAL_HITS_THRESHOLD, MAX_CLAUSE_COUNT, EngineConfig  # noqa: F401
+
+# Driver-side bound on multi-term expansion: above MAX_CLAUSE_COUNT the
+# rewrite takes the constant-score union path (no TooManyClauses, like
+# Lucene's default CONSTANT_SCORE_REWRITE); this cap only protects the
+# driver against collecting a pathological fraction of the term dict.
+HARD_EXPANSION_CAP = 1 << 16
 from ..functions.codec import TermPostings
 from ..functions.wand import CompiledQuery, score_segment
 from .segments import SENTINEL_TERM
@@ -109,6 +115,14 @@ class IndexSearcher:
         self.norms = spark.read.parquet(os.path.join(index_dir, "norms"))
         self.termdict = spark.read.parquet(os.path.join(index_dir, "termdict"))
         self.docmeta_path = os.path.join(index_dir, "docmeta")
+        # optimizer statistics (column histograms) for point-query cost
+        # estimation; tolerate their absence (older/merged indexes)
+        cs = os.path.join(index_dir, "colstats")
+        self._colstats = (
+            spark.read.parquet(cs).toPandas()
+            if os.path.exists(os.path.join(cs, "_SUCCESS"))
+            else None
+        )
 
     # ---- term dictionary services (FST/automaton analog) ----
 
@@ -136,7 +150,7 @@ class IndexSearcher:
             # A literal-prefix filter is kept for parquet min/max
             # pruning on the sorted term column.
             import re as _re
-            cap = MAX_CLAUSE_COUNT + 1
+            cap = HARD_EXPANSION_CAP + 1
             if isinstance(q, WildcardQuery):
                 prefix = q.pattern.split("*")[0].split("?")[0]
                 # only escaped literals + .*/. survive the translation,
@@ -159,19 +173,31 @@ class IndexSearcher:
                 # Java regex may accept a superset of Python's for
                 # exotic patterns; widen the safety cap so the Python
                 # re-check below still sees every true match
-                cap = 8 * MAX_CLAUSE_COUNT
+                cap = 2 * HARD_EXPANSION_CAP
             terms = [r["term"] for r in df.select("term").limit(cap).collect()]
             terms = rw.expand_terms(q, sorted(terms))
-            if len(terms) > MAX_CLAUSE_COUNT:
+            if len(terms) > HARD_EXPANSION_CAP:
                 raise ValueError(
-                    f"TooManyClauses: {type(q).__name__} expands to >{MAX_CLAUSE_COUNT} terms"
+                    f"TooManyClauses: {type(q).__name__} expands to "
+                    f">{HARD_EXPANSION_CAP} terms"
                 )
             return sorted(terms)
         else:
             raise TypeError(type(q))
-        terms = [r["term"] for r in df.select("term").limit(MAX_CLAUSE_COUNT + 1).collect()]
-        if len(terms) > MAX_CLAUSE_COUNT:
-            raise ValueError(f"TooManyClauses: {type(q).__name__} expands to >{MAX_CLAUSE_COUNT} terms")
+        # beyond MAX_CLAUSE_COUNT the rewrite switches to the
+        # constant-score union (rewrite_multi_term), so expansion is
+        # bounded only by the driver-side hard cap — the analog of
+        # Lucene's default CONSTANT_SCORE_REWRITE, which never throws;
+        # the hard cap guards driver memory for pathological patterns.
+        terms = [
+            r["term"]
+            for r in df.select("term").limit(HARD_EXPANSION_CAP + 1).collect()
+        ]
+        if len(terms) > HARD_EXPANSION_CAP:
+            raise ValueError(
+                f"TooManyClauses: {type(q).__name__} expands to "
+                f">{HARD_EXPANSION_CAP} terms"
+            )
         return sorted(terms)
 
     def _term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
@@ -179,6 +205,46 @@ class IndexSearcher:
             return {}
         rows = self.termdict.filter(F.col("term").isin(list(terms))).collect()
         return {r["term"]: (r["df"], r["ttf"]) for r in rows}
+
+    def _dv_plan(self, cq: CompiledQuery, term_stats) -> tuple:
+        """(lead, dv_keys) for the IndexOrDocValuesQuery access-path
+        choice: ``lead`` is the cheapest top-level required term
+        iterator (term, df); ``dv_keys`` the point tokens occurring
+        ONLY as top-level required clauses — the shapes where a
+        candidate-restricted doc set provably leaves the result
+        unchanged (the clause intersects with the lead anyway)."""
+        lead = None
+        for c in cq.musts + cq.filters:
+            if (
+                c.sub is None and c.kind == "term" and len(c.terms) == 1
+                and not c.terms[0].startswith(("\x00", "\x01"))
+            ):
+                df = term_stats.get(c.terms[0], (0, 0))[0]
+                if lead is None or df < lead[1]:
+                    lead = (c.terms[0], df)
+        req = {
+            c.terms[0]
+            for c in cq.musts + cq.filters
+            if c.sub is None and c.terms and c.terms[0].startswith("\x01pts:")
+        }
+        other: set = set()
+
+        def walk(clauses):
+            for c in clauses:
+                for t in c.terms:
+                    if t.startswith("\x01pts:"):
+                        other.add(t)
+                if c.sub is not None:
+                    walk(
+                        c.sub.musts + c.sub.shoulds
+                        + c.sub.filters + c.sub.must_nots
+                    )
+
+        walk(cq.shoulds + cq.must_nots)
+        for c in cq.musts + cq.filters:
+            if c.sub is not None:
+                walk([c])
+        return lead, frozenset(req - other)
 
     # ---- search ----
 
@@ -200,15 +266,18 @@ class IndexSearcher:
         and k is small."""
         q = rw.rewrite(query, self._term_lookup)
         terms = planner.collect_terms(q)
-        cq = planner.compile_query(q, self.stats, self._term_stats(terms), score_mode)
+        ts = self._term_stats(terms)
+        cq = planner.compile_query(q, self.stats, ts, score_mode)
         if cq is None:
             return TopDocs(0, "EQ", np.empty(0, np.int64), np.empty(0, np.float32))
         pqs = planner.collect_point_queries(q)
+        lead, dv_keys = self._dv_plan(cq, ts)
         min_comp = 0.0
         if two_pass_threshold and score_mode == "top_scores":
             seed = self._run_segments(
                 cq, terms, planner.has_phrase(q), k, score_mode,
                 total_hits_threshold, pqs, only_segment=0,
+                lead=lead, dv_keys=dv_keys,
             ).toPandas()
             seed = seed[seed["doc_id"] >= 0]
             if len(seed) >= k:
@@ -217,7 +286,8 @@ class IndexSearcher:
                 )
         pdf = self._run_segments(cq, terms, planner.has_phrase(q), k,
                                  score_mode, total_hits_threshold, pqs,
-                                 min_competitive=min_comp).toPandas()
+                                 min_competitive=min_comp,
+                                 lead=lead, dv_keys=dv_keys).toPandas()
         return self._merge(pdf, k)
 
     def matches_df(self, query: Query) -> DataFrame:
@@ -235,14 +305,17 @@ class IndexSearcher:
     def _bulk_df(self, query: Query, score_mode: str) -> DataFrame:
         q = rw.rewrite(query, self._term_lookup)
         terms = planner.collect_terms(q)
-        cq = planner.compile_query(q, self.stats, self._term_stats(terms), score_mode)
+        ts = self._term_stats(terms)
+        cq = planner.compile_query(q, self.stats, ts, score_mode)
         if cq is None:
             return self.spark.createDataFrame([], schema=RESULT_SCHEMA).filter(
                 F.col("doc_id") >= 0
             )
+        lead, dv_keys = self._dv_plan(cq, ts)
         out = self._run_segments(cq, terms, planner.has_phrase(q), None,
                                  score_mode, 0,
-                                 planner.collect_point_queries(q))
+                                 planner.collect_point_queries(q),
+                                 lead=lead, dv_keys=dv_keys)
         return out.filter(F.col("doc_id") >= 0)
 
     def search_df(self, query: Query, k: int = 10, with_meta: bool = True, **kw) -> DataFrame:
@@ -269,6 +342,61 @@ class IndexSearcher:
         """TotalHitCountCollector analog: exact hit count."""
         td = self.search(query, k=1, score_mode="complete")
         return td.total_hits
+
+    def search_sorted(
+        self,
+        query: Query,
+        sort: list,
+        k: int = 10,
+        after: tuple | None = None,
+    ) -> DataFrame:
+        """Field-sorted top-k — the TopFieldCollector analog
+        (TopFieldCollector.java, SortField.java, FieldComparator).
+
+        ``sort`` is a list of SortField (docmeta columns); ties always
+        break by doc_id asc, like the implicit FIELD_DOC tie-break.
+        Spark-first plan: the distributed hit set joins docmeta and
+        ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+        per-partition partial top-k + a driver merge of
+        ``num_partitions × k`` rows, exactly the per-leaf comparator +
+        TopDocs.merge structure of the reference, with no global sort.
+
+        ``after`` is the searchAfter(FieldDoc) paging cursor: the last
+        page's sort values plus its doc_id; only strictly-later rows in
+        the sort order are returned (TopFieldCollector.PagingFieldCollector).
+        Returns (rank, doc_id, <sort fields...>).
+        """
+        from ..plans.queries import SortField  # noqa: F401 (API type)
+
+        from pyspark.sql import Window
+
+        meta = self.spark.read.parquet(self.docmeta_path)
+        hit_meta = self.matches_df(query).join(meta, "doc_id")
+        exprs = [
+            (F.col(s.field).desc() if s.reverse else F.col(s.field).asc())
+            for s in sort
+        ] + [F.col("doc_id").asc()]
+        if after is not None:
+            # lexicographic "strictly after" predicate over the sort
+            # tuple, honouring each field's direction
+            fields = [(s.field, s.reverse) for s in sort] + [("doc_id", False)]
+            pred = F.lit(False)
+            eq = F.lit(True)
+            for (fname, rev), aval in zip(fields, after):
+                c = F.col(fname)
+                strict = (c < F.lit(aval)) if rev else (c > F.lit(aval))
+                pred = pred | (eq & strict)
+                eq = eq & (c == F.lit(aval))
+            hit_meta = hit_meta.filter(pred)
+        topk = hit_meta.select(
+            "doc_id", *[s.field for s in sort]
+        ).orderBy(*exprs).limit(k)
+        w = Window.orderBy(*exprs)
+        return (
+            topk.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", *[s.field for s in sort])
+            .orderBy("rank")
+        )
 
     def explain(self, query: Query, doc_id: int) -> dict:
         """IndexSearcher.explain analog: per-clause score breakdown for
@@ -411,17 +539,101 @@ class IndexSearcher:
         clause = ScoringClause((DELETES_TOKEN,), None, const_score=0.0)
         return clause, self._docset_rows(sel, DELETES_TOKEN, cols)
 
-    def _points_rows(self, point_qs, cols) -> list[DataFrame]:
+    def _estimate_point_cost(self, q) -> int:
+        """Estimated match count of a point range from the build-time
+        column histogram (colstats) — the BKD ``estimatePointCount``
+        analog (PointValues.java:249).  Partial bucket overlap prorates
+        linearly; missing statistics degrade to num_docs (pessimistic,
+        which biases toward the dv path exactly when the index side's
+        cost is unknown)."""
+        cs = self._colstats
+        if cs is None:
+            return self.stats.num_docs
+        h = cs[cs["field"] == q.field]
+        if len(h) == 0:
+            return self.stats.num_docs
+        lo = -np.inf if q.lower is None else float(q.lower)
+        hi = np.inf if q.upper is None else float(q.upper)
+        blo = h["lo"].to_numpy()
+        bhi = h["hi"].to_numpy()
+        cnt = h["count"].to_numpy(dtype=np.float64)
+        overlap = np.clip(
+            (np.minimum(bhi, hi + 1) - np.maximum(blo, lo)) / (bhi - blo), 0.0, 1.0
+        )
+        return int(np.ceil((cnt * overlap).sum()))
+
+    def _term_docs_df(self, term: str) -> DataFrame:
+        """(segment_id, doc_id) of one term's postings, decoded
+        distributed — the lead iterator the dv path verifies against."""
+        seg_size = self.cfg.segment_size
+        rows = self.segments.filter(F.col("term") == term).select(
+            "segment_id", "df", "singleton_doc", "singleton_freq",
+            "doc_blocks", "doc_block_offsets", "freq_blocks",
+            "freq_block_offsets", "block_last_docs",
+            "impacts_flat", "impacts_offsets",
+        )
+
+        def decode(batches):
+            from ..functions.codec import decode_term_postings
+
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    tp = TermPostings(
+                        df=int(r.df), ttf=0,
+                        singleton_doc=int(r.singleton_doc),
+                        singleton_freq=int(r.singleton_freq),
+                        doc_blocks=bytes(r.doc_blocks),
+                        doc_block_offsets=np.asarray(r.doc_block_offsets, np.int32),
+                        freq_blocks=bytes(r.freq_blocks),
+                        freq_block_offsets=np.asarray(r.freq_block_offsets, np.int32),
+                        pos_blocks=b"",
+                        pos_block_offsets=np.empty(0, np.int32),
+                        block_last_docs=np.asarray(r.block_last_docs, np.int32),
+                        impacts_flat=np.asarray(r.impacts_flat, np.int32),
+                        impacts_offsets=np.asarray(r.impacts_offsets, np.int32),
+                    )
+                    docs, _, _ = decode_term_postings(tp)
+                    yield pd.DataFrame(
+                        {
+                            "segment_id": np.int32(r.segment_id),
+                            "doc_id": docs + int(r.segment_id) * seg_size,
+                        }
+                    )
+
+        return rows.mapInPandas(decode, schema="segment_id int, doc_id bigint")
+
+    def _points_rows(self, point_qs, cols, lead=None, dv_keys=frozenset()) -> list[DataFrame]:
         """PointRangeQuery doc sets as per-segment constant pseudo-
-        postings rows.  One pushed-down docmeta scan per point clause
-        (parquet min/max stats prune row groups — the BKD analog); the
-        result unions into the same kernel input, so booleans over
-        points need no special kernel path."""
+        postings rows.  Access-path choice per clause
+        (IndexOrDocValuesQuery.java:105-131):
+
+        * index side (default): one pushed-down docmeta scan per clause
+          (parquet min/max stats prune row groups — the BKD analog),
+        * doc-values side: when the clause is dv-eligible, required,
+          and the conjunction's lead term is >8x cheaper than the
+          histogram-estimated range cardinality, verify the range per
+          lead candidate instead — a semi-join of the lead term's
+          postings against docmeta, materializing only
+          |lead ∩ range| rows instead of |range|.
+
+        Either path yields the same doc set for required clauses, so
+        results are identical; only the materialized volume differs.
+        """
         meta = self.spark.read.parquet(self.docmeta_path)
         outs = []
+        self._last_access_paths = {}  # token_key -> "index" | "dv" (debug/tests)
         for q in sorted(point_qs, key=lambda x: x.token_key()):
             c = F.col(q.field)
             sel = meta
+            use_dv = (
+                q.dv
+                and lead is not None
+                and q.token_key() in dv_keys
+                and lead[1] * 8 < self._estimate_point_cost(q)
+            )
+            self._last_access_paths[q.token_key()] = "dv" if use_dv else "index"
+            if use_dv:
+                sel = sel.join(self._term_docs_df(lead[0]).select("doc_id"), "doc_id")
             if q.lower is not None:
                 sel = sel.filter(c >= q.lower if q.include_lower else c > q.lower)
             if q.upper is not None:
@@ -476,6 +688,7 @@ class IndexSearcher:
         self, cq: CompiledQuery, terms: set[str], need_pos: bool, k: int | None,
         score_mode: str, threshold: int, point_qs: set | frozenset = frozenset(),
         min_competitive: float = 0.0, only_segment: int | None = None,
+        lead: tuple | None = None, dv_keys: frozenset = frozenset(),
     ) -> DataFrame:
         seg_size = self.cfg.segment_size
         prune = score_mode == "top_scores"
@@ -497,7 +710,7 @@ class IndexSearcher:
             seg_rows = self.segments.filter(F.lit(False)).select(*cols)
         else:
             seg_rows = self.segments.filter(F.col("term").isin(want)).select(*cols)
-        for pdf_rows in self._points_rows(point_qs, cols):
+        for pdf_rows in self._points_rows(point_qs, cols, lead, dv_keys):
             seg_rows = seg_rows.unionByName(pdf_rows)
         if self._has_deletes():
             # live docs: exclude deleted ids via an implicit MUST_NOT

@@ -331,6 +331,106 @@ def encode_segment_group_docarrays(
     return pd.DataFrame(rows, columns=_SEG_COLS)
 
 
+def _rows_to_arrow(rows: list[tuple]):
+    """Segment rows (tuples in _SEG_COLS order) -> pa.Table matching
+    SEGMENT_SCHEMA.  One C++ conversion per column — no pandas object
+    round-trip on the output side."""
+    import pyarrow as pa
+
+    types = [
+        pa.int32(), pa.string(), pa.int32(), pa.int64(),
+        pa.int32(), pa.int32(),
+        pa.binary(), pa.list_(pa.int32()),
+        pa.binary(), pa.list_(pa.int32()),
+        pa.binary(), pa.list_(pa.int32()),
+        pa.list_(pa.int32()),
+        pa.list_(pa.int32()), pa.list_(pa.int32()),
+    ]
+    cols = list(zip(*rows))
+    arrays = [pa.array(list(c), type=t) for c, t in zip(cols, types)]
+    return pa.Table.from_arrays(arrays, names=_SEG_COLS)
+
+
+def encode_segment_group_docarrays_arrow(
+    seg_id: int,
+    tbl,
+    seg_size: int,
+    index_positions: bool,
+):
+    """Arrow-native variant of encode_segment_group_docarrays: the
+    token stream stays in Arrow buffers end-to-end.  ``pc.list_flatten``
+    + ``dictionary_encode`` replace the Python-object concatenate +
+    factorize — the per-token Python string allocations (the measured
+    scaling limiter on allocation-throttled hosts, BENCH.md) drop to
+    zero; only the per-segment VOCABULARY (a few thousand uniques)
+    materializes as Python strings for row assembly."""
+    import pyarrow as pa  # noqa: F401
+    import pyarrow.compute as pc
+
+    base = seg_id * seg_size
+    doc_ids_np = (
+        tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64) - base
+    )
+    terms_list = tbl.column("terms").combine_chunks()
+    lens = (
+        pc.list_value_length(terms_list)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n = int(doc_ids_np.max()) + 1 if len(doc_ids_np) else 0
+    lengths = np.zeros(max(n, 1), dtype=np.int64)
+    lengths[doc_ids_np] = lens
+    norm_arr = int_to_byte4_np(lengths)
+    rows: list[tuple] = []
+    total = int(lens.sum())
+    if total:
+        flat_terms = pc.list_flatten(terms_list)
+        de = flat_terms.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = de.dictionary.to_numpy(zero_copy_only=False)
+        kept_pos = (
+            pc.list_flatten(tbl.column("poss").combine_chunks())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        kept_docs = np.repeat(doc_ids_np, lens)
+        order = np.lexsort((kept_pos, kept_docs, codes))
+        c_s, d_s, p_s = codes[order], kept_docs[order], kept_pos[order]
+        change = np.empty(len(c_s), dtype=bool)
+        change[0] = True
+        change[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(change)
+        freqs_all = np.diff(np.append(starts, len(c_s)))
+        docs_all = d_s[starts]
+        pcodes = c_s[starts]
+        tchange = np.empty(len(starts), dtype=bool)
+        tchange[0] = True
+        tchange[1:] = pcodes[1:] != pcodes[:-1]
+        tstarts = np.flatnonzero(tchange)
+        boundaries = np.append(tstarts, len(starts)).astype(np.int64)
+        rows = _encode_all_terms(
+            seg_id,
+            uniques[pcodes[tstarts]],
+            boundaries,
+            docs_all,
+            freqs_all,
+            norm_arr,
+            pos_col=None,
+            pos_flat=(p_s if index_positions else None),
+        )
+    rows.append(
+        (
+            seg_id, SENTINEL_TERM, n, int(lengths[:n].sum()) if n else 0,
+            -1, 0,
+            norm_arr[:n].astype(np.uint8).tobytes(), [],
+            lengths[:n].astype("<i8").tobytes(), [],
+            b"", [],
+            [], [], [],
+        )
+    )
+    return _rows_to_arrow(rows)
+
+
 def encode_segments_fused_docarrays(
     doc_tokens: DataFrame, cfg: EngineConfig
 ) -> DataFrame:
@@ -340,6 +440,17 @@ def encode_segments_fused_docarrays(
     p = doc_tokens.withColumn(
         "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
     )
+
+    if cfg.encode_backend == "arrow":
+
+        def encode_arrow(key, tbl):
+            return encode_segment_group_docarrays_arrow(
+                key[0].as_py(), tbl, seg_size, index_positions
+            )
+
+        return p.groupby("segment_id").applyInArrow(
+            encode_arrow, schema=SEGMENT_SCHEMA
+        )
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return encode_segment_group_docarrays(

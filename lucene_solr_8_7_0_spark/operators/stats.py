@@ -59,6 +59,56 @@ def term_dict(segments: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+COLSTATS_BUCKETS = 32
+
+
+def column_histograms(
+    df: DataFrame, fields: list[str], buckets: int = COLSTATS_BUCKETS
+) -> DataFrame:
+    """Equi-width histograms of numeric columns — the optimizer
+    statistics behind PointRangeQuery cost estimation (the BKD tree's
+    ``estimatePointCount``, PointValues.java:249, which
+    IndexOrDocValuesQuery's cost comparison consumes).  One tiny
+    aggregation per field over the docmeta projection; the result is a
+    few-hundred-row table the searcher loads once."""
+    import math
+
+    from functools import reduce
+
+    outs = []
+    for f_ in fields:
+        mm = df.agg(F.min(f_).alias("mn"), F.max(f_).alias("mx")).collect()[0]
+        mn, mx = mm["mn"], mm["mx"]
+        if mn is None:
+            continue
+        width = max(1, math.ceil((int(mx) - int(mn) + 1) / buckets))
+        outs.append(
+            df.select(
+                ((F.col(f_) - F.lit(int(mn))) / F.lit(width))
+                .cast("int")
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .count()
+            .select(
+                F.lit(f_).alias("field"),
+                (F.lit(int(mn)) + F.col("bucket") * F.lit(width))
+                .cast("double")
+                .alias("lo"),
+                (F.lit(int(mn)) + (F.col("bucket") + 1) * F.lit(width))
+                .cast("double")
+                .alias("hi"),
+                F.col("count").alias("count"),
+            )
+        )
+    if not outs:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], schema="field string, lo double, hi double, count bigint"
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def collection_stats(docmeta: DataFrame) -> DataFrame:
     """Single-row CollectionStatistics for the content field.
 

@@ -157,6 +157,11 @@ class PointRangeQuery(Query):
     upper: float | int | None
     include_lower: bool = True
     include_upper: bool = True
+    # dv=True permits the per-candidate "doc values" access path (set
+    # by the IndexOrDocValuesQuery rewrite); NEVER affects the result
+    # set, only which plan materializes it, so it is excluded from
+    # token_key.
+    dv: bool = False
 
     def token_key(self) -> str:
         """Reserved pseudo-term carrying this filter's per-segment doc
@@ -171,6 +176,33 @@ class PointRangeQuery(Query):
         lo = "[" if self.include_lower else "("
         hi = "]" if self.include_upper else ")"
         return f"{self.field}:{lo}{self.lower} TO {self.upper}{hi}"
+
+
+@dataclass(frozen=True)
+class IndexOrDocValuesQuery(Query):
+    """Cost-based access-path choice (IndexOrDocValuesQuery.java:30-62):
+    wraps a point range; at scorer-supplier time the searcher compares
+    the surrounding conjunction's lead cost against the range's
+    estimated match count (the build-time column histogram stands in
+    for BKD ``estimatePointCount``).  A cheap lead verifies the range
+    per candidate — the "doc values" side, a semi-join of the lead
+    term's postings against docmeta — instead of materializing the full
+    range doc set (the "index" side).  Results are identical either
+    way; only the access path differs."""
+
+    index_query: PointRangeQuery
+
+    def __str__(self) -> str:
+        return f"IndexOrDV({self.index_query})"
+
+
+@dataclass(frozen=True)
+class SortField:
+    """Sort key for field-sorted collection (SortField.java); used by
+    IndexSearcher.search_sorted, the TopFieldCollector analog."""
+
+    field: str
+    reverse: bool = False
 
 
 @dataclass(frozen=True)

@@ -18,6 +18,7 @@ import re
 from .queries import (
     BooleanClause,
     DisjunctionMaxQuery,
+    IndexOrDocValuesQuery,
     MultiPhraseQuery,
     SynonymQuery,
     BooleanQuery,
@@ -76,6 +77,16 @@ def _rewrite_once(q: Query, term_lookup) -> Query:
     if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
                       TermRangeQuery, TermInSetQuery)):
         return rewrite_multi_term(q, term_lookup)
+    if isinstance(q, IndexOrDocValuesQuery):
+        # unwrap to the point range, flagged dv-eligible: the searcher
+        # picks the access path by cost at scorer-supplier time
+        # (IndexOrDocValuesQuery.java:105-131)
+        inner = _rewrite_once(q.index_query, term_lookup)
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        from dataclasses import replace
+
+        return replace(inner, dv=True)
     if isinstance(q, PointRangeQuery):
         if (
             q.lower is not None
@@ -329,7 +340,18 @@ def _within_edits(a: str, b: str, k: int) -> bool:
 
 
 def rewrite_multi_term(q: Query, term_lookup) -> Query:
-    """MultiTermQuery -> SHOULD-disjunction of matching terms."""
+    """MultiTermQuery rewrite (MultiTermQuery.java rewrite methods):
+
+    * <= maxClauseCount matches -> SHOULD-disjunction of TermQuerys
+      (SCORING_BOOLEAN_REWRITE: per-term BM25 contributions),
+    * beyond that -> constant-score union over the matching terms'
+      postings (CONSTANT_SCORE_REWRITE, Lucene's DEFAULT for
+      prefix/wildcard/regexp/range — MultiTermQueryConstantScoreWrapper
+      builds one bitset and never throws TooManyClauses; expressed here
+      as ConstantScore over a blended union, which the kernel evaluates
+      as a single docset clause)."""
+    from ..config import MAX_CLAUSE_COUNT
+
     if term_lookup is None:
         return q
     terms = term_lookup(q)
@@ -337,6 +359,8 @@ def rewrite_multi_term(q: Query, term_lookup) -> Query:
         return MatchNoDocsQuery(f"no terms match {q}")
     if len(terms) == 1:
         return TermQuery(terms[0])
+    if len(terms) > MAX_CLAUSE_COUNT:
+        return ConstantScoreQuery(SynonymQuery(tuple(terms)))
     b = Builder()
     for t in terms:
         b.add(TermQuery(t), Occur.SHOULD)

@@ -49,10 +49,22 @@ def test_build_tables_exist_and_consistent(spark, built):
     assert res.num_docs == N_FILES
     docmeta = spark.read.parquet(f"{d}/docmeta").toPandas()
     assert len(docmeta) == N_FILES
-    # sha256 invariant vs generator-recorded value
-    src = spark.read.parquet(f"{d}/docs").select("path", "sha256").toPandas()
+    # sha256 invariant: engine-computed (F.sha2 in the mapping stage)
+    # vs the generator-recorded hashlib value on the source rows
+    src = corpus_df(spark, N_FILES, seed=42).select("path", "sha256").toPandas()
     joined = docmeta.merge(src, on="path", suffixes=("_idx", "_src"))
+    assert len(joined) == N_FILES
     assert (joined["sha256_idx"] == joined["sha256_src"]).all()
+    # the docs table is an identity MAPPING — content is never copied
+    # (the source table remains the stored-fields store)
+    docs_tbl = spark.read.parquet(f"{d}/docs")
+    assert "content" not in docs_tbl.columns
+    assert (
+        docs_tbl.select("doc_id", "sha256")
+        .toPandas()
+        .merge(docmeta, on="doc_id", suffixes=("_map", "_meta"))
+        .pipe(lambda j: (j["sha256_map"] == j["sha256_meta"]).all())
+    )
     # empty + single-token edge docs present
     assert (docmeta["length"] == 0).any()
     assert (docmeta["length"] == 1).any()
@@ -69,7 +81,14 @@ def test_segments_roundtrip_vs_direct_inversion(spark, built):
     """Decode every posting list and compare against a from-scratch
     pandas inversion of the same corpus (CheckHits-style oracle)."""
     d, cfg, res = built
-    docs = spark.read.parquet(f"{d}/docs").toPandas().sort_values("doc_id")
+    mapping = spark.read.parquet(f"{d}/docs").select("doc_id", "path")
+    docs = (
+        corpus_df(spark, N_FILES, seed=42)
+        .join(mapping, "path")
+        .select("doc_id", "content")
+        .toPandas()
+        .sort_values("doc_id")
+    )
     tb = analyze_batch(docs["content"].reset_index(drop=True), cfg.analyzer)
     doc_ids = docs["doc_id"].to_numpy()[tb.doc_idx]
     expected = (
@@ -138,7 +157,7 @@ def test_resume_skips_completed_stages(spark, built):
     res2 = build_index(spark, docs, d, cfg, resume=True)
     assert res2.stages_run == []
     assert set(res2.stages_skipped) == {
-        "docs", "docmeta", "norms", "stats", "segments", "termdict"
+        "docs", "docmeta", "norms", "stats", "colstats", "segments", "termdict"
     }
 
 
@@ -230,3 +249,27 @@ def test_jvm_build_equals_python_build(spark, tmp_path_factory):
                     )
                 )
                 pd.testing.assert_frame_equal(a, b), (analyzer, stop, table)
+
+
+def test_encode_backend_equivalence(spark, tmp_path_factory):
+    """Arrow-native encode kernel (applyInArrow + C++ dictionary_encode)
+    is row-identical to the pandas kernel across every index table."""
+    docs = corpus_df(spark, 150, seed=11)
+    dirs = {}
+    for backend in ("arrow", "pandas"):
+        d = str(tmp_path_factory.mktemp(f"enc_{backend}"))
+        cfg = EngineConfig(segment_size=32, encode_backend=backend)
+        build_index(spark, docs, d, cfg, resume=False)
+        dirs[backend] = d
+    for table in ("segments", "docmeta", "stats", "termdict"):
+        cols = spark.read.parquet(f"{dirs['arrow']}/{table}").columns
+        keys = [c for c in ("segment_id", "term", "doc_id") if c in cols]
+        a = (
+            spark.read.parquet(f"{dirs['arrow']}/{table}")
+            .toPandas().sort_values(keys, ignore_index=True)
+        )
+        b = (
+            spark.read.parquet(f"{dirs['pandas']}/{table}")
+            .toPandas().sort_values(keys, ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)

@@ -27,7 +27,12 @@ def engine(spark, tmp_path_factory):
     build_index(spark, docs, d, cfg)
     searcher = IndexSearcher(spark, d)
     corpus_pdf = (
-        spark.read.parquet(f"{d}/docs").select("doc_id", "content").toPandas()
+        docs.join(
+            spark.read.parquet(f"{d}/docs").select("repo", "path", "doc_id"),
+            ["repo", "path"],
+        )
+        .select("doc_id", "content")
+        .toPandas()
     )
     oi = build_oracle_index(corpus_pdf, cfg)
     return searcher, oi
@@ -309,10 +314,24 @@ def test_multi_term_no_truncation(spark, tmp_path_factory):
     assert "t1500" in got and "t1501" in got and "t2500" in got
     from lucene_solr_8_7_0_spark.plans.rewrite import _within_edits
     assert got == sorted(t for t in vocab if _within_edits("t1500", t, 1))
-    # true match count > MAX_CLAUSE_COUNT -> TooManyClauses
+    # true match count > MAX_CLAUSE_COUNT -> the rewrite switches to the
+    # constant-score union (CONSTANT_SCORE_REWRITE, Lucene's default for
+    # multi-term queries — never TooManyClauses): every doc matches with
+    # score == 1.0
     assert len(vocab) > MAX_CLAUSE_COUNT
-    with pytest.raises(ValueError, match="TooManyClauses"):
-        s._term_lookup(Q.WildcardQuery("t*"))
+    from lucene_solr_8_7_0_spark.plans.queries import (
+        ConstantScoreQuery,
+        SynonymQuery,
+    )
+    from lucene_solr_8_7_0_spark.plans.rewrite import rewrite
+
+    rw_q = rewrite(Q.WildcardQuery("t*"), s._term_lookup)
+    assert isinstance(rw_q, ConstantScoreQuery)
+    assert isinstance(rw_q.query, SynonymQuery)
+    assert len(rw_q.query.terms) == len(vocab)
+    td = s.search(Q.WildcardQuery("t*"), k=20)
+    assert td.total_hits == 10
+    assert set(td.scores.tolist()) == {1.0}
 
 
 def test_facets(engine):

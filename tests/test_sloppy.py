@@ -119,7 +119,11 @@ def test_engine_multiphrase_and_sloppy(spark, tmp_path_factory):
     build_index(spark, docs, d, EngineConfig(segment_size=4, analyzer="simple"))
     s = IndexSearcher(spark, d)
     oi = build_oracle_index(
-        spark.read.parquet(f"{d}/docs").select("doc_id", "content").toPandas(),
+        docs.join(
+            spark.read.parquet(f"{d}/docs").select("path", "doc_id"), "path"
+        )
+        .select("doc_id", "content")
+        .toPandas(),
         EngineConfig(analyzer="simple"),
     )
     queries = [
