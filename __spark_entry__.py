@@ -306,6 +306,79 @@ def _q_bm25_and_topk(spark, sf_dir):
     return _ranked_topk(spark, s, Q.term_and(["data", "join"]))
 
 
+def _q_sort_by_field(spark, sf_dir):
+    """TopFieldCollector analog: hit set of a term query, field-sorted
+    top-15 by (length desc, doc asc) via TakeOrdered."""
+    s = _searcher(spark, sf_dir)
+    out = s.search_sorted(
+        Q.TermQuery("data"), [Q.SortField("length", reverse=True)], k=15
+    )
+    return _orig_ids(s, out).select("rank", "doc_id", "length")
+
+
+def _q_range_dv_filter(spark, sf_dir):
+    """IndexOrDocValuesQuery: the same range+term conjunction as
+    range_filter but dv-eligible — the engine picks the access path by
+    cost; results must be identical to the plain SQL semantics."""
+    s = _searcher(spark, sf_dir)
+    b = Q.Builder()
+    b.add(Q.TermQuery("vector"), Q.Occur.MUST)
+    b.add(
+        Q.IndexOrDocValuesQuery(Q.PointRangeQuery("length", 20, None)),
+        Q.Occur.FILTER,
+    )
+    return _orig_ids(s, s.matches_df(b.build())).select("doc_id")
+
+
+def _q_term_range_match(spark, sf_dir):
+    """TermRangeQuery [data .. dz]: dictionary-range expansion (falls
+    back to the constant-score union beyond maxClauseCount)."""
+    s = _searcher(spark, sf_dir)
+    return _orig_ids(
+        s, s.matches_df(Q.TermRangeQuery("data", "dz"))
+    ).select("doc_id")
+
+
+def _q_term_set_match(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return _orig_ids(
+        s, s.matches_df(Q.TermInSetQuery(("data", "join", "vector")))
+    ).select("doc_id")
+
+
+def _q_count_query(spark, sf_dir):
+    """TotalHitCountCollector: exact hit count of a conjunction."""
+    s = _searcher(spark, sf_dir)
+    n = s.count(Q.term_and(["data", "join"]))
+    return spark.createDataFrame([(n,)], "total_hits bigint")
+
+
+def _q_synonym_topk(spark, sf_dir):
+    """SynonymQuery blended-stats scoring: df = max sub df, per-doc
+    freq = sum of sub freqs, scored once."""
+    s = _searcher(spark, sf_dir)
+    return _ranked_topk(spark, s, Q.SynonymQuery(("data", "join")))
+
+
+def _q_dismax_topk(spark, sf_dir):
+    """DisjunctionMaxQuery: score = max + tie * (sum - max)."""
+    s = _searcher(spark, sf_dir)
+    return _ranked_topk(
+        spark, s,
+        Q.DisjunctionMaxQuery(
+            (Q.TermQuery("data"), Q.TermQuery("join")), tie_breaker=0.1
+        ),
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact token-trigram Jaccard similarity join (dedup verify path)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def _q_facet_lang(spark, sf_dir):
     """Faceting: per-lang counts over the hit set of a term query."""
     from lucene_solr_8_7_0_spark.operators.facets import facet_counts
@@ -431,9 +504,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_match": _q_wildcard_match,
         "regexp_match": _q_regexp_match,
         "fuzzy_match": _q_fuzzy_match,
+        "sort_by_field": _q_sort_by_field,
+        "range_dv_filter": _q_range_dv_filter,
+        "term_range_match": _q_term_range_match,
+        "term_set_match": _q_term_set_match,
+        "count_query": _q_count_query,
         "facet_lang": _q_facet_lang,
         "bm25_topk": _q_bm25_topk,
         "bm25_and_topk": _q_bm25_and_topk,
+        "synonym_topk": _q_synonym_topk,
+        "dismax_topk": _q_dismax_topk,
+        "ngram_jaccard": _q_ngram_jaccard,
         "dedup_exact": _q_dedup_exact,
         "stopword_stats": _q_stopword_stats,
         "quality_stats": _q_quality_stats,
@@ -480,6 +561,31 @@ scored AS (
          count(*) AS n_match
   FROM tf JOIN df USING (tok) JOIN quant q ON tf.doc_id = q.doc_id CROSS JOIN cs
   GROUP BY tf.doc_id)
+"""
+
+
+# per-(doc, term) BM25 scores (same quantized-norm model as _BM25_CTE)
+# for oracles that combine per-term scores non-additively (DisMax)
+_BM25_PER_TERM_CTE = f"""
+WITH toks AS ({_TOKS}),
+lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+cs AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM lens),
+quant AS (
+  SELECT doc_id, len,
+    CASE WHEN len < 40 THEN len
+         ELSE 24 + (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3))
+                     << (CAST(floor(log2(len - 24)) AS INT) - 3))
+    END AS dlen
+  FROM lens),
+tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks
+       WHERE tok IN ({{terms}}) GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored_t AS (
+  SELECT tf.doc_id, tf.tok,
+         ln(1 + (cs.doc_count - df.df + 0.5) / (df.df + 0.5))
+         * (1 - 1 / (1 + tf.freq * (1 / (1.2 * (0.25 + 0.75 * q.dlen
+             / (cs.sum_ttf / CAST(cs.doc_count AS DOUBLE))))))) AS s
+  FROM tf JOIN df USING (tok) JOIN quant q ON tf.doc_id = q.doc_id CROSS JOIN cs)
 """
 
 
@@ -565,6 +671,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
                    doc_id
             FROM scored WHERE n_match = 2 ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
+        "sort_by_field": f"""
+            WITH toks AS ({_TOKS}),
+            lens AS (SELECT doc_id, count(*) AS length FROM toks GROUP BY doc_id),
+            hits AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data')
+            SELECT CAST(row_number() OVER (ORDER BY length DESC, doc_id) AS INT) AS rank,
+                   doc_id, length
+            FROM lens JOIN hits USING (doc_id)
+            ORDER BY length DESC, doc_id LIMIT 15""",
+        "range_dv_filter": f"""
+            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
+            HAVING sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) > 0
+               AND count(*) >= 20""",
+        "term_range_match": f"""
+            SELECT DISTINCT doc_id FROM ({_TOKS})
+            WHERE tok BETWEEN 'data' AND 'dz'""",
+        "term_set_match": f"""
+            SELECT DISTINCT doc_id FROM ({_TOKS})
+            WHERE tok IN ('data', 'join', 'vector')""",
+        "count_query": f"""
+            SELECT CAST(count(*) AS BIGINT) AS total_hits FROM (
+              SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
+              HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2) z""",
+        "synonym_topk": f"""
+            WITH toks AS ({_TOKS}),
+            lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+            cs AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM lens),
+            quant AS (
+              SELECT doc_id, len,
+                CASE WHEN len < 40 THEN len
+                     ELSE 24 + (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3))
+                                 << (CAST(floor(log2(len - 24)) AS INT) - 3))
+                END AS dlen
+              FROM lens),
+            tf AS (SELECT doc_id, count(*) AS freq FROM toks
+                   WHERE tok IN ('data','join') GROUP BY doc_id),
+            df AS (SELECT max(cnt) AS df FROM (
+                     SELECT tok, count(DISTINCT doc_id) AS cnt FROM toks
+                     WHERE tok IN ('data','join') GROUP BY tok) z),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln(1 + (cs.doc_count - df.df + 0.5) / (df.df + 0.5))
+                     * (1 - 1 / (1 + tf.freq * (1 / (1.2 * (0.25 + 0.75 * q.dlen
+                         / (cs.sum_ttf / CAST(cs.doc_count AS DOUBLE))))))) AS score
+              FROM tf CROSS JOIN df JOIN quant q ON tf.doc_id = q.doc_id CROSS JOIN cs)
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                   doc_id
+            FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
+        "dismax_topk": _BM25_PER_TERM_CTE.format(terms="'data','join'")
+        + """,
+            agg AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm
+                    FROM scored_t GROUP BY doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY round(mx + 0.1 * (sm - mx), 4) DESC, doc_id) AS INT) AS rank,
+                   doc_id
+            FROM agg
+            ORDER BY round(mx + 0.1 * (sm - mx), 4) DESC, doc_id LIMIT 10""",
+        "ngram_jaccard": """
+            WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+                          FROM documents WHERE doc_id < 200),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, unnest(CASE WHEN len(l) >= 3
+                  THEN list_transform(generate_series(1, len(l)-2),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                  ELSE [] END) AS g
+                FROM toks) z),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+                      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b, round(ni / (za.n + zb.n - ni), 6) AS jaccard
+            FROM inter JOIN sizes za ON doc_a = za.doc_id
+                       JOIN sizes zb ON doc_b = zb.doc_id
+            WHERE ni / (za.n + zb.n - ni) >= 0.2""",
         "facet_lang": f"""
             SELECT lang, count(*) AS count
             FROM documents WHERE doc_id IN (

@@ -198,6 +198,73 @@ def jaccard_verify(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard similarity join over ALL doc pairs
+    sharing at least one n-gram: (doc_a, doc_b, jaccard >= threshold).
+
+    Pure DataFrame algebra: distinct n-grams per doc (JVM higher-order
+    functions), gram-level self-join (doc_a < doc_b), |∩| by count,
+    |∪| = |A| + |B| - |∩|.  This is the exact/oracle-friendly variant;
+    at corpus scale the MinHash+LSH pipeline (minhash_dedup) is the
+    candidate generator and this algebra runs only on its candidates.
+    ``max_gram_df`` optionally drops grams appearing in more than that
+    many docs before the self-join — the bucket-size cap that keeps a
+    boilerplate gram from producing O(df^2) join rows."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array())
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams_arr)).alias("gram"),
+    )
+    if max_gram_df is not None:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("gdf"))
+            .filter(F.col("gdf") > max_gram_df)
+            .select("gram")
+        )
+        grams = grams.join(hot, "gram", "left_anti")
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        grams.alias("ga")
+        .join(
+            grams.alias("gb"),
+            (F.col("ga.gram") == F.col("gb.gram"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(
+            F.col("ga.doc_id").alias("doc_a"), F.col("gb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("za.n_grams") + F.col("zb.n_grams") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
