@@ -100,13 +100,67 @@ def rows_to_posting_map(pdf: pd.DataFrame) -> dict[str, TermPostings]:
     return out
 
 
+class QueryCache:
+    """LRUQueryCache analog (L/search/LRUQueryCache.java +
+    UsageTrackingQueryCachingPolicy.java): caches the per-segment
+    docsets of filter-usable clauses (point ranges, the live-docs mask)
+    as PERSISTED pseudo-postings DataFrames.
+
+    Admission mirrors the usage-tracking policy: a clause key is cached
+    only once it has been seen ``min_uses`` times (cheap one-off
+    filters never pay the persist).  Eviction is LRU over distinct
+    clause keys, bounded by ``max_queries`` (the reference's
+    maxSize=1000 queries / maxRamBytesUsed analog — here Spark's block
+    manager owns the bytes, spilling MEMORY_AND_DISK).  Keys embed the
+    index generation (deletes epoch), so a reopened snapshot never
+    serves stale docsets."""
+
+    def __init__(self, max_queries: int = 32, min_uses: int = 2):
+        from collections import Counter, OrderedDict
+
+        self.max_queries = max_queries
+        self.min_uses = min_uses
+        self._uses: Counter = Counter()
+        self._cache: OrderedDict = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_build(self, key, build_fn):
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            self.hits += 1
+            return self._cache[key]
+        self.misses += 1
+        self._uses[key] += 1
+        df = build_fn()
+        if self._uses[key] < self.min_uses:
+            return df  # below the admission threshold: run uncached
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._cache[key] = df
+        while len(self._cache) > self.max_queries:
+            _, old = self._cache.popitem(last=False)
+            old.unpersist()
+        return df
+
+    def clear(self) -> None:
+        for df in self._cache.values():
+            df.unpersist()
+        self._cache.clear()
+        self._uses.clear()
+
+
 class IndexSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str, cfg: EngineConfig | None = None):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cfg: EngineConfig | None = None,
+                 query_cache: QueryCache | None = None):
         from .build import load_config
 
         self.spark = spark
         self.index_dir = index_dir
         self.cfg = cfg or load_config(index_dir)
+        self.query_cache = QueryCache() if query_cache is None else query_cache
         row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
         self.stats = planner.CollectionStats(
             row["num_docs"], row["doc_count"], row["sum_ttf"], self.cfg.k1, self.cfg.b
@@ -521,23 +575,30 @@ class IndexSearcher:
 
     def _deleted_clause_and_rows(self, cols):
         """(MUST_NOT clause, per-segment mask rows) for deleted docs —
-        the live-docs bitset as a pseudo-posting (operators/deletes)."""
-        from ..plans.queries import PointRangeQuery as _PRQ  # noqa: F401
+        the live-docs bitset as a pseudo-posting (operators/deletes).
+        The mask is identical for every query on a snapshot, so it is
+        the query cache's best customer (keyed by deletes generation)."""
         from .deletes import DELETES_TOKEN, deletes_path
 
-        sel = (
-            self.spark.read.parquet(deletes_path(self.index_dir))
-            .select(
-                (F.col("doc_id") / F.lit(self.cfg.segment_size))
-                .cast("int")
-                .alias("segment_id"),
-                "doc_id",
+        def build():
+            sel = (
+                self.spark.read.parquet(deletes_path(self.index_dir))
+                .select(
+                    (F.col("doc_id") / F.lit(self.cfg.segment_size))
+                    .cast("int")
+                    .alias("segment_id"),
+                    "doc_id",
+                )
             )
-        )
+            return self._docset_rows(sel, DELETES_TOKEN)
+
         from ..functions.wand import ScoringClause
 
         clause = ScoringClause((DELETES_TOKEN,), None, const_score=0.0)
-        return clause, self._docset_rows(sel, DELETES_TOKEN, cols)
+        rows = self.query_cache.get_or_build(
+            ("deletes", self._generation()), build
+        )
+        return clause, rows.select(*cols)
 
     def _estimate_point_cost(self, q) -> int:
         """Estimated match count of a point range from the build-time
@@ -619,12 +680,9 @@ class IndexSearcher:
         Either path yields the same doc set for required clauses, so
         results are identical; only the materialized volume differs.
         """
-        meta = self.spark.read.parquet(self.docmeta_path)
         outs = []
         self._last_access_paths = {}  # token_key -> "index" | "dv" (debug/tests)
         for q in sorted(point_qs, key=lambda x: x.token_key()):
-            c = F.col(q.field)
-            sel = meta
             use_dv = (
                 q.dv
                 and lead is not None
@@ -633,19 +691,53 @@ class IndexSearcher:
             )
             self._last_access_paths[q.token_key()] = "dv" if use_dv else "index"
             if use_dv:
-                sel = sel.join(self._term_docs_df(lead[0]).select("doc_id"), "doc_id")
-            if q.lower is not None:
-                sel = sel.filter(c >= q.lower if q.include_lower else c > q.lower)
-            if q.upper is not None:
-                sel = sel.filter(c <= q.upper if q.include_upper else c < q.upper)
-            sel = sel.select("segment_id", "doc_id")
-            outs.append(self._docset_rows(sel, q.token_key(), cols))
+                # dv docsets depend on the lead term, so they bypass the
+                # query cache (Lucene likewise only caches the index side)
+                rows = self._docset_rows(
+                    self._point_sel(q, lead), q.token_key()
+                )
+            else:
+                key = ("pts", self._generation(), q.token_key())
+                rows = self.query_cache.get_or_build(
+                    key,
+                    lambda q=q: self._docset_rows(
+                        self._point_sel(q, None), q.token_key()
+                    ),
+                )
+            outs.append(rows.select(*cols))
         return outs
 
-    def _docset_rows(self, sel: DataFrame, token: str, cols) -> DataFrame:
+    def _point_sel(self, q, lead) -> DataFrame:
+        """(segment_id, doc_id) selection of one point clause, either
+        path (lead=None -> index side; lead -> dv verify-per-candidate)."""
+        sel = self.spark.read.parquet(self.docmeta_path)
+        if lead is not None:
+            sel = sel.join(self._term_docs_df(lead[0]).select("doc_id"), "doc_id")
+        c = F.col(q.field)
+        if q.lower is not None:
+            sel = sel.filter(c >= q.lower if q.include_lower else c > q.lower)
+        if q.upper is not None:
+            sel = sel.filter(c <= q.upper if q.include_upper else c < q.upper)
+        return sel.select("segment_id", "doc_id")
+
+    def _generation(self) -> float:
+        """Snapshot generation: the deletes epoch (cache invalidation —
+        the reference keys its cache on the segment core + del gen)."""
+        import os as _os
+
+        try:
+            return _os.path.getmtime(
+                _os.path.join(self.index_dir, "deletes", "_SUCCESS")
+            )
+        except OSError:
+            return 0.0
+
+    def _docset_rows(self, sel: DataFrame, token: str) -> DataFrame:
         """(segment_id, doc_id) rows -> one pseudo-postings row per
         segment under the reserved ``token`` term (shared plumbing for
-        point filters and the deleted-docs mask)."""
+        point filters and the deleted-docs mask).  Returns the FULL
+        segment schema so the query cache can persist one canonical
+        plan; callers project the columns their scan needs."""
         from ..functions.codec import encode_term_postings
         from .segments import SEGMENT_SCHEMA, _SEG_COLS
 
@@ -681,7 +773,6 @@ class IndexSearcher:
         return (
             sel.groupby("segment_id")
             .applyInPandas(make_pack(token), schema=SEGMENT_SCHEMA)
-            .select(*cols)
         )
 
     def _run_segments(
