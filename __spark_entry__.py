@@ -54,7 +54,8 @@ def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Build (or resume) the engine index for this sf_dir; cached."""
-    key = hashlib.md5(f"{sf_dir}:v3".encode()).hexdigest()[:10]
+    # v4: docs table became a content-free identity mapping + colstats
+    key = hashlib.md5(f"{sf_dir}:v4".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
@@ -371,6 +372,28 @@ def _q_dismax_topk(spark, sf_dir):
     )
 
 
+def _q_phrase_topk(spark, sf_dir):
+    """Scored exact phrase: summed-idf pseudo-term over phrase freq
+    (BM25Similarity.idfExplain over the term array)."""
+    s = _searcher(spark, sf_dir)
+    return _ranked_topk(spark, s, Q.PhraseQuery(("data", "join")), k=10)
+
+
+def _q_bm25_msm2_topk(spark, sf_dir):
+    """Scored disjunction with minimumShouldMatch=2."""
+    s = _searcher(spark, sf_dir)
+    return _ranked_topk(spark, s, Q.term_or(["data", "join", "vector"], 2))
+
+
+def _q_boost_topk(spark, sf_dir):
+    """BoostQuery scoring: one clause boosted 2x re-ranks the sum."""
+    s = _searcher(spark, sf_dir)
+    b = Q.Builder()
+    b.add(Q.BoostQuery(Q.TermQuery("data"), 2.0), Q.Occur.SHOULD)
+    b.add(Q.TermQuery("join"), Q.Occur.SHOULD)
+    return _ranked_topk(spark, s, b.set_minimum_number_should_match(1).build())
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """Exact token-trigram Jaccard similarity join (dedup verify path)."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -514,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": _q_bm25_and_topk,
         "synonym_topk": _q_synonym_topk,
         "dismax_topk": _q_dismax_topk,
+        "phrase_topk": _q_phrase_topk,
+        "bm25_msm2_topk": _q_bm25_msm2_topk,
+        "boost_topk": _q_boost_topk,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_exact": _q_dedup_exact,
         "stopword_stats": _q_stopword_stats,
@@ -726,6 +752,52 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM agg
             ORDER BY round(mx + 0.1 * (sm - mx), 4) DESC, doc_id LIMIT 10""",
+        "phrase_topk": f"""
+            WITH pos AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
+              FROM documents),
+            lens AS (SELECT doc_id, count(*) AS len FROM pos GROUP BY doc_id),
+            cs AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM lens),
+            quant AS (
+              SELECT doc_id, len,
+                CASE WHEN len < 40 THEN len
+                     ELSE 24 + (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3))
+                                 << (CAST(floor(log2(len - 24)) AS INT) - 3))
+                END AS dlen
+              FROM lens),
+            pf AS (SELECT a.doc_id, count(*) AS freq
+                   FROM pos a JOIN pos b USING (doc_id)
+                   WHERE a.tok = 'data' AND b.tok = 'join' AND b.p = a.p + 1
+                   GROUP BY a.doc_id),
+            tdf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM pos
+                    WHERE tok IN ('data','join') GROUP BY tok),
+            idfsum AS (SELECT sum(ln(1 + (cs.doc_count - df + 0.5) / (df + 0.5))) AS w
+                       FROM tdf CROSS JOIN cs),
+            scored AS (
+              SELECT pf.doc_id,
+                     i.w * (1 - 1 / (1 + pf.freq * (1 / (1.2 * (0.25 + 0.75 * q.dlen
+                         / (cs.sum_ttf / CAST(cs.doc_count AS DOUBLE))))))) AS score
+              FROM pf JOIN quant q ON pf.doc_id = q.doc_id
+                   CROSS JOIN idfsum i CROSS JOIN cs)
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                   doc_id
+            FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
+        "bm25_msm2_topk": _BM25_CTE.format(terms="'data','join','vector'")
+        + """
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                   doc_id
+            FROM scored WHERE n_match >= 2
+            ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
+        "boost_topk": _BM25_PER_TERM_CTE.format(terms="'data','join'")
+        + """,
+            agg AS (SELECT doc_id,
+                           sum(CASE WHEN tok = 'data' THEN 2 * s ELSE s END) AS score
+                    FROM scored_t GROUP BY doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                   doc_id
+            FROM agg ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
         "ngram_jaccard": """
             WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
                           FROM documents WHERE doc_id < 200),
