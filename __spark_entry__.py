@@ -425,6 +425,10 @@ def _q_stopword_stats(spark, sf_dir):
     )
 
 
+def _q_bpe_token_counts(spark, sf_dir):
+    return textstats.bpe_token_counts(_docs(spark, sf_dir))
+
+
 def _q_quality_stats(spark, sf_dir):
     return textstats.quality_stats(_docs(spark, sf_dir))
 
@@ -543,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_exact": _q_dedup_exact,
         "stopword_stats": _q_stopword_stats,
+        "bpe_token_counts": _q_bpe_token_counts,
         "quality_stats": _q_quality_stats,
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -832,6 +837,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, count(*) AS n,
                      sum(CASE WHEN tok IN ('the','a','data','fast') THEN 1 ELSE 0 END) AS h
               FROM ({_TOKS}) GROUP BY doc_id) t USING (doc_id)""",
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x != '')) AS INT) AS n_ws_tokens,
+                   CAST(length(regexp_extract_all(lower(text),
+                        '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+')) AS INT)
+                        AS n_bpe_tokens
+            FROM documents""",
         "quality_stats": """
             SELECT doc_id,
                    CAST(length(text) AS INT) AS n_chars,

@@ -38,6 +38,37 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to ASCII classes so the
+# Java (Spark) and RE2 (DuckDB oracle) engines agree byte-for-byte:
+# contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, whitespace runs.
+BPE_ISH_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+"
+)
+
+
+def bpe_token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): the 'how many tokens will a
+    tokenizer emit' estimators a training pipeline budgets with —
+    whitespace-delimited words and GPT-2-style pre-tokenizer pieces
+    (each piece maps to >=1 BPE id, so this bounds sequence length).
+    Both run as JVM regexes inside whole-stage codegen."""
+    ws = F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda x: x != F.lit("")
+    )
+    # F.lit (not F.expr) — the pattern itself contains a single quote
+    bpe = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), F.lit(0)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+    )
+
+
 def stopword_stats(
     docs: DataFrame,
     stopwords: list[str],

@@ -284,3 +284,69 @@ def test_ann_ivf(spark):
         a = set(approx[approx.query_id == qid]["neighbor_id"])
         recalls.append(len(e & a) / max(len(e), 1))
     assert np.mean(recalls) >= 0.4, recalls
+
+
+def test_ngram_jaccard_pairs_exact(docs):
+    """Exact token-trigram Jaccard join vs a per-pair python baseline."""
+    got = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).toPandas()
+    pdf = docs.toPandas()
+    import re
+
+    def grams(t):
+        toks = re.findall(r"[a-z0-9_]+", t.lower())
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    gsets = {r.doc_id: grams(r.text) for r in pdf.itertuples(index=False)}
+    exp = []
+    ids = sorted(gsets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ga, gb = gsets[a], gsets[b]
+            if not ga or not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.3:
+                exp.append((a, b, round(j, 9)))
+    got_set = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in got.itertuples(index=False)
+    }
+    assert got_set == set(exp)
+    assert (100, 101, 1.0) in got_set  # exact dup pair
+    assert any(a == 100 and b == 102 for a, b, _ in got_set)  # near dup
+
+
+def test_ngram_jaccard_gram_df_cap(docs):
+    """The bucket cap drops hot grams before the self-join; a gram in
+    every doc contributes no pairs when capped below its df."""
+    uncapped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.99).toPandas()
+    capped = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.99, max_gram_df=1
+    ).toPandas()
+    assert len(uncapped) >= 1  # the exact-dup pair survives at 0.99
+    assert len(capped) == 0  # every shared gram has df >= 2 -> dropped
+
+
+def test_bpe_token_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "Hello world, it's 42 degrees!"),
+            (1, "   "),
+            (2, "a"),
+            (3, "don't stop-me now 3.14"),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = (
+        textstats.bpe_token_counts(df)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # whitespace words
+    assert got["n_ws_tokens"].tolist() == [5, 0, 1, 4]
+    # BPE-ish pieces, hand-counted against the pattern:
+    # "hello world, it's 42 degrees!" ->
+    #   hello| world|,| it|'s| 42| degrees|! = 8
+    assert got.loc[0, "n_bpe_tokens"] == 8
+    # "don't stop-me now 3.14" -> don|'t| stop|-|me| now| 3|.|14 = 9
+    assert got.loc[3, "n_bpe_tokens"] == 9
