@@ -156,13 +156,22 @@ def test_ann_lsh_recall(spark):
         .toPandas()
     )
     exact = ann.brute_force_topk(emb, queries, k=5).toPandas()
-    approx = ann.lsh_topk(emb, queries, k=5, multiprobe=2).toPandas()
-    recalls = []
-    for qid in queries["query_id"]:
-        e = set(exact[exact.query_id == qid]["neighbor_id"])
-        a = set(approx[approx.query_id == qid]["neighbor_id"])
-        recalls.append(len(e & a) / max(len(e), 1))
-    assert np.mean(recalls) >= 0.5, recalls
+
+    def mean_recall(**kw):
+        approx = ann.lsh_topk(emb, queries, k=5, **kw).toPandas()
+        recalls = []
+        for qid in queries["query_id"]:
+            e = set(exact[exact.query_id == qid]["neighbor_id"])
+            a = set(approx[approx.query_id == qid]["neighbor_id"])
+            recalls.append(len(e & a) / max(len(e), 1))
+        return float(np.mean(recalls)), recalls
+
+    # contract defaults (8 tables, multiprobe 2): measured 0.925 here
+    r, detail = mean_recall(multiprobe=2)
+    assert r >= 0.85, detail
+    # scale knobs: doubling tables reaches (measured) full recall
+    r16, detail16 = mean_recall(multiprobe=2, n_tables=16)
+    assert r16 >= 0.95, detail16
 
 
 def test_embedding_near_dup_pairs(spark):
