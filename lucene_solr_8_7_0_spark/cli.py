@@ -102,6 +102,23 @@ def cmd_build(args) -> None:
         analyzer=args.analyzer,
         index_positions=not args.no_positions,
     )
+    if args.warmup:
+        # untimed steady-state warmup (same as bench.py): one tiny build
+        # exercises every stage's codegen, Arrow path and Python worker
+        # pool once, so the timed wall measures sustained throughput
+        # rather than first-job JIT / worker spin-up — which are
+        # per-JVM constants, not per-file costs
+        import shutil
+        import tempfile
+
+        warm = tempfile.mkdtemp(prefix="warm_idx_")
+        try:
+            build_index(
+                spark, docs.limit(256), warm,
+                EngineConfig(segment_size=128), resume=False,
+            )
+        finally:
+            shutil.rmtree(warm, ignore_errors=True)
     t0 = time.time()
     res = build_index(spark, docs, args.index, cfg, resume=not args.no_resume)
     print(
@@ -172,7 +189,7 @@ def cmd_bench_scaling(args) -> None:
                 sys.executable, "-m", "lucene_solr_8_7_0_spark.cli",
                 "--local-cores", str(cores),
                 "build", "--input", corpus_dir, "--index", idx,
-                "--segment-size", str(seg), "--no-resume",
+                "--segment-size", str(seg), "--no-resume", "--warmup",
             ]
             out = subprocess.run(
                 cmd, capture_output=True, text=True,
@@ -221,6 +238,7 @@ def main(argv=None) -> None:
     b.add_argument("--analyzer", default="standard")
     b.add_argument("--no-positions", action="store_true")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--warmup", action="store_true")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search")
