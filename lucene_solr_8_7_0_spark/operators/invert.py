@@ -91,14 +91,22 @@ def invert_doc_arrays(
     docs: DataFrame, cfg: EngineConfig, content_col: str = "content"
 ) -> DataFrame:
     """JVM-side inversion input, ONE ROW PER DOCUMENT:
-    (doc_id, terms array<string>, poss array<int>).
+    (doc_id, terms array<string>, holes array<int>).
 
     Same single shuffle as the per-token variant but ~20 bytes of row
     overhead per TOKEN cheaper — at 10^8+ tokens the per-token rows
     dominated shuffle volume and spilled.  Positions are the pre-filter
     token indices (holes where the max-length/stop filters dropped a
     token), chain order identical to analyze_batch: tokenize ->
-    length-filter (raw token) -> lowercase -> stop-filter.  Every doc
+    length-filter (raw token) -> lowercase -> stop-filter.
+
+    Position compression: with an empty stop set the kept positions are
+    exactly ``arange(len(terms))`` except at (rare) dropped tokens, so
+    shuffling one int per token is pure waste — ~40% of the shuffle
+    volume at code-corpus token sizes.  Instead only the DROPPED raw
+    positions (``holes``, usually empty) cross the wire and the encode
+    kernel reconstructs kept positions as
+    ``delete(arange(len(terms) + len(holes)), holes)``.  Every doc
     keeps its row (empty arrays), so segments see every doc without
     marker rows."""
     from ..functions.analysis import jvm_token_array
@@ -107,21 +115,27 @@ def invert_doc_arrays(
     structs = F.transform(
         toks, lambda x, i: F.struct(x.alias("t"), i.alias("p"))
     )
-    kept = F.filter(
-        structs, lambda s: F.length(s["t"]) <= cfg.max_token_length
+
+    def keep_pred(s):
+        # length filter sees the RAW token; the stop filter sees the
+        # LOWERCASED one (StandardAnalyzer chain order)
+        ok = F.length(s["t"]) <= cfg.max_token_length
+        if cfg.stopwords:
+            tt = F.lower(s["t"]) if cfg.analyzer == "standard" else s["t"]
+            ok = ok & ~tt.isin(*[str(w) for w in cfg.stopwords])
+        return ok
+
+    kept = F.filter(structs, keep_pred)
+    dropped = F.filter(structs, lambda s: ~keep_pred(s))
+    term_of = (
+        (lambda s: F.lower(s["t"]))
+        if cfg.analyzer == "standard"
+        else (lambda s: s["t"])
     )
-    if cfg.analyzer == "standard":
-        kept = F.transform(
-            kept, lambda s: F.struct(F.lower(s["t"]).alias("t"), s["p"].alias("p"))
-        )
-    if cfg.stopwords:
-        kept = F.filter(
-            kept, lambda s: ~s["t"].isin(*[str(w) for w in cfg.stopwords])
-        )
     return docs.select(
         "doc_id",
-        F.transform(kept, lambda s: s["t"]).alias("terms"),
-        F.transform(kept, lambda s: s["p"]).alias("poss"),
+        F.transform(kept, term_of).alias("terms"),
+        F.transform(dropped, lambda s: s["p"]).alias("holes"),
     )
 
 

@@ -270,15 +270,37 @@ def encode_segment_group_tokens(
     return pd.DataFrame(rows, columns=_SEG_COLS)
 
 
+def _positions_from_holes(
+    lens: np.ndarray, hlens: np.ndarray, hole_vals: np.ndarray
+) -> np.ndarray:
+    """Reconstruct kept token positions from the hole-compressed wire
+    format (invert_doc_arrays): per doc, kept positions are
+    ``arange(len + holes)`` minus the hole slots.  Vectorized across
+    the whole group; the (typical) zero-hole case is one grouped
+    arange."""
+    from ..functions.codec import _grouped_arange
+
+    if len(hole_vals) == 0:
+        return _grouped_arange(lens)
+    raw = lens + hlens
+    flat_raw = _grouped_arange(raw)
+    raw_offsets = np.concatenate(([0], np.cumsum(raw)[:-1]))
+    hole_rows = np.repeat(np.arange(len(hlens)), hlens)
+    mask = np.ones(int(raw.sum()), dtype=bool)
+    mask[raw_offsets[hole_rows] + hole_vals] = False
+    return flat_raw[mask]
+
+
 def encode_segment_group_docarrays(
     seg_id: int,
     pdf: pd.DataFrame,
     seg_size: int,
     index_positions: bool,
 ) -> pd.DataFrame:
-    """Encode one segment from per-DOC (terms[], poss[]) rows: flatten
-    the arrays (cheap — one concatenate per group), then the same
-    lexsort + run-length aggregation as the per-token kernel."""
+    """Encode one segment from per-DOC (terms[], holes[]) rows: flatten
+    the arrays (cheap — one concatenate per group), reconstruct kept
+    positions from the hole compression, then the same lexsort +
+    run-length aggregation as the per-token kernel."""
     base = seg_id * seg_size
     doc_ids_np = pdf["doc_id"].to_numpy(dtype=np.int64) - base
     tlists = pdf["terms"].to_numpy()
@@ -291,7 +313,15 @@ def encode_segment_group_docarrays(
     total = int(lens.sum())
     if total:
         kept_terms = np.concatenate(tlists)
-        kept_pos = np.concatenate(pdf["poss"].to_numpy()).astype(np.int64)
+        hlists = pdf["holes"].to_numpy()
+        hlens = np.fromiter((len(x) for x in hlists), np.int64, count=len(hlists))
+        hole_vals = (
+            np.concatenate([np.asarray(h, dtype=np.int64) for h in hlists])
+            .astype(np.int64)
+            if hlens.sum()
+            else np.empty(0, np.int64)
+        )
+        kept_pos = _positions_from_holes(lens, hlens, hole_vals)
         kept_docs = np.repeat(doc_ids_np, lens)
         codes, uniques = pd.factorize(kept_terms, sort=False)
         order = np.lexsort((kept_pos, kept_docs, codes))
@@ -388,11 +418,18 @@ def encode_segment_group_docarrays_arrow(
         de = flat_terms.dictionary_encode()
         codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniques = de.dictionary.to_numpy(zero_copy_only=False)
-        kept_pos = (
-            pc.list_flatten(tbl.column("poss").combine_chunks())
+        holes_col = tbl.column("holes").combine_chunks()
+        hlens = (
+            pc.list_value_length(holes_col)
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
+        hole_vals = (
+            pc.list_flatten(holes_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        kept_pos = _positions_from_holes(lens, hlens, hole_vals)
         kept_docs = np.repeat(doc_ids_np, lens)
         order = np.lexsort((kept_pos, kept_docs, codes))
         c_s, d_s, p_s = codes[order], kept_docs[order], kept_pos[order]
