@@ -180,10 +180,14 @@ def cmd_bench_scaling(args) -> None:
     spark.stop()
     seg = max(1024, args.files // 128)
     # each measurement runs in its OWN process (clean JVM, clean python
-    # worker pool — the spark-submit analog), best of `repeats`
-    for cores in cores_list:
-        walls = []
-        for rep in range(args.repeats):
+    # worker pool — the spark-submit analog).  Repeats INTERLEAVE
+    # across core counts (c1, c2, c1, c2, ...) so slow drifts in host
+    # throughput (this VM swings +-30% over tens of minutes) hit every
+    # core count equally instead of biasing whichever ran later;
+    # best-of-repeats per count is then comparable.
+    walls_by_cores: dict[int, list] = {c: [] for c in cores_list}
+    for rep in range(args.repeats):
+        for cores in cores_list:
             idx = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
             cmd = [
                 sys.executable, "-m", "lucene_solr_8_7_0_spark.cli",
@@ -197,11 +201,13 @@ def cmd_bench_scaling(args) -> None:
             )
             line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
             try:
-                walls.append(float(json.loads(line)["wall_s"]))
+                walls_by_cores[cores].append(float(json.loads(line)["wall_s"]))
             except (json.JSONDecodeError, KeyError):
                 print(out.stderr[-12000:], file=sys.stderr)
                 raise RuntimeError(f"build subprocess failed at cores={cores}")
             shutil.rmtree(idx, ignore_errors=True)
+    for cores in cores_list:
+        walls = walls_by_cores[cores]
         best = min(walls)
         results[cores] = {
             "wall_s": round(best, 2),
