@@ -193,6 +193,38 @@ def _q_merged_bool_and(spark, sf_dir):
     return _orig_ids(s, s.matches_df(Q.term_and(["data", "join"]))).select("doc_id")
 
 
+def _q_streaming_bool_and(spark, sf_dir):
+    """Structured-Streaming NRT path under the oracle: the corpus
+    arrives as a file stream in 4 micro-batches (maxFilesPerTrigger=1),
+    each committed via add_documents into a new snapshot; bool_and on
+    the final snapshot must hash-match the batch-build oracle (the
+    snapshot-refresh NRT story, SURVEY §2.10)."""
+    import shutil
+
+    from lucene_solr_8_7_0_spark.streaming.indexer import StreamingIndexer
+
+    key = hashlib.md5(f"{sf_dir}:stream:v1".encode()).hexdigest()[:10]
+    d = f"/tmp/lucene_ps_stream_{key}"
+    if key not in _SEARCHERS:
+        cfg = EngineConfig(analyzer="simple", segment_size=256, index_positions=True)
+        indexer = StreamingIndexer(spark, d, cfg)
+        if indexer.current_snapshot() is None:
+            src = d + "_src"
+            shutil.rmtree(src, ignore_errors=True)
+            adapted = _adapted(spark, sf_dir)
+            adapted.repartitionByRange(4, "path").write.mode("overwrite").parquet(src)
+            stream = (
+                spark.readStream.schema(adapted.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = indexer.start(stream)
+            q.awaitTermination()
+        _SEARCHERS[key] = IndexSearcher(spark, indexer.current_snapshot())
+    s = _SEARCHERS[key]
+    return _orig_ids(s, s.matches_df(Q.term_and(["data", "join"]))).select("doc_id")
+
+
 def _q_deleted_match(spark, sf_dir):
     """Live-docs: delete every 7th doc, re-run a term query — deleted
     docs must vanish from the hit set (stats untouched until merge)."""
@@ -526,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query": _q_parsed_query,
         "deleted_match": _q_deleted_match,
         "merged_bool_and": _q_merged_bool_and,
+        "streaming_bool_and": _q_streaming_bool_and,
         "multi_phrase": _q_multi_phrase,
         "prefix_match": _q_prefix_match,
         "wildcard_match": _q_wildcard_match,
@@ -679,6 +712,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM ({_TOKS})
             WHERE tok = 'data' AND doc_id % 7 != 0""",
         "merged_bool_and": f"""
+            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
+            HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2""",
+        "streaming_bool_and": f"""
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2""",
         "prefix_match": f"""
