@@ -48,11 +48,21 @@ __all__ = [
 ]
 
 _HAN = "⺀-⿿㐀-䶿一-鿿豈-﫿"
-_W = rf"(?:(?![{_HAN}])\w)"  # word char excluding CJK ideographs
+# Katakana (incl. phonetic extensions + halfwidth forms) has its own
+# UAX#29 word-break class: runs of katakana form one token (WB13) and
+# never join adjacent Latin (StandardTokenizerImpl KATAKANA type).
+_KATA = "\u30a0-\u30ff\u31f0-\u31ff\uff66-\uff9d"
+# Hiragana is emitted ONE CHARACTER PER TOKEN, like ideographs
+# (StandardTokenizerImpl HIRAGANA type / TestStandardAnalyzer golden
+# cases); Hangul stays an ALetter (joins like Latin) per UAX#29.
+_HIRA = "\u3041-\u309f"
+_CJK = _HAN + _KATA + _HIRA
+_W = rf"(?:(?![{_CJK}])\w)"  # word char excluding the CJK classes above
 
 # Unit = word-char run; joiners per UAX#29 WB6/7 (letters), WB11/12 (digits).
 STANDARD_TOKEN_PATTERN = (
-    rf"(?:[{_HAN}])"
+    rf"(?:[{_KATA}]+)"
+    rf"|(?:[{_HAN}{_HIRA}])"
     rf"|(?:{_W}+"
     rf"(?:(?:(?<=\d)[.,;’](?=\d)|(?<=[^\W\d_])[.':’](?=[^\W\d_]))"
     rf"{_W}+)*)"

@@ -80,6 +80,18 @@ def test_cjk_per_char():
     assert toks("我是中") == ["我", "是", "中"]
 
 
+def test_cjk_script_classes():
+    """StandardTokenizerImpl type classes (TestStandardAnalyzer
+    testJapanese/testKorean golden behavior): ideographs + hiragana one
+    per token, katakana as runs that never join Latin, hangul as
+    ALetter runs that do."""
+    assert toks("それはまだ実験段階にあります") == list("それはまだ実験段階にあります")
+    assert toks("ドラえもん") == ["ドラ", "え", "も", "ん"]
+    assert toks("カタカナ abc") == ["カタカナ", "abc"]
+    assert toks("仮名遣い カタカナ") == ["仮", "名", "遣", "い", "カタカナ"]
+    assert toks("안녕하세요 한국어") == ["안녕하세요", "한국어"]
+
+
 def test_null_safety():
     batch = analyze_batch(pd.Series([None, "a"]))
     assert batch.terms.tolist() == ["a"]
