@@ -342,14 +342,18 @@ def _within_edits(a: str, b: str, k: int) -> bool:
 def rewrite_multi_term(q: Query, term_lookup) -> Query:
     """MultiTermQuery rewrite (MultiTermQuery.java rewrite methods):
 
-    * <= maxClauseCount matches -> SHOULD-disjunction of TermQuerys
-      (SCORING_BOOLEAN_REWRITE: per-term BM25 contributions),
-    * beyond that -> constant-score union over the matching terms'
-      postings (CONSTANT_SCORE_REWRITE, Lucene's DEFAULT for
-      prefix/wildcard/regexp/range — MultiTermQueryConstantScoreWrapper
-      builds one bitset and never throws TooManyClauses; expressed here
-      as ConstantScore over a blended union, which the kernel evaluates
-      as a single docset clause)."""
+    * prefix/wildcard/regexp/range/set -> constant-score union over the
+      matching terms' postings — CONSTANT_SCORE_REWRITE, the
+      reference's DEFAULT for these types
+      (MultiTermQueryConstantScoreWrapper builds one bitset, scores
+      boost, and never throws TooManyClauses); expressed here as
+      ConstantScore over a blended union, which the kernel evaluates as
+      a single docset clause (one decode pass, no per-term weights),
+    * FuzzyQuery -> SHOULD-disjunction of TermQuerys with per-term BM25
+      (the reference uses TopTermsBlendedFreqScoringRewrite — scored
+      term expansion; we score ALL matching terms up to maxClauseCount
+      rather than the top 50, then fall back to the constant-score
+      union)."""
     from ..config import MAX_CLAUSE_COUNT
 
     if term_lookup is None:
@@ -359,7 +363,7 @@ def rewrite_multi_term(q: Query, term_lookup) -> Query:
         return MatchNoDocsQuery(f"no terms match {q}")
     if len(terms) == 1:
         return TermQuery(terms[0])
-    if len(terms) > MAX_CLAUSE_COUNT:
+    if not isinstance(q, FuzzyQuery) or len(terms) > MAX_CLAUSE_COUNT:
         return ConstantScoreQuery(SynonymQuery(tuple(terms)))
     b = Builder()
     for t in terms:
