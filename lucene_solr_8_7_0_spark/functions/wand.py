@@ -314,6 +314,18 @@ def _heap_topk(heap: list) -> tuple[np.ndarray, np.ndarray]:
 # ---------------- main kernel ----------------
 
 
+def _after_mask(
+    docs: np.ndarray, scores: np.ndarray, after: tuple | None
+) -> np.ndarray | None:
+    """Paging cursor (searchAfter): True for hits STRICTLY after
+    (a_score desc, a_doc asc) — exact float32 comparison, so page
+    boundaries are stable (TopScoreDocCollector paging collector)."""
+    if after is None:
+        return None
+    a_s, a_d = np.float32(after[0]), int(after[1])
+    return (scores < a_s) | ((scores == a_s) & (docs > a_d))
+
+
 def score_segment(
     posting_map: dict[str, TermPostings],
     norms: np.ndarray,
@@ -323,6 +335,7 @@ def score_segment(
     prune: bool = True,
     num_docs: int | None = None,
     min_competitive: float = 0.0,
+    after: tuple | None = None,
 ) -> SegmentTopK:
     """Evaluate one compiled boolean query against one segment.
 
@@ -353,8 +366,12 @@ def score_segment(
         )
         cand, acc = _add_shoulds(posting_map, norms, cq, cand, acc)
         final = acc.astype(np.float32)
+        n_hits = len(cand)
+        m = _after_mask(cand, final, after)
+        if m is not None:
+            cand, final = cand[m], final[m]
         d, s = _topk(cand, final, k)
-        return SegmentTopK(d, s, len(cand), True)
+        return SegmentTopK(d, s, n_hits, True)
     if required:
         simple_and = (
             prune
@@ -369,9 +386,9 @@ def score_segment(
         if simple_and:
             return _bm_conjunction(
                 posting_map, norms, cq, k, total_hits_threshold,
-                min_competitive=min_competitive,
+                min_competitive=min_competitive, after=after,
             )
-        return _conjunctive(posting_map, norms, cq, k)
+        return _conjunctive(posting_map, norms, cq, k, after=after)
     # pure disjunction
     simple = all(
         (not c.is_phrase) and c.const_score is None and c.sub is None
@@ -381,8 +398,8 @@ def score_segment(
     if (prune and simple and max(cq.msm, 1) == 1 and not cq.must_nots
             and cq.combine == "sum"):
         return _wand_or(posting_map, norms, cq.shoulds, k, total_hits_threshold,
-                        min_competitive=min_competitive)
-    return _exhaustive_or(posting_map, norms, cq, k)
+                        min_competitive=min_competitive, after=after)
+    return _exhaustive_or(posting_map, norms, cq, k, after=after)
 
 
 def _apply_must_nots(cand, posting_map, norms, must_nots):
@@ -417,7 +434,9 @@ def _add_shoulds(posting_map, norms, cq: CompiledQuery, cand, acc):
     return cand, acc
 
 
-def _conjunctive(posting_map, norms, cq: CompiledQuery, k: int) -> SegmentTopK:
+def _conjunctive(
+    posting_map, norms, cq: CompiledQuery, k: int, after: tuple | None = None
+) -> SegmentTopK:
     """AND path: leapfrog intersection, rarest clause first
     (ConjunctionDISI cost ordering), then ReqOptSum scoring."""
     evaluated = [
@@ -443,11 +462,17 @@ def _conjunctive(posting_map, norms, cq: CompiledQuery, k: int) -> SegmentTopK:
     # optional (SHOULD) contributions + minimumShouldMatch filter
     cand, acc = _add_shoulds(posting_map, norms, cq, cand, acc)
     final = acc.astype(np.float32)
+    n_hits = len(cand)
+    m = _after_mask(cand, final, after)
+    if m is not None:
+        cand, final = cand[m], final[m]
     d, s = _topk(cand, final, k)
-    return SegmentTopK(d, s, len(cand), True)
+    return SegmentTopK(d, s, n_hits, True)
 
 
-def _exhaustive_or(posting_map, norms, cq: CompiledQuery, k: int) -> SegmentTopK:
+def _exhaustive_or(
+    posting_map, norms, cq: CompiledQuery, k: int, after: tuple | None = None
+) -> SegmentTopK:
     """COMPLETE-mode disjunction: scatter-add union (DisjunctionSumScorer)."""
     parts_docs, parts_scores = [], []
     for c in cq.shoulds:
@@ -479,8 +504,12 @@ def _exhaustive_or(posting_map, norms, cq: CompiledQuery, k: int) -> SegmentTopK
         idx = np.searchsorted(uniq[keep], cand)
         acc = acc[idx]
     final = acc.astype(np.float32)
+    n_hits = len(cand)
+    m = _after_mask(cand, final, after)
+    if m is not None:
+        cand, final = cand[m], final[m]
     d, s = _topk(cand, final, k)
-    return SegmentTopK(d, s, len(cand), True)
+    return SegmentTopK(d, s, n_hits, True)
 
 
 # ---------------- block-max conjunction (pruned AND) ----------------
@@ -568,7 +597,7 @@ class _ConjTermState:
 
 def _bm_conjunction(
     posting_map, norms, cq: CompiledQuery, k: int, threshold: int,
-    min_competitive: float = 0.0,
+    min_competitive: float = 0.0, after: tuple | None = None,
 ) -> SegmentTopK:
     """Pruned AND: lead with the rarest clause's blocks; a window is
     decoded only when the float32-safe sum of per-clause block maxes
@@ -622,6 +651,9 @@ def _bm_conjunction(
             continue
         final = acc.astype(np.float32)
         hits += len(cand)
+        m = _after_mask(cand, final, after)
+        if m is not None:
+            cand, final = cand[m], final[m]
         _heap_insert(heap, k, cand, final)
     docs, scores = _heap_topk(heap)
     return SegmentTopK(docs, scores, hits, hits_exact=not pruned_any)
@@ -681,7 +713,7 @@ class _TermState:
 
 def _wand_or(
     posting_map, norms, shoulds: list[ScoringClause], k: int, threshold: int,
-    min_competitive: float = 0.0,
+    min_competitive: float = 0.0, after: tuple | None = None,
 ) -> SegmentTopK:
     states = [
         _TermState(posting_map[c.terms[0]], c.scorer)
@@ -736,6 +768,9 @@ def _wand_or(
             np.add.at(acc, inv, all_scores.astype(np.float64))
             final = acc.astype(np.float32)
             hits += len(uniq)
+            m = _after_mask(uniq, final, after)
+            if m is not None:
+                uniq, final = uniq[m], final[m]
             _heap_insert(heap, k, uniq, final)
         for s in active:
             if s.cur < s.nb and int(s.block_last[s.cur]) == window_end:

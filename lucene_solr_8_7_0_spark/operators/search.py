@@ -344,6 +344,39 @@ class IndexSearcher:
                                  lead=lead, dv_keys=dv_keys).toPandas()
         return self._merge(pdf, k)
 
+    def search_after(
+        self,
+        query: Query,
+        after: tuple[float, int] | None,
+        k: int = 10,
+        total_hits_threshold: int = DEFAULT_TOTAL_HITS_THRESHOLD,
+    ) -> TopDocs:
+        """Relevance-ranked paging — IndexSearcher.searchAfter(ScoreDoc)
+        (IndexSearcher.java:523-560, TopScoreDocCollector's paging
+        collector): each segment kernel SKIPS hits at-or-before the
+        cursor in (score desc, doc asc) order during collection, so the
+        page's heap fills only with post-cursor hits and pruning keys
+        off the page's own heap minimum, exactly like the reference.
+        ``after`` is the previous page's last (score, doc_id); the
+        cursor compares exact float32 scores, so pages concatenate to
+        the unpaged ranking.  total_hits still counts every match."""
+        if after is None:
+            return self.search(query, k, total_hits_threshold=total_hits_threshold)
+        q = rw.rewrite(query, self._term_lookup)
+        terms = planner.collect_terms(q)
+        ts = self._term_stats(terms)
+        cq = planner.compile_query(q, self.stats, ts, "top_scores")
+        if cq is None:
+            return TopDocs(0, "EQ", np.empty(0, np.int64), np.empty(0, np.float32))
+        lead, dv_keys = self._dv_plan(cq, ts)
+        pdf = self._run_segments(
+            cq, terms, planner.has_phrase(q), k, "top_scores",
+            total_hits_threshold, planner.collect_point_queries(q),
+            lead=lead, dv_keys=dv_keys,
+            after=(float(after[0]), int(after[1])),
+        ).toPandas()
+        return self._merge(pdf, k)
+
     def matches_df(self, query: Query) -> DataFrame:
         """ALL matching doc ids as a distributed DataFrame (filter /
         bulk-collection mode — scores not computed).  This is the
@@ -780,6 +813,7 @@ class IndexSearcher:
         score_mode: str, threshold: int, point_qs: set | frozenset = frozenset(),
         min_competitive: float = 0.0, only_segment: int | None = None,
         lead: tuple | None = None, dv_keys: frozenset = frozenset(),
+        after: tuple | None = None,
     ) -> DataFrame:
         seg_size = self.cfg.segment_size
         prune = score_mode == "top_scores"
@@ -834,11 +868,17 @@ class IndexSearcher:
             ).astype(np.int64)
             num_docs = int(sent["df"].iloc[0])
             pmap = rows_to_posting_map(post_rows)
+            base = seg_id * seg_size
+            # the paging cursor's doc id is global; segment-local
+            # arithmetic keeps the (score, doc) comparison exact for
+            # every segment (earlier segments: local <= cursor; later:
+            # cursor negative, all locals after it)
+            after_local = (after[0], after[1] - base) if after is not None else None
             res = score_segment(
                 pmap, norms, cq, k, total_hits_threshold=threshold,
                 prune=prune, num_docs=num_docs, min_competitive=min_competitive,
+                after=after_local,
             )
-            base = seg_id * seg_size
             return pd.DataFrame(
                 {
                     "segment_id": seg_id,

@@ -347,3 +347,29 @@ def test_facets(engine):
         [("short", 0, 100), ("long", 100, 10**9)],
     ).toPandas()
     assert fr["count"].sum() == len(hits)
+
+
+def test_search_after_score_paging(engine):
+    """searchAfter(ScoreDoc): pages concatenate to the unpaged ranking,
+    including across float32 score ties (doc-id tie-break)."""
+    searcher, oi = engine
+    for q in [
+        Q.term_or(["public", "return", "static"], 1),
+        Q.term_and(["public", "return"]),
+        Q.TermQuery("public"),
+    ]:
+        full = searcher.search(q, k=20, total_hits_threshold=1)
+        pages, after = [], None
+        while len(pages) < 4:
+            td = searcher.search_after(q, after, k=5, total_hits_threshold=1)
+            if len(td.doc_ids) == 0:
+                break
+            pages.append(td)
+            after = (float(td.scores[-1]), int(td.doc_ids[-1]))
+        got_docs = [d for td in pages for d in td.doc_ids.tolist()]
+        got_scores = [s for td in pages for s in td.scores.tolist()]
+        assert got_docs == full.doc_ids[: len(got_docs)].tolist(), str(q)
+        assert got_scores == full.scores[: len(got_scores)].tolist(), str(q)
+        # total hits reported per page counts ALL matches
+        if pages:
+            assert pages[-1].total_hits == full.total_hits
