@@ -517,9 +517,9 @@ def _q_minhash_near_dups(spark, sf_dir):
 
 def _q_simhash_near_dups(spark, sf_dir):
     fps = dedup.simhash(_docs(spark, sf_dir))
-    return dedup.simhash_near_dups(fps, max_hamming=8).select(
-        "doc_a", "doc_b", "hamming"
-    )
+    return dedup.simhash_near_dups(
+        fps, max_hamming=8, max_bucket_size=1000
+    ).select("doc_a", "doc_b", "hamming")
 
 
 def _q_media_stats(spark, sf_dir):

@@ -51,20 +51,33 @@ _HAN = "⺀-⿿㐀-䶿一-鿿豈-﫿"
 # Katakana (incl. phonetic extensions + halfwidth forms) has its own
 # UAX#29 word-break class: runs of katakana form one token (WB13) and
 # never join adjacent Latin (StandardTokenizerImpl KATAKANA type).
-_KATA = "\u30a0-\u30ff\u31f0-\u31ff\uff66-\uff9d"
+# The class is \p{WB:Katakana}: kana repeat marks 3031..3035, sound
+# marks 309B..309C, 30A0..30FA + 30FC..30FF (U+30FB KATAKANA MIDDLE
+# DOT is Word_Break=MidLetter, NOT Katakana \u2014 it must break katakana
+# runs: '\u30a2\u30a2\u30fb\u30a4\u30a4' -> ['\u30a2\u30a2','\u30a4\u30a4']), phonetic extensions, and the
+# halfwidth forms FF66..FF9F (incl. the FF9E..FF9F sound marks).
+_KATA = (
+    "\u3031-\u3035\u309b-\u309c\u30a0-\u30fa\u30fc-\u30ff"
+    "\u31f0-\u31ff\uff66-\uff9f"
+)
 # Hiragana is emitted ONE CHARACTER PER TOKEN, like ideographs
 # (StandardTokenizerImpl HIRAGANA type / TestStandardAnalyzer golden
 # cases); Hangul stays an ALetter (joins like Latin) per UAX#29.
-_HIRA = "\u3041-\u309f"
+# Trimmed to Script:Hiragana (3041..3096 + 309D..309F): 3097..309C
+# are unassigned or Script:Inherited/Common sound marks (the spacing
+# marks 309B..309C belong to the Katakana word-break class above).
+_HIRA = "\u3041-\u3096\u309d-\u309f"
 _CJK = _HAN + _KATA + _HIRA
 _W = rf"(?:(?![{_CJK}])\w)"  # word char excluding the CJK classes above
 
-# Unit = word-char run; joiners per UAX#29 WB6/7 (letters), WB11/12 (digits).
+# Unit = word-char run; joiners per UAX#29 WB6/7 (letters), WB11/12
+# (digits).  U+30FB KATAKANA MIDDLE DOT is MidLetter: it joins ALetter
+# runs only (never katakana), exactly like ':'.
 STANDARD_TOKEN_PATTERN = (
     rf"(?:[{_KATA}]+)"
     rf"|(?:[{_HAN}{_HIRA}])"
     rf"|(?:{_W}+"
-    rf"(?:(?:(?<=\d)[.,;’](?=\d)|(?<=[^\W\d_])[.':’](?=[^\W\d_]))"
+    rf"(?:(?:(?<=\d)[.,;’](?=\d)|(?<=[^\W\d_])[.':’・](?=[^\W\d_]))"
     rf"{_W}+)*)"
 )
 STANDARD_TOKEN_RE = re.compile(STANDARD_TOKEN_PATTERN, re.UNICODE)

@@ -363,15 +363,24 @@ def near_dup_pairs(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
 
     High-cosine pairs disagree on few hyperplanes, so with several
     independent tables they collide in at least one with overwhelming
-    probability; candidates are exactly re-scored."""
+    probability; candidates are exactly re-scored.
+
+    ``max_bucket_size`` (default 1000) drops (table, bucket) groups
+    larger than the cap before the self-join — a dense embedding
+    cluster otherwise makes one reducer's join quadratic at scale
+    (same skew guard as the MinHash LSH path)."""
+    from .dedup import _cap_buckets
+
     sigs = hyperplane_signatures(
         embeddings, n_planes, dim, seed, n_tables, id_col, vec_col
     )
+    sigs = _cap_buckets(sigs, ["table", "bucket"], max_bucket_size)
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = a.join(
         b,

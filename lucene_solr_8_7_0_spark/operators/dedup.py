@@ -320,7 +320,7 @@ def simhash(
 
 
 def simhash_near_dups(
-    fps: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = None
+    fps: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = 1000
 ) -> DataFrame:
     """Near-dups by SimHash via multi-index hashing: block on
     ``max_hamming + 1`` bit-chunks.  Pigeonhole: a pair differing in at
@@ -328,7 +328,12 @@ def simhash_near_dups(
     chunks, so it must agree exactly on at least one — blocking is
     RECALL-COMPLETE for the requested radius (fixes the round-1 bug
     where a fixed 4-chunk split silently missed hamming 4..8 pairs).
-    Verification is an exact popcount on the joined pair."""
+    Verification is an exact popcount on the joined pair.
+
+    ``max_bucket_size`` (default 1000) drops hot chunk values (short /
+    boilerplate docs share simhash chunks) before the self-join — at
+    100 TB one hot chunk value is otherwise a quadratic single-reducer
+    join.  Pass None only when completeness at any cost is required."""
     n_chunks = max_hamming + 1
     widths = [(64 // n_chunks) + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]

@@ -36,6 +36,31 @@ def deletes_path(index_dir: str) -> str:
     return os.path.join(index_dir, "deletes")
 
 
+def _gen_path(index_dir: str) -> str:
+    # leading "_" => ignored by parquet directory listings
+    return os.path.join(deletes_path(index_dir), "_GENERATION")
+
+
+def read_generation(index_dir: str) -> int:
+    """Current del generation: an explicit monotonic counter written at
+    each delete commit (SegmentInfos.delGen analog).  Unlike an mtime,
+    two delete batches landing within one filesystem-timestamp tick
+    still get distinct generations, so caches keyed on it can never
+    serve a stale live-docs mask."""
+    try:
+        with open(_gen_path(index_dir)) as f:
+            return int(f.read().strip() or 0)
+    except OSError:
+        return 0
+
+
+def _bump_generation(index_dir: str) -> int:
+    gen = read_generation(index_dir) + 1
+    with open(_gen_path(index_dir), "w") as f:
+        f.write(str(gen))
+    return gen
+
+
 def delete_documents(
     spark: SparkSession, index_dir: str, doc_ids: DataFrame
 ) -> int:
@@ -47,6 +72,7 @@ def delete_documents(
         doc_ids.select(F.col("doc_id").cast("long")).write.mode("append").parquet(
             deletes_path(index_dir)
         )
+        _bump_generation(index_dir)
     return n
 
 
@@ -82,3 +108,5 @@ def update_documents(
     src = deletes_path(index_dir)
     if os.path.exists(src):
         spark.read.parquet(src).write.mode("append").parquet(deletes_path(out_dir))
+        with open(_gen_path(out_dir), "w") as f:
+            f.write(str(read_generation(index_dir)))

@@ -115,15 +115,30 @@ class QueryCache:
     index generation (deletes epoch), so a reopened snapshot never
     serves stale docsets."""
 
-    def __init__(self, max_queries: int = 32, min_uses: int = 2):
-        from collections import Counter, OrderedDict
+    def __init__(self, max_queries: int = 32, min_uses: int = 2,
+                 history_size: int = 256):
+        from collections import Counter, OrderedDict, deque
 
         self.max_queries = max_queries
         self.min_uses = min_uses
         self._uses: Counter = Counter()
+        # bounded usage history (the reference's policy keeps a 256-entry
+        # ring buffer, UsageTrackingQueryCachingPolicy.java:59): evicting
+        # the oldest observation decrements its count, so a long-lived
+        # searcher with high filter diversity can't grow _uses unboundedly
+        self._history = deque(maxlen=history_size)
         self._cache: OrderedDict = OrderedDict()
         self.hits = 0
         self.misses = 0
+
+    def _observe(self, key) -> None:
+        if len(self._history) == self._history.maxlen:
+            old = self._history[0]
+            self._uses[old] -= 1
+            if self._uses[old] <= 0:
+                del self._uses[old]
+        self._history.append(key)
+        self._uses[key] += 1
 
     def get_or_build(self, key, build_fn):
         if key in self._cache:
@@ -131,7 +146,7 @@ class QueryCache:
             self.hits += 1
             return self._cache[key]
         self.misses += 1
-        self._uses[key] += 1
+        self._observe(key)
         df = build_fn()
         if self._uses[key] < self.min_uses:
             return df  # below the admission threshold: run uncached
@@ -149,6 +164,7 @@ class QueryCache:
             df.unpersist()
         self._cache.clear()
         self._uses.clear()
+        self._history.clear()
 
 
 class IndexSearcher:
@@ -628,8 +644,11 @@ class IndexSearcher:
         from ..functions.wand import ScoringClause
 
         clause = ScoringClause((DELETES_TOKEN,), None, const_score=0.0)
+        # key embeds the index identity: the cache object may be SHARED
+        # across searchers over different indexes (the reference keys per
+        # segment core), so (index, generation) disambiguates
         rows = self.query_cache.get_or_build(
-            ("deletes", self._generation()), build
+            (self.index_dir, "deletes", self._generation()), build
         )
         return clause, rows.select(*cols)
 
@@ -730,7 +749,7 @@ class IndexSearcher:
                     self._point_sel(q, lead), q.token_key()
                 )
             else:
-                key = ("pts", self._generation(), q.token_key())
+                key = (self.index_dir, "pts", self._generation(), q.token_key())
                 rows = self.query_cache.get_or_build(
                     key,
                     lambda q=q: self._docset_rows(
@@ -753,17 +772,15 @@ class IndexSearcher:
             sel = sel.filter(c <= q.upper if q.include_upper else c < q.upper)
         return sel.select("segment_id", "doc_id")
 
-    def _generation(self) -> float:
+    def _generation(self) -> int:
         """Snapshot generation: the deletes epoch (cache invalidation —
-        the reference keys its cache on the segment core + del gen)."""
-        import os as _os
+        the reference keys its cache on the segment core + del gen).
+        An explicit monotonic counter committed by delete_documents, so
+        two delete batches within one filesystem-timestamp tick still
+        invalidate (mtime granularity is not trusted)."""
+        from .deletes import read_generation
 
-        try:
-            return _os.path.getmtime(
-                _os.path.join(self.index_dir, "deletes", "_SUCCESS")
-            )
-        except OSError:
-            return 0.0
+        return read_generation(self.index_dir)
 
     def _docset_rows(self, sel: DataFrame, token: str) -> DataFrame:
         """(segment_id, doc_id) rows -> one pseudo-postings row per

@@ -32,6 +32,22 @@ def test_reference_golden_cases():
     assert toks(" ") == []
 
 
+def test_word_break_katakana_hiragana_classes():
+    # U+30FB KATAKANA MIDDLE DOT is Word_Break=MidLetter, NOT Katakana
+    # (StandardTokenizerImpl.jflex \p{WB:Katakana}): it breaks katakana
+    # runs but joins ALetter like ':'
+    assert toks("アア・イイ") == ["アア", "イイ"]
+    assert toks("a・b") == ["a・b"]
+    # WB:Katakana members outside the main block: halfwidth sound marks
+    # FF9E..FF9F and the 309B..309C spacing sound marks join runs
+    assert toks("ｶﾞｷﾞ") == ["ｶﾞｷﾞ"]
+    assert toks("ア゛") == ["ア゛"]
+    # Script:Hiragana only — one char per token; iteration marks ゝゞ
+    # (309D..309E) and ゟ included, 3097..309C excluded
+    assert toks("ひらがな") == ["ひ", "ら", "が", "な"]
+    assert toks("仮名ゞテスト") == ["仮", "名", "ゞ", "テスト"]
+
+
 def test_source_code_identifiers():
     assert toks("snake_case camelCase dotted.name") == [
         "snake_case",

@@ -125,6 +125,39 @@ def test_lsh_bucket_cap(spark):
     assert len(capped) == 0  # the 12-doc cluster exceeds the cap everywhere
 
 
+def test_simhash_hot_chunk_cap(spark):
+    """A hot chunk value (boilerplate cluster) is dropped by the
+    default bucket cap instead of exploding one reducer's self-join."""
+    rows = [(i, "identical boilerplate license text " * 5) for i in range(12)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    fps = dedup.simhash(docs)
+    uncapped = dedup.simhash_near_dups(fps, max_hamming=3,
+                                       max_bucket_size=None).toPandas()
+    assert len(uncapped) >= 12 * 11 // 2 + 1
+    capped = dedup.simhash_near_dups(fps, max_hamming=3,
+                                     max_bucket_size=10).toPandas()
+    got = set(map(tuple, capped[["doc_a", "doc_b"]].to_numpy()))
+    # the 12-doc hot cluster is gone; the small pair survives
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    """near_dup_pairs drops dense-cluster buckets above the cap."""
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal(16).astype(np.float32)
+    rows = [(i, (v + 1e-4 * rng.standard_normal(16).astype(np.float32)).tolist())
+            for i in range(12)]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    uncapped = ann.near_dup_pairs(emb, threshold=0.999, dim=16,
+                                  max_bucket_size=None).toPandas()
+    assert len(uncapped) == 12 * 11 // 2
+    capped = ann.near_dup_pairs(emb, threshold=0.999, dim=16,
+                                max_bucket_size=10).toPandas()
+    assert len(capped) == 0
+
+
 def test_ann_brute_force_exact(spark):
     rng = np.random.default_rng(5)
     mat = rng.standard_normal((200, 16)).astype(np.float32)
