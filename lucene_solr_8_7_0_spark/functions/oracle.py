@@ -20,10 +20,12 @@ from ..config import EngineConfig
 from .analysis import analyze_batch
 from .bm25 import BM25Scorer, avg_field_length, idf
 from .smallfloat import int_to_byte4_np
+from ..plans.rewrite import expand_terms
 from ..plans.queries import (
     BooleanQuery,
     DisjunctionMaxQuery,
     MultiPhraseQuery,
+    MultiTermUnionQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -183,6 +185,18 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
             total += float(idf(oi.term_df.get(t, 0), oi.doc_count))
         sc = _scorer(oi, np.float32(total), boost)
         return docs, sc.score(np.asarray(out_f, dtype=np.float32), _norm_of(oi, docs))
+    if isinstance(q, MultiTermUnionQuery):
+        # exact brute force: expand against the FULL term list, then
+        # evaluate as the constant-score union it rewrites to
+        terms = expand_terms(q.orig, sorted(oi.term_df))
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        docs = np.unique(
+            oi.tf[oi.tf["term"].isin(terms)]["doc_id"].to_numpy(dtype=np.int64)
+        )
+        return docs, np.full(
+            len(docs), np.float32(boost if scoring else 0.0)
+        )
     if isinstance(q, SynonymQuery):
         rows = oi.tf[oi.tf["term"].isin(q.terms)]
         agg = rows.groupby("doc_id")["freq"].sum().sort_index()

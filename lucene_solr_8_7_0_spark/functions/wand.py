@@ -66,10 +66,15 @@ class ScoringClause:
     const_score: float | None = None  # ConstantScoreQuery: fixed score
     slop: int = 0
     sub: "CompiledQuery | None" = None
-    # "term" | "synonym" | "multiphrase" (multi-term = phrase otherwise)
+    # "term" | "synonym" | "multiphrase" | "union_pred"
+    # (multi-term = phrase otherwise)
     kind: str = "term"
     # MultiPhraseQuery: term alternatives per phrase slot
     alts: tuple[tuple[str, ...], ...] | None = None
+    # union_pred (distributed multi-term union): str -> bool predicate
+    # selecting this clause's terms among the segment's LOCAL terms;
+    # the postings scan is pre-filtered by the equivalent JVM condition
+    pred: object | None = None
 
     @property
     def is_phrase(self) -> bool:
@@ -252,6 +257,19 @@ def _eval_clause(
         return _synonym_docs_scores(
             [posting_map.get(t) for t in clause.terms], norms, clause
         )
+    if clause.kind == "union_pred":
+        # distributed multi-term union: select this segment's matching
+        # terms by predicate (the Python check is the exact semantics;
+        # the JVM scan filter was a superset) and union their postings.
+        # Reserved tokens (\x00 sentinel/matchnone, \x01 point/delete
+        # pseudo-postings) are never expansion candidates.
+        hits = [
+            posting_map[t]
+            for t in posting_map
+            if not (t.startswith("\x00") or t.startswith("\x01"))
+            and clause.pred(t)
+        ]
+        return _synonym_docs_scores(hits, norms, clause)
     if clause.kind == "multiphrase":
         return _multiphrase_docs_scores(posting_map, norms, clause)
     if clause.sub is not None:

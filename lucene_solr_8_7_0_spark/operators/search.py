@@ -29,12 +29,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import DEFAULT_TOTAL_HITS_THRESHOLD, MAX_CLAUSE_COUNT, EngineConfig  # noqa: F401
-
-# Driver-side bound on multi-term expansion: above MAX_CLAUSE_COUNT the
-# rewrite takes the constant-score union path (no TooManyClauses, like
-# Lucene's default CONSTANT_SCORE_REWRITE); this cap only protects the
-# driver against collecting a pathological fraction of the term dict.
-HARD_EXPANSION_CAP = 1 << 16
 from ..functions.codec import TermPostings
 from ..functions.wand import CompiledQuery, score_segment
 from .segments import SENTINEL_TERM
@@ -196,79 +190,79 @@ class IndexSearcher:
 
     # ---- term dictionary services (FST/automaton analog) ----
 
-    def _term_lookup(self, q: Query) -> list[str]:
-        td = self.termdict
+    @staticmethod
+    def _mt_cond(q: Query):
+        """The multi-term query's match condition as a JVM Column over
+        ``term`` — pushed into the parquet scan (row-group pruning on
+        the sorted term column = the FST term-index analog).  For
+        regexp this is a SUPERSET of the Python semantics (Java regex
+        dialect); the kernel's predicate re-check is the authority, so
+        a superset here is always safe, a subset never is."""
+        c = F.col("term")
         if isinstance(q, PrefixQuery):
-            df = td.filter(F.col("term").startswith(q.prefix))
-        elif isinstance(q, TermRangeQuery):
-            c = F.col("term")
-            conds = []
+            return c.startswith(q.prefix)
+        if isinstance(q, TermRangeQuery):
+            cond = F.lit(True)
             if q.lower is not None:
-                conds.append(c >= q.lower if q.include_lower else c > q.lower)
+                cond = cond & (c >= q.lower if q.include_lower else c > q.lower)
             if q.upper is not None:
-                conds.append(c <= q.upper if q.include_upper else c < q.upper)
-            df = td
-            for cond in conds:
-                df = df.filter(cond)
-        elif isinstance(q, TermInSetQuery):
-            df = td.filter(F.col("term").isin(list(q.terms)))
-        elif isinstance(q, (WildcardQuery, RegexpQuery, FuzzyQuery)):
-            # the FULL match predicate runs JVM-side over the term dict
-            # (the automaton-intersection analog, MultiTermQuery.java
-            # rewrites) — matching may never be applied after a limit,
-            # or terms beyond it would be dropped nondeterministically.
-            # A literal-prefix filter is kept for parquet min/max
-            # pruning on the sorted term column.
+                cond = cond & (c <= q.upper if q.include_upper else c < q.upper)
+            return cond
+        if isinstance(q, TermInSetQuery):
+            return c.isin(list(q.terms))
+        if isinstance(q, WildcardQuery):
             import re as _re
-            cap = HARD_EXPANSION_CAP + 1
-            if isinstance(q, WildcardQuery):
-                prefix = q.pattern.split("*")[0].split("?")[0]
-                # only escaped literals + .*/. survive the translation,
-                # where Java and Python regex semantics coincide
-                pat = _re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".")
-                df = td.filter(F.col("term").startswith(prefix)) if prefix else td
-                df = df.filter(F.col("term").rlike(f"^(?:{pat})$"))
-            elif isinstance(q, FuzzyQuery):
-                # exact same predicate as expand_terms: shared prefix +
-                # length band + plain Levenshtein <= max_edits
-                prefix = q.term[: q.prefix_length]
-                df = td.filter(F.col("term").startswith(prefix)) if prefix else td
-                df = df.filter(
-                    (F.length("term") >= F.lit(len(q.term) - q.max_edits))
-                    & (F.length("term") <= F.lit(len(q.term) + q.max_edits))
-                    & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
-                )
-            else:
-                df = td.filter(F.col("term").rlike(f"^(?:{q.pattern})$"))
-                # Java regex may accept a superset of Python's for
-                # exotic patterns; widen the safety cap so the Python
-                # re-check below still sees every true match
-                cap = 2 * HARD_EXPANSION_CAP
-            terms = [r["term"] for r in df.select("term").limit(cap).collect()]
-            terms = rw.expand_terms(q, sorted(terms))
-            if len(terms) > HARD_EXPANSION_CAP:
-                raise ValueError(
-                    f"TooManyClauses: {type(q).__name__} expands to "
-                    f">{HARD_EXPANSION_CAP} terms"
-                )
-            return sorted(terms)
-        else:
-            raise TypeError(type(q))
-        # beyond MAX_CLAUSE_COUNT the rewrite switches to the
-        # constant-score union (rewrite_multi_term), so expansion is
-        # bounded only by the driver-side hard cap — the analog of
-        # Lucene's default CONSTANT_SCORE_REWRITE, which never throws;
-        # the hard cap guards driver memory for pathological patterns.
-        terms = [
-            r["term"]
-            for r in df.select("term").limit(HARD_EXPANSION_CAP + 1).collect()
-        ]
-        if len(terms) > HARD_EXPANSION_CAP:
-            raise ValueError(
-                f"TooManyClauses: {type(q).__name__} expands to "
-                f">{HARD_EXPANSION_CAP} terms"
+
+            # only escaped literals + .*/. survive the translation,
+            # where Java and Python regex semantics coincide; a literal
+            # prefix narrows the scan range for min/max pruning
+            prefix = q.pattern.split("*")[0].split("?")[0]
+            pat = _re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".")
+            cond = c.rlike(f"^(?:{pat})$")
+            return (c.startswith(prefix) & cond) if prefix else cond
+        if isinstance(q, FuzzyQuery):
+            # exact same predicate as expand_terms: shared prefix +
+            # length band + plain Levenshtein <= max_edits
+            prefix = q.term[: q.prefix_length]
+            cond = (
+                (F.length("term") >= F.lit(len(q.term) - q.max_edits))
+                & (F.length("term") <= F.lit(len(q.term) + q.max_edits))
+                & (F.levenshtein(c, F.lit(q.term)) <= q.max_edits)
             )
-        return sorted(terms)
+            return (c.startswith(prefix) & cond) if prefix else cond
+        if isinstance(q, RegexpQuery):
+            return c.rlike(f"^(?:{q.pattern})$")
+        raise TypeError(type(q))
+
+    def _term_lookup(self, q: Query) -> list[str] | None:
+        """Driver-side probe of the term dictionary for a multi-term
+        query.  Returns the full matching term list only when it is
+        small enough to enumerate (0/1 matches -> MatchNoDocs/TermQuery
+        unwrap; fuzzy's scored expansion up to maxClauseCount); returns
+        None for "many", telling the rewrite to take the DISTRIBUTED
+        constant-score union — the predicate then ships to the scan and
+        kernels and no term list ever reaches the driver (this replaces
+        the old 65k-term collect + literal IN list)."""
+        probe = (
+            MAX_CLAUSE_COUNT if isinstance(q, FuzzyQuery)
+            # regexp: Java rlike may accept a superset of Python's
+            # semantics, so seeing N rows proves nothing about the
+            # Python match count — probe enough to make the 0/1-match
+            # unwrap almost always decidable, else go distributed
+            else 64
+        )
+        rows = (
+            self.termdict.filter(self._mt_cond(q))
+            .select("term").limit(probe + 1).collect()
+        )
+        terms = sorted(r["term"] for r in rows)
+        if len(terms) > probe:
+            return None  # many -> distributed union
+        # exact Python-semantics re-check (regexp dialect, fuzzy edits)
+        terms = rw.expand_terms(q, terms)
+        if len(terms) >= 2 and not isinstance(q, FuzzyQuery):
+            return None  # constant-score union handles 2+ terms
+        return terms
 
     def _term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
         if not terms:
@@ -341,13 +335,14 @@ class IndexSearcher:
         if cq is None:
             return TopDocs(0, "EQ", np.empty(0, np.int64), np.empty(0, np.float32))
         pqs = planner.collect_point_queries(q)
+        mt_qs = tuple(planner.collect_multi_term_preds(q))
         lead, dv_keys = self._dv_plan(cq, ts)
         min_comp = 0.0
         if two_pass_threshold and score_mode == "top_scores":
             seed = self._run_segments(
                 cq, terms, planner.has_phrase(q), k, score_mode,
                 total_hits_threshold, pqs, only_segment=0,
-                lead=lead, dv_keys=dv_keys,
+                lead=lead, dv_keys=dv_keys, mt_qs=mt_qs,
             ).toPandas()
             seed = seed[seed["doc_id"] >= 0]
             if len(seed) >= k:
@@ -357,7 +352,8 @@ class IndexSearcher:
         pdf = self._run_segments(cq, terms, planner.has_phrase(q), k,
                                  score_mode, total_hits_threshold, pqs,
                                  min_competitive=min_comp,
-                                 lead=lead, dv_keys=dv_keys).toPandas()
+                                 lead=lead, dv_keys=dv_keys,
+                                 mt_qs=mt_qs).toPandas()
         return self._merge(pdf, k)
 
     def search_after(
@@ -390,6 +386,7 @@ class IndexSearcher:
             total_hits_threshold, planner.collect_point_queries(q),
             lead=lead, dv_keys=dv_keys,
             after=(float(after[0]), int(after[1])),
+            mt_qs=tuple(planner.collect_multi_term_preds(q)),
         ).toPandas()
         return self._merge(pdf, k)
 
@@ -418,7 +415,8 @@ class IndexSearcher:
         out = self._run_segments(cq, terms, planner.has_phrase(q), None,
                                  score_mode, 0,
                                  planner.collect_point_queries(q),
-                                 lead=lead, dv_keys=dv_keys)
+                                 lead=lead, dv_keys=dv_keys,
+                                 mt_qs=tuple(planner.collect_multi_term_preds(q)))
         return out.filter(F.col("doc_id") >= 0)
 
     def search_df(self, query: Query, k: int = 10, with_meta: bool = True, **kw) -> DataFrame:
@@ -517,8 +515,11 @@ class IndexSearcher:
             return {"doc_id": doc_id, "matches": False, "description": str(q)}
         seg_id = doc_id // self.cfg.segment_size
         local = doc_id - seg_id * self.cfg.segment_size
+        term_cond = F.col("term").isin(list(terms))
+        for mq in planner.collect_multi_term_preds(q):
+            term_cond = term_cond | self._mt_cond(mq.orig)
         seg_rows = self.segments.filter(
-            (F.col("segment_id") == seg_id) & F.col("term").isin(list(terms))
+            (F.col("segment_id") == seg_id) & term_cond
         ).toPandas()
         norm_row = self.norms.filter(F.col("segment_id") == seg_id).collect()
         if not norm_row:
@@ -567,7 +568,11 @@ class IndexSearcher:
                         d, f, _ = decode_term_postings(tp)
                         freq = int(f[np.searchsorted(d, local)])
                 entry = {
-                    "clause": " ".join(c.terms) if c.terms else "(nested)",
+                    "clause": (
+                        " ".join(c.terms) if c.terms
+                        else "(multi-term)" if c.kind == "union_pred"
+                        else "(nested)"
+                    ),
                     "occur": kind,
                     "matches": bool(hit),
                     "score": float(scores[idx]) if hit else 0.0,
@@ -830,7 +835,7 @@ class IndexSearcher:
         score_mode: str, threshold: int, point_qs: set | frozenset = frozenset(),
         min_competitive: float = 0.0, only_segment: int | None = None,
         lead: tuple | None = None, dv_keys: frozenset = frozenset(),
-        after: tuple | None = None,
+        after: tuple | None = None, mt_qs: tuple = (),
     ) -> DataFrame:
         seg_size = self.cfg.segment_size
         prune = score_mode == "top_scores"
@@ -844,14 +849,19 @@ class IndexSearcher:
         # ONE pushed-down scan fetches the query terms' postings AND the
         # per-segment sentinel norms row — a segment is self-contained,
         # so a query is: scan -> groupBy(segment) -> kernel -> merge.
-        if cq.match_all or terms or point_qs:
+        # Multi-term union predicates OR their JVM conditions into the
+        # same scan (distributed expansion — no driver-side term list).
+        if cq.match_all or terms or point_qs or mt_qs:
             want = list(terms) + [SENTINEL_TERM]
         else:
             want = []
         if not want:
             seg_rows = self.segments.filter(F.lit(False)).select(*cols)
         else:
-            seg_rows = self.segments.filter(F.col("term").isin(want)).select(*cols)
+            cond = F.col("term").isin(want)
+            for mq in mt_qs:
+                cond = cond | self._mt_cond(mq.orig)
+            seg_rows = self.segments.filter(cond).select(*cols)
         for pdf_rows in self._points_rows(point_qs, cols, lead, dv_keys):
             seg_rows = seg_rows.unionByName(pdf_rows)
         if self._has_deletes():

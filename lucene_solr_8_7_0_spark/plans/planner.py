@@ -17,6 +17,7 @@ from .queries import (
     BooleanQuery,
     DisjunctionMaxQuery,
     MultiPhraseQuery,
+    MultiTermUnionQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -60,6 +61,28 @@ def collect_terms(q: Query) -> set[str]:
             out |= collect_terms(c.query)
         return out
     return set()
+
+
+def collect_multi_term_preds(q: Query) -> list[MultiTermUnionQuery]:
+    """All MultiTermUnionQuery leaves, in deterministic order — the
+    searcher ORs their JVM term conditions into the postings scan so
+    the matching rows reach the kernels without a driver-side term
+    list."""
+    if isinstance(q, MultiTermUnionQuery):
+        return [q]
+    if isinstance(q, DisjunctionMaxQuery):
+        out: list[MultiTermUnionQuery] = []
+        for sub in q.queries:
+            out.extend(collect_multi_term_preds(sub))
+        return out
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return collect_multi_term_preds(q.query)
+    if isinstance(q, BooleanQuery):
+        out = []
+        for c in q.clauses:
+            out.extend(collect_multi_term_preds(c.query))
+        return out
+    return []
 
 
 def collect_point_queries(q: Query) -> set[PointRangeQuery]:
@@ -112,6 +135,17 @@ def _make_clause(
         # ConstantScoreWeight (PointRangeQuery.java:107)
         return ScoringClause(
             (q.token_key(),), None, const_score=(boost if scoring else 0.0)
+        )
+    if isinstance(q, MultiTermUnionQuery):
+        # distributed constant-score union: the kernel unions the
+        # postings of every segment-local term the predicate accepts
+        # (MultiTermQueryConstantScoreWrapper — one bitset, scores
+        # boost); no term statistics are bound, so nothing is collected
+        from .rewrite import term_predicate
+
+        return ScoringClause(
+            (), None, const_score=(boost if scoring else 0.0),
+            kind="union_pred", pred=term_predicate(q.orig),
         )
     if isinstance(q, TermQuery):
         if constant or not scoring:

@@ -144,6 +144,26 @@ class FuzzyQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiTermUnionQuery(Query):
+    """Rewrite target for a multi-term query whose expansion stays
+    DISTRIBUTED (MultiTermQueryConstantScoreWrapper's bulk path,
+    MultiTermQuery.java CONSTANT_SCORE_REWRITE): instead of collecting
+    the matching terms to the driver and re-emitting them as a literal
+    ``IN`` list, the term predicate itself ships both to the postings
+    scan (JVM-side pushdown over the sorted term column — the
+    automaton-intersection analog) and to the segment kernel, which
+    unions the postings of every LOCAL term the predicate accepts.
+    Scores are constant (the wrapper builds one bitset and scores
+    boost), so no per-term statistics are needed — nothing about the
+    expansion ever sits on the driver."""
+
+    orig: Query  # the wrapped Prefix/Wildcard/Regexp/Fuzzy/Range/Set query
+
+    def __str__(self) -> str:
+        return f"MultiTermUnion({self.orig})"
+
+
+@dataclass(frozen=True)
 class PointRangeQuery(Query):
     """Numeric range over an indexed point field (PointRangeQuery.java,
     IntPoint.newRangeQuery).  Spark-first analog: the docmeta table's

@@ -20,6 +20,7 @@ from .queries import (
     DisjunctionMaxQuery,
     IndexOrDocValuesQuery,
     MultiPhraseQuery,
+    MultiTermUnionQuery,
     SynonymQuery,
     BooleanQuery,
     BoostQuery,
@@ -40,7 +41,7 @@ from .queries import (
     WildcardQuery,
 )
 
-__all__ = ["rewrite", "rewrite_multi_term", "expand_terms"]
+__all__ = ["rewrite", "rewrite_multi_term", "expand_terms", "term_predicate"]
 
 
 def rewrite(query: Query, term_lookup=None) -> Query:
@@ -279,6 +280,44 @@ def _dedup_sum_boosts(qs: list[Query]) -> list[Query]:
 # ---------------- multi-term expansion ----------------
 
 
+def term_predicate(q: Query):
+    """The multi-term query's match predicate as a picklable
+    ``str -> bool`` callable — the automaton shipped to the segment
+    kernels for the distributed constant-score union (the compiled
+    ByteRunAutomaton that MultiTermQuery hands each TermsEnum).
+    Exactly the same semantics as expand_terms."""
+    if isinstance(q, PrefixQuery):
+        p = q.prefix
+        return lambda t: t.startswith(p)
+    if isinstance(q, WildcardQuery):
+        pat = re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".")
+        rx = re.compile(f"^{pat}$")
+        return lambda t: rx.match(t) is not None
+    if isinstance(q, RegexpQuery):
+        rx = re.compile(f"^(?:{q.pattern})$")
+        return lambda t: rx.match(t) is not None
+    if isinstance(q, TermRangeQuery):
+        lo, hi, il, iu = q.lower, q.upper, q.include_lower, q.include_upper
+
+        def in_range(t: str) -> bool:
+            if lo is not None and (t < lo or (t == lo and not il)):
+                return False
+            if hi is not None and (t > hi or (t == hi and not iu)):
+                return False
+            return True
+
+        return in_range
+    if isinstance(q, TermInSetQuery):
+        s = frozenset(q.terms)
+        return lambda t: t in s
+    if isinstance(q, FuzzyQuery):
+        base, k, plen = q.term, q.max_edits, q.prefix_length
+        return lambda t: (
+            t[:plen] == base[:plen] and _within_edits(base, t, k)
+        )
+    raise TypeError(type(q))
+
+
 def expand_terms(q: Query, all_terms: list[str]) -> list[str]:
     """Resolve a multi-term query against a sorted term list."""
     if isinstance(q, PrefixQuery):
@@ -346,25 +385,32 @@ def rewrite_multi_term(q: Query, term_lookup) -> Query:
       matching terms' postings — CONSTANT_SCORE_REWRITE, the
       reference's DEFAULT for these types
       (MultiTermQueryConstantScoreWrapper builds one bitset, scores
-      boost, and never throws TooManyClauses); expressed here as
-      ConstantScore over a blended union, which the kernel evaluates as
-      a single docset clause (one decode pass, no per-term weights),
+      boost, and never throws TooManyClauses).  The expansion itself
+      stays DISTRIBUTED (MultiTermUnionQuery): the driver only probes
+      the term dict for the 0-match (-> MatchNoDocs) and 1-match
+      (-> TermQuery, the wrapper's tiny-expansion unwrap) cases; with
+      2+ matches the predicate ships to the scan + kernel and no term
+      list is ever collected,
     * FuzzyQuery -> SHOULD-disjunction of TermQuerys with per-term BM25
       (the reference uses TopTermsBlendedFreqScoringRewrite — scored
       term expansion; we score ALL matching terms up to maxClauseCount
-      rather than the top 50, then fall back to the constant-score
-      union)."""
-    from ..config import MAX_CLAUSE_COUNT
+      rather than the top 50, then fall back to the distributed
+      constant-score union).
 
+    ``term_lookup(q)`` returns the matching terms when they are few
+    enough to enumerate driver-side, or None meaning "many" — take the
+    distributed union path."""
     if term_lookup is None:
         return q
     terms = term_lookup(q)
+    if terms is None:
+        return ConstantScoreQuery(MultiTermUnionQuery(q))
     if not terms:
         return MatchNoDocsQuery(f"no terms match {q}")
     if len(terms) == 1:
         return TermQuery(terms[0])
-    if not isinstance(q, FuzzyQuery) or len(terms) > MAX_CLAUSE_COUNT:
-        return ConstantScoreQuery(SynonymQuery(tuple(terms)))
+    if not isinstance(q, FuzzyQuery):
+        return ConstantScoreQuery(MultiTermUnionQuery(q))
     b = Builder()
     for t in terms:
         b.add(TermQuery(t), Occur.SHOULD)

@@ -300,38 +300,49 @@ def test_multi_term_no_truncation(spark, tmp_path_factory):
     )
     build_index(spark, docs, d, EngineConfig(segment_size=64))
     s = IndexSearcher(spark, d)
-    # wildcard: t19?? -> exactly terms t1900..t1999 (100 terms), all in doc 6
-    terms = s._term_lookup(Q.WildcardQuery("t19??"))
-    assert terms == [f"t{i:04d}" for i in range(1900, 2000)]
+    # wildcard: t19?? -> exactly terms t1900..t1999 (100 terms), all in
+    # doc 6 — matched DISTRIBUTED (the driver probe returns None for
+    # "many"; the predicate ships to the scan + kernel)
+    assert s._term_lookup(Q.WildcardQuery("t19??")) is None
     td = s.search(Q.WildcardQuery("t19??"), k=5)
     assert td.total_hits == 1  # doc 6 holds t1800..t2099
-    # leading wildcard (empty prefix pushdown) still exact
-    assert s._term_lookup(Q.WildcardQuery("*999")) == ["t0999", "t1999", "t2999"]
-    # regexp over the whole dict
-    assert s._term_lookup(Q.RegexpQuery("t0[01]00")) == ["t0000", "t0100"]
-    # fuzzy: distance <= 1 from t1500
+    # leading wildcard (no prefix pushdown) still exact and distributed
+    assert s._term_lookup(Q.WildcardQuery("*999")) is None
+    assert set(
+        r.doc_id for r in
+        s.matches_df(Q.WildcardQuery("*999")).collect()
+    ) == {3, 6, 9}  # docs holding t0999 / t1999 / t2999
+    # 1-match regexp unwraps to a TermQuery driver-side
+    assert s._term_lookup(Q.RegexpQuery("t0[1]00")) == ["t0100"]
+    assert s._term_lookup(Q.RegexpQuery("t0[01]00")) is None
+    # fuzzy keeps the SCORED expansion: distance <= 1 from t1500
     got = s._term_lookup(Q.FuzzyQuery("t1500", max_edits=1))
     assert "t1500" in got and "t1501" in got and "t2500" in got
     from lucene_solr_8_7_0_spark.plans.rewrite import _within_edits
     assert got == sorted(t for t in vocab if _within_edits("t1500", t, 1))
-    # true match count > MAX_CLAUSE_COUNT -> the rewrite switches to the
-    # constant-score union (CONSTANT_SCORE_REWRITE, Lucene's default for
-    # multi-term queries — never TooManyClauses): every doc matches with
-    # score == 1.0
+    # true match count > MAX_CLAUSE_COUNT -> the rewrite is the
+    # distributed constant-score union (CONSTANT_SCORE_REWRITE,
+    # Lucene's default for multi-term queries — never TooManyClauses):
+    # every doc matches with score == 1.0, and NOTHING about the
+    # 3000-term expansion is ever enumerated on the driver
     assert len(vocab) > MAX_CLAUSE_COUNT
     from lucene_solr_8_7_0_spark.plans.queries import (
         ConstantScoreQuery,
-        SynonymQuery,
+        MultiTermUnionQuery,
     )
     from lucene_solr_8_7_0_spark.plans.rewrite import rewrite
 
     rw_q = rewrite(Q.WildcardQuery("t*"), s._term_lookup)
     assert isinstance(rw_q, ConstantScoreQuery)
-    assert isinstance(rw_q.query, SynonymQuery)
-    assert len(rw_q.query.terms) == len(vocab)
+    assert isinstance(rw_q.query, MultiTermUnionQuery)
     td = s.search(Q.WildcardQuery("t*"), k=20)
     assert td.total_hits == 10
     assert set(td.scores.tolist()) == {1.0}
+    # the kernel predicate is the exact (Python-dialect) authority:
+    # a Java-regex construct matching a superset JVM-side must not
+    # leak non-matching terms into the union
+    n = s.matches_df(Q.RegexpQuery("t14[0-9]0")).count()
+    assert n == 1  # t1400..t1490 all live in doc 4
 
 
 def test_facets(engine):
