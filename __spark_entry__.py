@@ -121,6 +121,112 @@ def _q_doc_freqs(spark, sf_dir):
     ).select("term", "df", "cf")
 
 
+# ---- standard (UAX#29) analyzer under the oracle ----
+# The corpus text is plain lowercase ASCII, which cannot distinguish
+# the standard tokenizer from the simple one — so the contract
+# AUGMENTS every doc with a deterministic, SQL-expressible suffix full
+# of word-break edge cases (dotted numbers varying per doc, MidNum
+# commas, apostrophes, underscores, hyphens).  Spark and DuckDB both
+# compute the same augmentation; DuckDB then replays the tokenizer via
+# SQL_STANDARD_TOKEN_PATTERN (the RE2 instantiation of the grammar,
+# property-tested identical to the engine's).
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" v"), (d % 7).cast("string"),
+            F.lit("."), (d % 13).cast("string"),
+            F.when(d % 3 == 0, F.lit(" O'Reilly 4,600 216.239.63.104"))
+            .otherwise(F.lit(" can't x_y2 ab-cd 21.35")),
+        ).alias("text"),
+    )
+
+
+_AUG_SQL = (
+    "SELECT doc_id, text || ' v' || CAST(doc_id % 7 AS VARCHAR) || '.' "
+    "|| CAST(doc_id % 13 AS VARCHAR) || CASE WHEN doc_id % 3 = 0 THEN "
+    "' O''Reilly 4,600 216.239.63.104' ELSE ' can''t x_y2 ab-cd 21.35' END "
+    "AS text FROM documents"
+)
+
+
+def _std_toks_sql() -> str:
+    from lucene_solr_8_7_0_spark.functions.analysis import (
+        SQL_STANDARD_TOKEN_PATTERN,
+    )
+
+    pat = SQL_STANDARD_TOKEN_PATTERN.replace("'", "''")
+    return (
+        f"SELECT doc_id, lower(tok) AS tok FROM ("
+        f"SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS tok "
+        f"FROM ({_AUG_SQL}))"
+    )
+
+
+def _q_std_term_freqs(spark, sf_dir):
+    """The inversion operator under the STANDARD analyzer: per-doc term
+    freqs of the tokens that only UAX#29 joiner rules can produce
+    (dotted numbers, comma groups, apostrophes)."""
+    from lucene_solr_8_7_0_spark.operators.invert import invert, split_postings
+
+    cfg = EngineConfig(analyzer="standard", index_positions=False)
+    docs = _aug_docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    postings, _ = split_postings(invert(docs, cfg))
+    return postings.filter(F.col("term").rlike("[.,']")).select(
+        "doc_id", "term", F.col("freq").alias("tf")
+    )
+
+
+def _q_std_fingerprint(spark, sf_dir):
+    """Whole-tokenization parity: md5 of each doc's sorted distinct
+    standard-analyzer terms — ANY token difference vs the DuckDB
+    replay flips the hash."""
+    from lucene_solr_8_7_0_spark.operators.invert import invert, split_postings
+
+    cfg = EngineConfig(analyzer="standard", index_positions=False)
+    docs = _aug_docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    postings, _ = split_postings(invert(docs, cfg))
+    return postings.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.collect_set("term")))
+        ).alias("fingerprint")
+    )
+
+
+def _searcher_std(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Full index build + search under the standard analyzer."""
+    key = hashlib.md5(f"{sf_dir}:std:v1".encode()).hexdigest()[:10]
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    d = f"/tmp/lucene_ps_stdidx_{key}"
+    adapted = _aug_docs(spark, sf_dir).select(
+        F.lit("corpus").alias("repo"),
+        F.format_string("%010d", "doc_id").alias("path"),
+        F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    cfg = EngineConfig(analyzer="standard", segment_size=256, index_positions=True)
+    build_index(spark, adapted, d, cfg, resume=True)
+    s = IndexSearcher(spark, d)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _q_std_bool_and(spark, sf_dir):
+    """Standard-analyzer index end-to-end: apostrophe token AND a
+    corpus term through the full build + boolean kernel path."""
+    s = _searcher_std(spark, sf_dir)
+    return _orig_ids(
+        s, s.matches_df(Q.term_and(["o'reilly", "data"]))
+    ).select("doc_id")
+
+
 def _q_bool_and(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return _orig_ids(s, s.matches_df(Q.term_and(["data", "join"]))).select("doc_id")
@@ -245,6 +351,17 @@ def _q_deleted_match(spark, sf_dir):
         _SEARCHERS[key] = IndexSearcher(spark, d)
     s = _SEARCHERS[key]
     return _orig_ids(s, s.matches_df(Q.TermQuery("data"))).select("doc_id")
+
+
+def _q_lang_filter(spark, sf_dir):
+    """Keyword-field (StringField) equality composed with a term query:
+    lang:de AND data — the FieldTermQuery docset rides the same
+    pseudo-postings plumbing as point ranges."""
+    s = _searcher(spark, sf_dir)
+    b = Q.Builder()
+    b.add(Q.TermQuery("data"), Q.Occur.MUST)
+    b.add(Q.FieldTermQuery("lang", "de"), Q.Occur.FILTER)
+    return _orig_ids(s, s.matches_df(b.build())).select("doc_id")
 
 
 def _q_range_filter(spark, sf_dir):
@@ -548,6 +665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": _q_token_counts,
         "term_freqs": _q_term_freqs,
+        "std_term_freqs": _q_std_term_freqs,
+        "std_fingerprint": _q_std_fingerprint,
+        "std_bool_and": _q_std_bool_and,
         "doc_freqs": _q_doc_freqs,
         "bool_and": _q_bool_and,
         "bool_or_msm2": _q_bool_or_msm2,
@@ -555,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_slop": _q_phrase_slop,
         "range_filter": _q_range_filter,
+        "lang_filter": _q_lang_filter,
         "parsed_query": _q_parsed_query,
         "deleted_match": _q_deleted_match,
         "merged_bool_and": _q_merged_bool_and,
@@ -666,6 +787,19 @@ def oracle_sql() -> dict[str, str]:
         "term_freqs": f"""
             SELECT doc_id, tok AS term, CAST(count(*) AS INT) AS tf
             FROM ({_TOKS}) GROUP BY doc_id, tok HAVING count(*) >= 2""",
+        "std_term_freqs": f"""
+            SELECT doc_id, tok AS term, CAST(count(*) AS INT) AS tf
+            FROM ({_std_toks_sql()})
+            WHERE regexp_matches(tok, '[.,'']')
+            GROUP BY doc_id, tok""",
+        "std_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(array_agg(tok))), ' '))
+                     AS fingerprint
+            FROM ({_std_toks_sql()}) GROUP BY doc_id""",
+        "std_bool_and": f"""
+            SELECT doc_id FROM ({_std_toks_sql()}) GROUP BY doc_id
+            HAVING count(DISTINCT CASE WHEN tok IN ('o''reilly','data') THEN tok END) = 2""",
         "doc_freqs": f"""
             SELECT tok AS term, count(DISTINCT doc_id) AS df,
                    CAST(count(*) AS BIGINT) AS cf
@@ -708,6 +842,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
                AND sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) = 0""",
+        "lang_filter": f"""
+            SELECT t.doc_id FROM ({_TOKS}) t
+            JOIN documents d ON t.doc_id = d.doc_id
+            WHERE d.lang = 'de'
+            GROUP BY t.doc_id
+            HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0""",
         "deleted_match": f"""
             SELECT DISTINCT doc_id FROM ({_TOKS})
             WHERE tok = 'data' AND doc_id % 7 != 0""",

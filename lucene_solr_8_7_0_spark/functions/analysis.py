@@ -20,6 +20,23 @@ lucene/core/src/test/.../standard/TestStandardAnalyzer.java):
   ``O'Reilly``),
 * everything else (``-``, ``/``, whitespace, …) breaks,
 * CJK ideographs are emitted one-per-token,
+* combining marks (Mn/Mc/Me, Word_Break=Extend) attach to the
+  preceding char and never break a token (Thai/Lao/Bengali/Aramaic
+  words and "moͤchte" stay whole),
+* the three instantiations of the grammar — Python re
+  (STANDARD_TOKEN_PATTERN), Java regex (JAVA_STANDARD_TOKEN_PATTERN,
+  the JVM build path) and RE2 (SQL_STANDARD_TOKEN_PATTERN, the DuckDB
+  oracle) — are property-tested char-for-char identical.
+
+KNOWN GAPS vs the reference's full UAX#29 DFA
+(StandardTokenizerImpl.jflex), documented per round-2 VERDICT #1:
+
+* emoji are NOT tokenized (<EMOJI> type: Extended_Pictographic, ZWJ
+  sequences, regional indicator pairs, keycap sequences all break),
+* Hebrew double-quote rules WB7b/c (gershayim inside a word) split,
+* astral (non-BMP) combining marks and the Prepend class are ignored,
+* tailored numeric tokens like the reference's <NUM> over mixed
+  scripts follow the regex subset, not the DFA's full transition set,
 * tokens longer than ``max_token_length`` (default 255,
   StandardAnalyzer.java:39) are dropped from the stream but still
   consume a position and do NOT count toward the field length
@@ -45,6 +62,7 @@ __all__ = [
     "jvm_token_array",
     "tokenize_text",
     "ANALYZERS",
+    "SQL_STANDARD_TOKEN_PATTERN",
 ]
 
 _HAN = "⺀-⿿㐀-䶿一-鿿豈-﫿"
@@ -67,20 +85,120 @@ _KATA = (
 # are unassigned or Script:Inherited/Common sound marks (the spacing
 # marks 309B..309C belong to the Katakana word-break class above).
 _HIRA = "\u3041-\u3096\u309d-\u309f"
+# Supplementary ideographs (CJK extensions B..G + compat supplement) —
+# one char per token like the BMP block (TestStandardAnalyzer
+# testSupplementary).
+_HAN = _HAN + "\U00020000-\U0002ebef\U0002f800-\U0002fa1f\U00030000-\U0003134a"
 _CJK = _HAN + _KATA + _HIRA
-_W = rf"(?:(?![{_CJK}])\w)"  # word char excluding the CJK classes above
 
-# Unit = word-char run; joiners per UAX#29 WB6/7 (letters), WB11/12
-# (digits).  U+30FB KATAKANA MIDDLE DOT is MidLetter: it joins ALetter
-# runs only (never katakana), exactly like ':'.
-STANDARD_TOKEN_PATTERN = (
-    rf"(?:[{_KATA}]+)"
-    rf"|(?:[{_HAN}{_HIRA}])"
-    rf"|(?:{_W}+"
-    rf"(?:(?:(?<=\d)[.,;’](?=\d)|(?<=[^\W\d_])[.':’・](?=[^\W\d_]))"
-    rf"{_W}+)*)"
-)
+
+def _category_ranges(cats, limit=0x10000) -> str:
+    """Compact regex-class ranges of the BMP chars in the given Unicode
+    general categories (stdlib ``re`` has no \\p{...} classes, so the
+    sets are materialized once at import; ~50ms)."""
+    import unicodedata
+
+    out, start, prev = [], None, None
+    for cp in range(limit):
+        if unicodedata.category(chr(cp)) in cats:
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            out.append((start, prev))
+            start = None
+    if start is not None:
+        out.append((start, prev))
+    return "".join(
+        chr(a) if a == b else f"{chr(a)}-{chr(b)}" for a, b in out
+    )
+
+
+# Combining marks (Mn/Mc/Me) are Word_Break=Extend (UAX#29 WB4): they
+# attach to the preceding char and never break a token — the reference
+# keeps "mo\u0364chte" one token (TestStandardAnalyzer testLUCENE1545)
+# and whole Thai/Lao/Bengali/Aramaic words together, all of which carry
+# vowel signs / viramas / diaereses in Mn/Mc.  Python's \w EXCLUDES
+# marks (str.isalnum) while Java's (?U)\w includes them, so the class
+# is spelled explicitly and shared by both engines.  BMP-only: astral
+# marks (musical/ancient notations) are out of scope, documented.
+_MARKS = _category_ranges(("Mn", "Mc", "Me"))
+# Letter-numbers (Nl: \u2160...) and other-numbers (No: \u00b2) are word
+# chars in Python (\w via isnumeric) but not in Java's (?U)\w — added
+# explicitly on the Java side so both engines tokenize identically.
+_NLNO = _category_ranges(("Nl", "No"))
+# Java's (?U)\w additionally contains Join_Control (ZWJ/ZWNJ) and the
+# non-underscore connector punctuation; both are subtracted there
+# (class intersection) so the engines agree char-for-char.
+_JAVA_W_EXTRAS = "\u200c\u200d\u203f-\u2040\u2054\ufe33-\ufe34\ufe4d-\ufe4f\uff3f"
+
+# letter (incl. combining mark) context for the MidLetter/MidNumLet/
+# Single_Quote joiners.  The class is letters + marks EXACTLY: Nl/No
+# (word chars in Python) and Java's Join_Control/Pc extras are
+# subtracted inside the negated class — the subtraction is a no-op in
+# whichever engine never had them, so both engines see the same set;
+# the marks alternative is likewise redundant-but-identical in Java.
+_LETB = rf"(?:(?<=[^\W\d_{_NLNO}{_JAVA_W_EXTRAS}])|(?<=[{_MARKS}]))"
+_LETA = rf"(?=[^\W\d_{_NLNO}{_JAVA_W_EXTRAS}]|[{_MARKS}])"
+
+
+def _build_token_pattern(w_class: str) -> str:
+    """The UAX#29-subset token grammar over an engine-specific word
+    char class:
+
+    * katakana runs (+ attached marks) — one token (WB13),
+    * single ideograph / hiragana (+ attached marks) — one token,
+    * word runs: word chars (letters, digits, marks, ``_``) where
+      ``.``/U+2019 join digit.digit (MidNumLet, WB11/12) and
+      letter.letter (WB6/7), ``,;`` join digits only (MidNum),
+      ``':``/U+30FB join letters only (MidLetter / Single_Quote);
+      a token never STARTS with a bare mark or join-control (a
+      segment-initial Extend char has nothing to attach to, so the
+      reference's DFA gives it no token type)."""
+    w = rf"(?:(?![{_CJK}]){w_class})"
+    w_init = rf"(?:(?![{_MARKS}\u200c\u200d]){w})"
+    return (
+        rf"(?:[{_KATA}][{_KATA}{_MARKS}]*)"
+        rf"|(?:[{_HAN}{_HIRA}][{_MARKS}]*)"
+        rf"|(?:{w_init}{w}*"
+        rf"(?:(?:(?<=\d)[.,;\u2019](?=\d)|{_LETB}[.':\u2019\u30fb]{_LETA})"
+        rf"{w}+)*)"
+    )
+
+
+STANDARD_TOKEN_PATTERN = _build_token_pattern(rf"[\w{_MARKS}]")
 STANDARD_TOKEN_RE = re.compile(STANDARD_TOKEN_PATTERN, re.UNICODE)
+# Java instantiation: (?U)\w already holds the marks; Nl/No are added,
+# Join_Control + non-underscore Pc subtracted (Java class intersection)
+JAVA_STANDARD_TOKEN_PATTERN = "(?U)" + _build_token_pattern(
+    rf"[[\w{_NLNO}]&&[^{_JAVA_W_EXTRAS}]]"
+)
+
+# The SAME token language as STANDARD_TOKEN_PATTERN, rewritten without
+# lookarounds so RE2-based engines (DuckDB, Go, Hyperscan) can replay
+# the standard tokenizer as an external oracle.  Derivation: a token is
+# a concatenation of elements — underscore runs, letter-chains (letter/
+# mark runs joined by the letter joiners, which only ever appear
+# BETWEEN letter-or-mark chars), digit-chains (digit runs joined by the
+# numeric joiners, which only appear between digits), and Nl/No runs —
+# so the lookaround adjacency conditions become plain concatenation
+# structure; only the FIRST element may not lead with a bare mark.
+# Letters = \p{L} minus the CJK classes (RE2 spells class subtraction
+# as a negated class over the complement); digits = \p{Nd}.  Exact
+# equivalence with STANDARD_TOKEN_RE is property-tested against DuckDB
+# in tests/test_analysis.py on randomized adversarial strings.
+_R_L = rf"[^\P{{L}}{_KATA}{_HAN}{_HIRA}]"
+_R_LM = rf"(?:{_R_L}|[{_MARKS}])"
+# RE2 spells code points \x{...}, not \uXXXX
+_R_CHAIN_TAIL = rf"(?:[.':\x{{2019}}\x{{30fb}}]{_R_LM}+)*"
+_R_DIG = r"\p{Nd}+(?:[.,;\x{2019}]\p{Nd}+)*"
+_R_NUM = r"[\p{Nl}\p{No}]+"
+SQL_STANDARD_TOKEN_PATTERN = (
+    rf"(?:[{_KATA}][{_KATA}{_MARKS}]*)"
+    rf"|(?:[{_HAN}{_HIRA}][{_MARKS}]*)"
+    rf"|(?:(?:_+|{_R_L}{_R_LM}*{_R_CHAIN_TAIL}|{_R_DIG}|{_R_NUM})"
+    rf"(?:_+|{_R_LM}+{_R_CHAIN_TAIL}|{_R_DIG}|{_R_NUM})*)"
+)
 
 # "simple" analyzer: lowercase first, then extract [a-z0-9_]+ runs.
 # Deliberately expressible in one line of ANSI SQL
@@ -99,9 +217,11 @@ def jvm_token_array(content_col: str, analyzer: str):
 
     Parity contract with analyze_batch (asserted by tests on golden +
     randomized corpora): 'simple' lowers then extracts [a-z0-9_]+;
-    'standard' runs the same UAX#29-subset pattern under Java regex
-    with (?U) (UNICODE_CHARACTER_CLASS makes \\w match Python's) and
-    returns RAW (un-lowered) tokens — the caller lowercases AFTER the
+    'standard' runs the Java instantiation of the SAME token grammar
+    (JAVA_STANDARD_TOKEN_PATTERN: (?U) plus explicit class alignment —
+    Nl/No added, Join_Control/Pc-extras subtracted — so Java's \\w
+    matches Python's word-char set char-for-char) and returns RAW
+    (un-lowered) tokens — the caller lowercases AFTER the
     max-token-length filter, exactly like the Python chain measures
     length pre-lowercase."""
     from pyspark.sql import functions as F
@@ -112,7 +232,7 @@ def jvm_token_array(content_col: str, analyzer: str):
         )
     if analyzer == "standard":
         return F.regexp_extract_all(
-            F.col(content_col), F.lit("(?U)" + STANDARD_TOKEN_PATTERN), F.lit(0)
+            F.col(content_col), F.lit(JAVA_STANDARD_TOKEN_PATTERN), F.lit(0)
         )
     raise ValueError(f"unknown analyzer {analyzer!r}")
 

@@ -531,13 +531,8 @@ class IndexSearcher:
             from ..functions.codec import encode_term_postings
 
             sel = self.spark.read.parquet(self.docmeta_path).filter(
-                F.col("segment_id") == seg_id
+                (F.col("segment_id") == seg_id) & self._dv_cond(pq)
             )
-            c = F.col(pq.field)
-            if pq.lower is not None:
-                sel = sel.filter(c >= pq.lower if pq.include_lower else c > pq.lower)
-            if pq.upper is not None:
-                sel = sel.filter(c <= pq.upper if pq.include_upper else c < pq.upper)
             ld = np.sort(
                 np.asarray([r["doc_id"] for r in sel.select("doc_id").collect()],
                            dtype=np.int64)
@@ -741,7 +736,7 @@ class IndexSearcher:
         self._last_access_paths = {}  # token_key -> "index" | "dv" (debug/tests)
         for q in sorted(point_qs, key=lambda x: x.token_key()):
             use_dv = (
-                q.dv
+                getattr(q, "dv", False)
                 and lead is not None
                 and q.token_key() in dv_keys
                 and lead[1] * 8 < self._estimate_point_cost(q)
@@ -764,18 +759,29 @@ class IndexSearcher:
             outs.append(rows.select(*cols))
         return outs
 
+    @staticmethod
+    def _dv_cond(q):
+        """Docmeta filter Column of one doc-value clause: a numeric
+        point range or a keyword (StringField) equality."""
+        from ..plans.queries import FieldTermQuery
+
+        c = F.col(q.field)
+        if isinstance(q, FieldTermQuery):
+            return c == q.value
+        cond = F.lit(True)
+        if q.lower is not None:
+            cond = cond & (c >= q.lower if q.include_lower else c > q.lower)
+        if q.upper is not None:
+            cond = cond & (c <= q.upper if q.include_upper else c < q.upper)
+        return cond
+
     def _point_sel(self, q, lead) -> DataFrame:
         """(segment_id, doc_id) selection of one point clause, either
         path (lead=None -> index side; lead -> dv verify-per-candidate)."""
         sel = self.spark.read.parquet(self.docmeta_path)
         if lead is not None:
             sel = sel.join(self._term_docs_df(lead[0]).select("doc_id"), "doc_id")
-        c = F.col(q.field)
-        if q.lower is not None:
-            sel = sel.filter(c >= q.lower if q.include_lower else c > q.lower)
-        if q.upper is not None:
-            sel = sel.filter(c <= q.upper if q.include_upper else c < q.upper)
-        return sel.select("segment_id", "doc_id")
+        return sel.filter(self._dv_cond(q)).select("segment_id", "doc_id")
 
     def _generation(self) -> int:
         """Snapshot generation: the deletes epoch (cache invalidation —

@@ -16,6 +16,7 @@ from ..functions.wand import CompiledQuery, ScoringClause
 from .queries import (
     BooleanQuery,
     DisjunctionMaxQuery,
+    FieldTermQuery,
     MultiPhraseQuery,
     MultiTermUnionQuery,
     SynonymQuery,
@@ -85,11 +86,12 @@ def collect_multi_term_preds(q: Query) -> list[MultiTermUnionQuery]:
     return []
 
 
-def collect_point_queries(q: Query) -> set[PointRangeQuery]:
-    """All PointRangeQuery leaves — their doc sets are materialized
-    from the docmeta point index and fed to the kernel as constant
-    pseudo-postings (see IndexSearcher._points_rows)."""
-    if isinstance(q, PointRangeQuery):
+def collect_point_queries(q: Query) -> set:
+    """All doc-value filter leaves (PointRangeQuery + keyword
+    FieldTermQuery) — their doc sets are materialized from the docmeta
+    point index and fed to the kernel as constant pseudo-postings (see
+    IndexSearcher._points_rows)."""
+    if isinstance(q, (PointRangeQuery, FieldTermQuery)):
         return {q}
     if isinstance(q, DisjunctionMaxQuery):
         out: set[PointRangeQuery] = set()
@@ -130,9 +132,10 @@ def _make_clause(
         return _make_clause(q.query, stats, term_stats, boost * q.boost, constant, scoring)
     if isinstance(q, ConstantScoreQuery):
         return _make_clause(q.query, stats, term_stats, boost, True, scoring)
-    if isinstance(q, PointRangeQuery):
-        # PointRangeQuery scores are constant (boost): the weight is a
-        # ConstantScoreWeight (PointRangeQuery.java:107)
+    if isinstance(q, (PointRangeQuery, FieldTermQuery)):
+        # constant-score doc-value clause: PointRangeQuery's weight is
+        # a ConstantScoreWeight (PointRangeQuery.java:107); keyword
+        # (StringField) equality scores the same way
         return ScoringClause(
             (q.token_key(),), None, const_score=(boost if scoring else 0.0)
         )
@@ -273,7 +276,8 @@ def compile_query(
             [], [], 1, combine="dismax", tie=q.tie_breaker,
         )
     if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery,
-                      PointRangeQuery, BoostQuery, ConstantScoreQuery)):
+                      PointRangeQuery, FieldTermQuery, BoostQuery,
+                      ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
         return CompiledQuery([clause], [], [], [], 0)
     if isinstance(q, BooleanQuery):

@@ -199,6 +199,26 @@ class PointRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldTermQuery(Query):
+    """Exact-match query on a keyword (StringField) metadata field —
+    L/document/StringField.java:29: the whole value is ONE token,
+    un-analyzed, scored constant.  Spark-first analog: the docmeta
+    table's string columns are the keyword fields; the matching docs
+    surface as a constant-score per-segment posting list through the
+    same pseudo-postings plumbing as PointRangeQuery (parquet
+    dictionary/min-max stats prune row groups on the equality)."""
+
+    field: str
+    value: str
+
+    def token_key(self) -> str:
+        return f"\x01fld:{self.field}:{self.value}"
+
+    def __str__(self) -> str:
+        return f"{self.field}:{self.value}"
+
+
+@dataclass(frozen=True)
 class IndexOrDocValuesQuery(Query):
     """Cost-based access-path choice (IndexOrDocValuesQuery.java:30-62):
     wraps a point range; at scorer-supplier time the searcher compares

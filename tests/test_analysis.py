@@ -48,6 +48,131 @@ def test_word_break_katakana_hiragana_classes():
     assert toks("仮名ゞテスト") == ["仮", "名", "ゞ", "テスト"]
 
 
+def _adversarial_strings(n=1500):
+    import random
+
+    alphabet = (
+        list("abcXYZ019_.,;:'’・ -/\"²Ⅻ") + list("アイ・ガひら仮名ゞｶﾞ")
+        + ["ͤ", "゙", "ั", "্", "̈", "א", "ب", "ก", "𩬅", "‍", "‿"]
+    )
+    random.seed(11)
+    out = [
+        "".join(random.choice(alphabet) for _ in range(random.randint(1, 25)))
+        for _ in range(n)
+    ]
+    out += [
+        "O'Reilly's 21.35 4,600 216.239.63.104 1.2.3 a.2 x_y2 ab2.3cd",
+        "アア・イイ a・b ｶﾞｷﾞ ア゛ ひらがな 仮名ゞテスト",
+        "", ".", " ", "'", "’a’", "5.", ".5", "1,,2", "a''b",
+        "moͤchte", "ܒܠܫܢ̈ܐ", "জানুয়ারি", "ದಿನಾಂಕ", "A:B_A::B",
+        "аͤ'ͤб", "1ͤ2", "²b", "Ⅻ3", "a‿b", "x‍y",
+    ]
+    return out
+
+
+def test_sql_token_pattern_equivalence():
+    """SQL_STANDARD_TOKEN_PATTERN (lookaround-free, RE2 dialect) is the
+    EXACT same token language as STANDARD_TOKEN_RE — this is what lets
+    DuckDB replay the standard tokenizer as the driver oracle."""
+    import duckdb
+
+    from lucene_solr_8_7_0_spark.functions.analysis import (
+        SQL_STANDARD_TOKEN_PATTERN,
+        STANDARD_TOKEN_RE,
+    )
+
+    con = duckdb.connect()
+    for s in _adversarial_strings():
+        py = STANDARD_TOKEN_RE.findall(s)
+        db = con.execute(
+            "select regexp_extract_all(?, ?)", [s, SQL_STANDARD_TOKEN_PATTERN]
+        ).fetchone()[0]
+        assert py == db, (s, py, db)
+
+
+def test_jvm_token_pattern_equivalence(spark):
+    """JAVA_STANDARD_TOKEN_PATTERN (the JVM build path) tokenizes
+    char-for-char identically to the Python chain — rank identity
+    rests on index-side and query-side analysis agreeing."""
+    import pandas as pd
+
+    from lucene_solr_8_7_0_spark.functions.analysis import (
+        STANDARD_TOKEN_RE,
+        jvm_token_array,
+    )
+
+    strs = _adversarial_strings(800)
+    df = spark.createDataFrame(pd.DataFrame({"content": strs}))
+    jvm = [
+        r["t"]
+        for r in df.select(jvm_token_array("content", "standard").alias("t"))
+        .collect()
+    ]
+    for s, j in zip(strs, jvm):
+        assert STANDARD_TOKEN_RE.findall(s) == j, (s, j)
+
+
+def test_reference_language_golden_cases():
+    """The FULL TestStandardAnalyzer.java language case list (module
+    docstring documents the known gaps: emoji, Hebrew gershayim,
+    astral marks).  Expected token arrays are the reference's own
+    assertions, lowercased by our analyzer chain."""
+    cases = {
+        "armenian": ("Վիքիպեդիայի 13 միլիոն հոդվածները (4,600` հայերեն)",
+                     ["վիքիպեդիայի", "13", "միլիոն", "հոդվածները", "4,600", "հայերեն"]),
+        "amharic": ("ዊኪፔድያ የባለ ብዙ ቋንቋ የተሟላ",
+                    ["ዊኪፔድያ", "የባለ", "ብዙ", "ቋንቋ", "የተሟላ"]),
+        "arabic": ("الفيلم الوثائقي الأول عن ويكيبيديا يسمى",
+                   ["الفيلم", "الوثائقي", "الأول", "عن", "ويكيبيديا", "يسمى"]),
+        "aramaic": ("ܘܝܩܝܦܕܝܐ (ܐܢܓܠܝܐ: Wikipedia) ܗܘ ܒܠܫܢ̈ܐ ܣܓܝܐ̈ܐ܂",
+                    ["ܘܝܩܝܦܕܝܐ", "ܐܢܓܠܝܐ", "wikipedia", "ܗܘ", "ܒܠܫܢ̈ܐ", "ܣܓܝܐ̈ܐ"]),
+        "bengali": ("এই বিশ্বকোষ পরিচালনা করে উইকিমিডিয়া ১৫ জানুয়ারি, ২০০১",
+                    ["এই", "বিশ্বকোষ", "পরিচালনা", "করে", "উইকিমিডিয়া", "১৫", "জানুয়ারি", "২০০১"]),
+        "farsi": ("ویکی پدیای انگلیسی در تاریخ ۲۵ دی ۱۳۷۹ دانشنامهٔ",
+                  ["ویکی", "پدیای", "انگلیسی", "در", "تاریخ", "۲۵", "دی", "۱۳۷۹", "دانشنامهٔ"]),
+        "greek": ("Γράφεται σε συνεργασία από εθελοντές",
+                  ["γράφεται", "σε", "συνεργασία", "από", "εθελοντές"]),
+        "thai": ("การที่ได้ต้องแสดงว่างานดี. แล้วเธอจะไปไหน? ๑๒๓๔",
+                 ["การที่ได้ต้องแสดงว่างานดี", "แล้วเธอจะไปไหน", "๑๒๓๔"]),
+        "lao": ("ສາທາລະນະລັດ ປະຊາທິປະໄຕ ປະຊາຊົນລາວ",
+                ["ສາທາລະນະລັດ", "ປະຊາທິປະໄຕ", "ປະຊາຊົນລາວ"]),
+        "tibetan": ("སྣོན་མཛོད་དང་ལས་འདིས་བོད་ཡིག་",
+                    ["སྣོན", "མཛོད", "དང", "ལས", "འདིས", "བོད", "ཡིག"]),
+        "chinese": ("我是中国人。 １２３４ Ｔｅｓｔｓ ",
+                    ["我", "是", "中", "国", "人", "１２３４", "ｔｅｓｔｓ"]),
+        "lucene1545": ("moͤchte", ["moͤchte"]),
+        "supplementary": ("𩬅艱鍟䇹愯瀛", ["𩬅", "艱", "鍟", "䇹", "愯", "瀛"]),
+        "korean": ("훈민정음", ["훈민정음"]),
+        "korean2": ("안녕하세요 한글입니다", ["안녕하세요", "한글입니다"]),
+        "japanese": ("仮名遣い カタカナ", ["仮", "名", "遣", "い", "カタカナ"]),
+        "comb_hira": ("ざ", ["ざ"]),
+        "comb_kata": ("ザ", ["ザ"]),
+        "comb_ideo": ("壹゙", ["壹゙"]),
+        "comb_hangul": ("아゙", ["아゙"]),
+    }
+    for name, (text, want) in cases.items():
+        assert toks(text) == want, name
+
+
+def test_reference_mid_joiner_cases():
+    """testMid: consecutive MidLetter/MidNumLet/MidNum chars split."""
+    for text, want in [
+        ("A:B", ["a:b"]), ("A::B", ["a", "b"]),
+        ("1.2", ["1.2"]), ("A.B", ["a.b"]),
+        ("1..2", ["1", "2"]), ("A..B", ["a", "b"]),
+        ("1,2", ["1,2"]), ("1,,2", ["1", "2"]),
+        ("A.:B", ["a", "b"]), ("A:.B", ["a", "b"]),
+        ("1,.2", ["1", "2"]), ("1.,2", ["1", "2"]),
+        ("A:B_A:B", ["a:b_a:b"]), ("A:B_A::B", ["a:b_a", "b"]),
+        ("1.2_1.2", ["1.2_1.2"]), ("A.B_A.B", ["a.b_a.b"]),
+        ("1.2_1..2", ["1.2_1", "2"]), ("A.B_A..B", ["a.b_a", "b"]),
+        ("1,2_1,2", ["1,2_1,2"]), ("1,2_1,,2", ["1,2_1", "2"]),
+        ("C_A.:B", ["c_a", "b"]), ("C_A:.B", ["c_a", "b"]),
+        ("3_1,.2", ["3_1", "2"]), ("3_1.,2", ["3_1", "2"]),
+    ]:
+        assert toks(text) == want, text
+
+
 def test_source_code_identifiers():
     assert toks("snake_case camelCase dotted.name") == [
         "snake_case",

@@ -280,6 +280,35 @@ def test_point_range_query(engine):
     assert n == int((oi.lengths >= med).sum())
 
 
+def test_field_term_query(spark, engine):
+    """Keyword-field (StringField) equality clauses — StringField.java:29:
+    exact un-analyzed match on a docmeta column, constant score,
+    composable with term clauses in the kernel."""
+    searcher, oi = engine
+    meta = spark.read.parquet(searcher.docmeta_path).select(
+        "doc_id", "lang"
+    ).toPandas()
+    lang = sorted(meta["lang"].unique())[0]
+    exp_lang = set(meta[meta["lang"] == lang]["doc_id"])
+    exp_term = set(oi.tf[oi.tf["term"] == "public"]["doc_id"])
+    # pure keyword filter
+    got = {r.doc_id for r in searcher.matches_df(
+        Q.FieldTermQuery("lang", lang)).collect()}
+    assert got == exp_lang
+    # composed: lang:X AND public
+    b = Q.Builder()
+    b.add(Q.TermQuery("public"), Q.Occur.MUST)
+    b.add(Q.FieldTermQuery("lang", lang), Q.Occur.FILTER)
+    got2 = {r.doc_id for r in searcher.matches_df(b.build()).collect()}
+    assert got2 == exp_lang & exp_term
+    # constant score (boost) as a scoring clause
+    td = searcher.search(Q.FieldTermQuery("lang", lang), k=5)
+    assert set(td.scores.tolist()) == {1.0}
+    assert td.total_hits == len(exp_lang)
+    # no such value -> empty
+    assert searcher.matches_df(Q.FieldTermQuery("lang", "nope")).count() == 0
+
+
 def test_multi_term_no_truncation(spark, tmp_path_factory):
     """Wildcard/regexp/fuzzy expansion over a term dict far larger than
     MAX_CLAUSE_COUNT: matches are found exactly (no arbitrary limit
