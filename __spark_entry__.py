@@ -260,12 +260,15 @@ def _q_prefix_match(spark, sf_dir):
 
 
 def _q_parsed_query(spark, sf_dir):
-    """QueryParser surface: classic syntax -> IR -> kernel, verified
-    against the equivalent hand-built boolean's SQL oracle."""
+    """QueryParser surface: classic syntax with grouping, keyword
+    field, numeric range, prefix negation -> IR -> kernel, verified
+    against the equivalent SQL oracle."""
     from lucene_solr_8_7_0_spark.cli import parse_query_string
 
     s = _searcher(spark, sf_dir)
-    q = parse_query_string('+data "data join" -vector batc*')
+    q = parse_query_string(
+        '+data +(join vector) -sca* +length:[30 TO 200] +lang:de'
+    )
     return _orig_ids(s, s.matches_df(q)).select("doc_id")
 
 
@@ -839,9 +842,15 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
                AND count(*) BETWEEN 60 AND 120""",
         "parsed_query": f"""
-            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
+            SELECT t.doc_id FROM ({_TOKS}) t
+            JOIN documents d ON t.doc_id = d.doc_id
+            WHERE d.lang = 'de'
+            GROUP BY t.doc_id
             HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
-               AND sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) = 0""",
+               AND (sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) > 0
+                    OR sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) > 0)
+               AND sum(CASE WHEN tok LIKE 'sca%' THEN 1 ELSE 0 END) = 0
+               AND count(*) BETWEEN 30 AND 200""",
         "lang_filter": f"""
             SELECT t.doc_id FROM ({_TOKS}) t
             JOIN documents d ON t.doc_id = d.doc_id

@@ -41,54 +41,15 @@ def _spark(args):
     )
 
 
-def parse_query_string(qs: str):
-    """Minimal classic-parser analog (QueryParserBase): terms,
-    AND/OR/NOT connectors, +must/-not prefixes, "quoted phrases",
-    trailing * prefix queries, term^boost."""
-    from .plans import queries as Q
+def parse_query_string(qs: str, analyzer: str = "simple",
+                       default_field: str = "content"):
+    """Classic query-parser surface (plans/queryparser): terms,
+    AND/OR/NOT/&&/||, +/- prefixes, "phrases"~slop, term~fuzzy,
+    wildcards, /regexps/, ( grouping )^boost, field:term keyword
+    clauses and field:[a TO b] ranges."""
+    from .plans.queryparser import QueryParser
 
-    tokens = qs.split()
-    b = Q.Builder()
-    mode_and = "AND" in tokens
-    i = 0
-    any_clause = False
-    while i < len(tokens):
-        t = tokens[i]
-        if t in ("AND", "OR"):
-            i += 1
-            continue
-        occur = Q.Occur.MUST if mode_and else Q.Occur.SHOULD
-        if t == "NOT" and i + 1 < len(tokens):
-            i += 1
-            t = tokens[i]
-            occur = Q.Occur.MUST_NOT
-        elif t.startswith("+"):
-            t, occur = t[1:], Q.Occur.MUST
-        elif t.startswith("-"):
-            t, occur = t[1:], Q.Occur.MUST_NOT
-        boost = 1.0
-        if "^" in t:
-            t, bs = t.rsplit("^", 1)
-            boost = float(bs)
-        if t.startswith('"'):
-            phrase = [t.lstrip('"')]
-            while not tokens[i].endswith('"') and i + 1 < len(tokens):
-                i += 1
-                phrase.append(tokens[i].rstrip('"'))
-            phrase[-1] = phrase[-1].rstrip('"')
-            q: Q.Query = Q.PhraseQuery(tuple(w.lower() for w in phrase))
-        elif t.endswith("*"):
-            q = Q.PrefixQuery(t[:-1].lower())
-        else:
-            q = Q.TermQuery(t.lower())
-        if boost != 1.0:
-            q = Q.BoostQuery(q, boost)
-        b.add(q, occur)
-        any_clause = True
-        i += 1
-    if not any_clause:
-        return Q.MatchNoDocsQuery("empty query string")
-    return b.build()
+    return QueryParser(default_field, analyzer).parse(qs)
 
 
 def cmd_build(args) -> None:
@@ -139,7 +100,7 @@ def cmd_search(args) -> None:
 
     spark = _spark(args)
     s = IndexSearcher(spark, args.index)
-    q = parse_query_string(args.query)
+    q = parse_query_string(args.query, analyzer=s.cfg.analyzer)
     t0 = time.time()
     td = s.search(q, k=args.k)
     out = {
