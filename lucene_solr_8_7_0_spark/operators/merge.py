@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import EngineConfig
-from ..functions.codec import decode_term_postings, encode_term_postings
+from ..functions.codec import decode_term_postings
 from ..functions.smallfloat import int_to_byte4_np
 from .search import rows_to_posting_map
 from .segments import SENTINEL_TERM, SEGMENT_SCHEMA, _SEG_COLS, norms_from_segments
@@ -66,20 +66,31 @@ def merge_segment_rows(seg_union: DataFrame, cfg: EngineConfig) -> DataFrame:
             b"", [],
             [], [], [],
         )
-        # --- postings: pass-through singles, re-encode multi-source ---
+        # --- postings: pass-through singles, re-encode multi-source.
+        # Decode stays per source row (each decode is itself a
+        # vectorized pass over that row's blocks), but the RE-ENCODE of
+        # all multi-source terms of the segment happens in ONE batched
+        # call (_encode_all_terms -> encode_blocks_batched /
+        # block_impacts_batched) instead of a scalar encode per term —
+        # the streaming NRT path pays this merge every micro-batch. ---
         counts = others.groupby("term", sort=False)["df"].count()
         singles = counts[counts == 1].index
         out_single = others[others["term"].isin(singles)]
         multi_terms = counts[counts > 1].index
         rows = [sentinel_row]
         if len(multi_terms):
+            from .segments import _encode_all_terms
+
             multi = others[others["term"].isin(multi_terms)]
             with_pos = "pos_blocks" in multi.columns
+            terms_list, docs_parts, freqs_parts, pos_parts = [], [], [], []
+            df_per_term = []
+            all_have_pos = with_pos
             for term, grp in multi.groupby("term", sort=False):
-                decoded = []
                 has_pos = with_pos and all(
                     len(x) > 0 for x in grp["pos_block_offsets"]
                 )
+                decoded = []
                 for i in range(len(grp)):
                     tp = rows_to_posting_map(grp.iloc[[i]])[term]
                     docs, freqs, poss = decode_term_postings(
@@ -88,27 +99,36 @@ def merge_segment_rows(seg_union: DataFrame, cfg: EngineConfig) -> DataFrame:
                     decoded.append((docs, freqs, poss))
                 decoded.sort(key=lambda d: int(d[0][0]) if len(d[0]) else -1)
                 docs = np.concatenate([d[0] for d in decoded])
-                freqs = np.concatenate([d[1] for d in decoded])
-                positions = None
-                if has_pos and all(d[2] is not None for d in decoded):
-                    positions = np.concatenate([d[2] for d in decoded])
                 if len(docs) > 1 and not (np.diff(docs) > 0).all():
                     raise ValueError(
                         f"merge inputs overlap in doc ids for term {term!r} "
                         f"segment {seg_id}"
                     )
-                tp = encode_term_postings(docs, freqs, norms_full[docs], positions)
-                rows.append(
-                    (
-                        seg_id, term, tp.df, tp.ttf,
-                        tp.singleton_doc, tp.singleton_freq,
-                        tp.doc_blocks, tp.doc_block_offsets.tolist(),
-                        tp.freq_blocks, tp.freq_block_offsets.tolist(),
-                        tp.pos_blocks, tp.pos_block_offsets.tolist(),
-                        tp.block_last_docs.tolist(),
-                        tp.impacts_flat.tolist(), tp.impacts_offsets.tolist(),
-                    )
+                terms_list.append(term)
+                df_per_term.append(len(docs))
+                docs_parts.append(docs)
+                freqs_parts.append(np.concatenate([d[1] for d in decoded]))
+                if has_pos and all(d[2] is not None for d in decoded):
+                    pos_parts.append(np.concatenate([d[2] for d in decoded]))
+                else:
+                    all_have_pos = False
+            boundaries = np.concatenate(
+                ([0], np.cumsum(np.asarray(df_per_term, dtype=np.int64)))
+            )
+            rows.extend(
+                _encode_all_terms(
+                    seg_id,
+                    np.asarray(terms_list, dtype=object),
+                    boundaries,
+                    np.concatenate(docs_parts),
+                    np.concatenate(freqs_parts),
+                    norms_full,
+                    pos_col=None,
+                    pos_flat=(
+                        np.concatenate(pos_parts) if all_have_pos else None
+                    ),
                 )
+            )
         out_multi = pd.DataFrame(rows, columns=_SEG_COLS)
         return pd.concat([out_single[_SEG_COLS], out_multi], ignore_index=True)
 
