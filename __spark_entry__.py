@@ -393,6 +393,16 @@ def _q_multi_phrase(spark, sf_dir):
     ).select("doc_id")
 
 
+def _q_multi_phrase_rpt(spark, sf_dir):
+    """MultiPhraseQuery with a MULTI-TERM REPEAT: "(data|join) join" —
+    'join' appears in a 2-alternative slot AND alone; one occurrence
+    may satisfy both slots only at different positions."""
+    s = _searcher(spark, sf_dir)
+    return _orig_ids(
+        s, s.matches_df(Q.MultiPhraseQuery((("data", "join"), ("join",))))
+    ).select("doc_id")
+
+
 def _q_wildcard_match(spark, sf_dir):
     """Leading-wildcard term expansion (full JVM-side dict match)."""
     s = _searcher(spark, sf_dir)
@@ -684,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_bool_and": _q_merged_bool_and,
         "streaming_bool_and": _q_streaming_bool_and,
         "multi_phrase": _q_multi_phrase,
+        "multi_phrase_rpt": _q_multi_phrase_rpt,
         "prefix_match": _q_prefix_match,
         "wildcard_match": _q_wildcard_match,
         "regexp_match": _q_regexp_match,
@@ -837,6 +848,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE regexp_matches(lower(text),
                   '(^|[^a-z0-9_])(data|big)[^a-z0-9_]+join($|[^a-z0-9_])')""",
+        "multi_phrase_rpt": r"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                  '(^|[^a-z0-9_])(data|join)[^a-z0-9_]+join($|[^a-z0-9_])')""",
         "range_filter": f"""
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0

@@ -20,11 +20,22 @@ walk with data-dependent advancement) — the reference is too — so it
 runs as a per-candidate-doc Python loop strictly AFTER the vectorized
 conjunction has narrowed candidates to docs containing every term.
 
-Repetition support covers repeated single terms at different phrase
-offsets (PhraseQuery "ho my my"~2 and MultiPhrase slots with disjoint
-term sets).  Multi-term repeats (the same term inside two different
-MultiPhraseQuery slots, hasMultiTermRpts) are not supported and raise
-in the planner before reaching this kernel.
+Repetition support covers BOTH cases of the reference:
+
+* repeated single terms at different phrase offsets (PhraseQuery
+  "ho my my"~2) — groups by equal term, j-th repeat advanced j extra
+  positions at init (advanceRepeatGroups case 1),
+* multi-term repeats (the same term inside two different
+  MultiPhraseQuery slots, hasMultiTermRpts): groups are CONNECTED
+  COMPONENTS over slots sharing any repeating term (gatherRptGroups'
+  bipartite term-union, :561-583 — "hidden collisions" like slots
+  {A,B} / {B,C} group together even when the first doc shows them on
+  different terms), and initialization resolves collisions iteratively
+  by advancing the lesser pp (advanceRepeatGroups case 2, :415-432).
+  Note the reference itself documents sloppy scoring with multi-term
+  repeats as approximate (LUCENE-3821, the @Ignore'd
+  testMultiSloppyWithRepeats); this port reproduces the shipped
+  matcher's behavior, not the ignored ideal.
 """
 
 from __future__ import annotations
@@ -90,28 +101,93 @@ def sloppy_phrase_freq(
         return np.float32(len(pos_lists[0]))
     pp = _PPs(pos_lists, offsets)
 
-    # repetition groups: clauses sharing a key, sorted by phrase offset
+    # repetition groups.  Keys normalize to term SETS (a plain term is
+    # a singleton); a term occurring in >= 2 slots is "repeating"
+    # (repeatingTerms :548-559).  Groups are connected components of
+    # slots over shared repeating terms (gatherRptGroups :520-546:
+    # non-multi-term grouping by equal term is the special case where
+    # every component is one term), sorted by phrase offset.
     keys = group_keys if group_keys is not None else list(range(n))
-    by_key: dict = {}
-    for i in range(n):
-        by_key.setdefault(keys[i], []).append(i)
+    key_sets = [
+        k if isinstance(k, frozenset) else frozenset([k]) for k in keys
+    ]
+    term_count: dict = {}
+    for ks in key_sets:
+        for t in ks:
+            term_count[t] = term_count.get(t, 0) + 1
+    rpt_terms = {t for t, c in term_count.items() if c >= 2}
+    rpt_pps = [i for i in range(n) if key_sets[i] & rpt_terms]
+    has_multi_term_rpts = any(len(key_sets[i]) > 1 for i in rpt_pps)
+    # union-find over repeating terms (unionTermGroups): slots sharing
+    # any repeating term land in one group
+    parent = {t: t for t in rpt_terms}
+
+    def find(t):
+        while parent[t] != t:
+            parent[t] = parent[parent[t]]
+            t = parent[t]
+        return t
+
+    for i in rpt_pps:
+        ts = sorted(key_sets[i] & rpt_terms)
+        for t in ts[1:]:
+            parent[find(t)] = find(ts[0])
+    by_root: dict = {}
+    for i in rpt_pps:
+        root = find(sorted(key_sets[i] & rpt_terms)[0])
+        by_root.setdefault(root, []).append(i)
     rpt_groups = [
-        sorted(g, key=lambda i: offsets[i]) for g in by_key.values() if len(g) > 1
+        sorted(g, key=lambda i: offsets[i])
+        for g in by_root.values()
+        if len(g) > 1
     ]
     rpt_group_of = [-1] * n
+    rpt_ind = [-1] * n
     for gi, g in enumerate(rpt_groups):
-        for i in g:
+        for j, i in enumerate(g):
             rpt_group_of[i] = gi
+            rpt_ind[i] = j
     has_rpts = bool(rpt_groups)
 
-    # init: repeat groups start collision-free — the j-th repeat is
-    # advanced j extra positions (advanceRepeatGroups :434-442)
+    def _collide_in(g, i) -> int:
+        """index-in-group of a pp colliding with i, or -1 (collide
+        :324-334: same actual doc position within the group)."""
+        tp = pp.tp_pos(i)
+        for j in g:
+            if j != i and pp.tp_pos(j) == tp:
+                return rpt_ind[j]
+        return -1
+
+    # init: repeat groups start collision-free (advanceRepeatGroups).
     if has_rpts:
-        for g in rpt_groups:
-            for j in range(1, len(g)):
-                for _ in range(j):
-                    if not pp.next_position(g[j]):
-                        return np.float32(0.0)
+        if not has_multi_term_rpts:
+            # case 1: the j-th repeat is advanced j extra positions
+            for g in rpt_groups:
+                for j in range(1, len(g)):
+                    for _ in range(j):
+                        if not pp.next_position(g[j]):
+                            return np.float32(0.0)
+        else:
+            # case 2: some may not collide — resolve iteratively by
+            # advancing the lesser of each colliding pair (:415-432)
+            for g in rpt_groups:
+                i = 0
+                while i < len(g):
+                    incr = 1
+                    cur = g[i]
+                    while True:
+                        k = _collide_in(g, cur)
+                        if k < 0:
+                            break
+                        a, b = cur, g[k]
+                        if (pp.pos[b], offsets[b]) < (pp.pos[a], offsets[a]):
+                            a = b  # lesser (:314-320)
+                        if not pp.next_position(a):
+                            return np.float32(0.0)
+                        if rpt_ind[a] < i:  # "should not happen?"
+                            incr = 0
+                            break
+                    i += incr
     pp.end = max(pp.pos)
     heap = [(pp.pos[i], offsets[i], i) for i in range(n)]
     heapq.heapify(heap)

@@ -182,17 +182,11 @@ def _make_clause(
             return ScoringClause(("\x00matchnone",), None, const_score=0.0)
         return ScoringClause((), None, const_score=const, sub=sub)
     if isinstance(q, MultiPhraseQuery):
-        # reject multi-term repeats up front (SloppyPhraseMatcher
-        # hasMultiTermRpts): a term shared between slots where any
-        # involved slot has alternatives is unsupported
-        seen: dict[str, int] = {}
-        for si, alts in enumerate(q.positions):
-            for t in alts:
-                if t in seen and (len(alts) > 1 or len(q.positions[seen[t]]) > 1):
-                    raise NotImplementedError(
-                        "multi-term repeats in MultiPhraseQuery are not supported"
-                    )
-                seen.setdefault(t, si)
+        # multi-term repeats (a term shared between slots with
+        # alternatives) are fully supported: exact matching needs no
+        # special casing, sloppy matching groups slots by connected
+        # components over shared terms (functions/sloppy.py,
+        # SloppyPhraseMatcher.java:405-446 hasMultiTermRpts)
         all_terms = tuple(t for p in q.positions for t in p)
         if constant or not scoring:
             return ScoringClause(

@@ -146,6 +146,104 @@ def test_engine_multiphrase_and_sloppy(spark, tmp_path_factory):
         s.matches_df(Q.PhraseQuery(("quick", "brown"), slop=2)).toPandas()["doc_id"]
     )
     assert exact < sloppy  # doc 3 (transposed) and doc 4 (gap) join
-    # multi-term repeats are rejected up front
-    with pytest.raises(NotImplementedError):
-        s.search(Q.MultiPhraseQuery((("a", "b"), ("b", "c"))), k=5)
+    # multi-term repeats run through the connected-component grouping
+    td = s.search(Q.MultiPhraseQuery((("quick", "brown"), ("brown", "fox"))), k=8)
+    exp = oracle_search(
+        oi, Q.MultiPhraseQuery((("quick", "brown"), ("brown", "fox"))), k=8
+    )
+    assert td.doc_ids.tolist() == exp.doc_ids.tolist()
+
+
+def test_multiphrase_exact_repeats_bruteforce():
+    """Exact (slop=0) multi-term repeats vs a positional brute force:
+    doc matches iff some p has a slot term at p+offset for EVERY slot —
+    one occurrence may satisfy two slots only at different positions
+    (TestMultiPhraseQuery.testMultiExactWithRepeats shape)."""
+    import itertools
+
+    from lucene_solr_8_7_0_spark.functions.sloppy import sloppy_phrase_freq
+
+    vocab = ["a", "b", "c", "d"]
+    slot_sets = [
+        (("a", "b"), ("a",)),
+        (("a", "b"), ("b", "c")),
+        (("b",), ("b",)),
+        (("a", "b"), ("b", "c"), ("a",)),
+    ]
+    docs = ["".join(t) for t in itertools.product(vocab, repeat=4)]
+    for slots in slot_sets:
+        for doc in docs:
+            toks = list(doc)
+            # brute force: exists p with a slot-term at p+off for all slots
+            exp = any(
+                all(
+                    p + off < len(toks) and toks[p + off] in alts
+                    for off, alts in enumerate(slots)
+                )
+                for p in range(len(toks))
+            )
+            # engine kernel path: union streams + key intersection
+            import numpy as np
+
+            from lucene_solr_8_7_0_spark.functions.wand import (
+                CompiledQuery,
+                ScoringClause,
+                score_segment,
+            )
+            from lucene_solr_8_7_0_spark.functions.codec import (
+                encode_term_postings,
+            )
+
+            pmap = {}
+            for t in set(doc):
+                pos = np.asarray(
+                    [i for i, x in enumerate(toks) if x == t], dtype=np.int64
+                )
+                pmap[t] = encode_term_postings(
+                    np.asarray([0], dtype=np.int64),
+                    np.asarray([len(pos)], dtype=np.int64),
+                    np.asarray([len(toks)], dtype=np.int64),
+                    pos,
+                )
+            clause = ScoringClause(
+                tuple(t for s_ in slots for t in s_), None, const_score=1.0,
+                kind="multiphrase", alts=tuple(slots),
+            )
+            cq = CompiledQuery([clause], [], [], [])
+            res = score_segment(pmap, np.zeros(1, np.int64), cq, None, prune=False)
+            got = len(res.doc_ids) > 0
+            assert got == exp, (slots, doc)
+
+
+def test_multiphrase_sloppy_repeat_collisions():
+    """Sloppy multi-term repeats: a single shared occurrence can never
+    fill two slots (the collision advance), while distinct occurrences
+    can (SloppyPhraseMatcher.java:405-446)."""
+    import numpy as np
+
+    from lucene_solr_8_7_0_spark.functions.sloppy import sloppy_phrase_freq
+
+    def freq(slots, doc, slop):
+        toks = doc.split()
+        pls, offs, keys = [], [], []
+        for off, alts in enumerate(slots):
+            pos = sorted(
+                i for i, t in enumerate(toks) if t in alts
+            )
+            if not pos:
+                return np.float32(0.0)
+            pls.append(np.asarray(pos, dtype=np.int64))
+            offs.append(off)
+            keys.append(frozenset(alts))
+        return sloppy_phrase_freq(pls, offs, slop, keys)
+
+    # one 'b' cannot satisfy both {a,b} and {b}
+    assert freq([("a", "b"), ("b",)], "x b y", 4) == 0.0
+    # two distinct b's can
+    assert freq([("a", "b"), ("b",)], "b w b", 4) > 0.0
+    # the reference's hidden-collision example: {A,B} {B,C} on "a c b"
+    # matches via a@0, c@1 (exact adjacency)
+    assert freq([("a", "b"), ("b", "c")], "a c b", 0) > 0.0
+    # {B} {B} on a doc with a single b never matches
+    assert freq([("b",), ("b",)], "x b y", 6) == 0.0
+    assert freq([("b",), ("b",)], "b b", 0) > 0.0
