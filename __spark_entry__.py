@@ -8,10 +8,13 @@ queries()     -> one entry per implemented operator family
                  runs the engine's real code path over the given
                  sf_dir.
 oracle_sql()  -> DuckDB-equivalent ANSI SQL for every query that is
-                 SQL-expressible; the remaining entries (minhash /
-                 simhash / winnowing / engine-vs-oracle rank identity)
-                 are validated by tests/ instead and get the weaker
-                 rows-only driver check.
+                 SQL-expressible — including the near-dup ops: minhash
+                 verifies against the all-pairs exact-Jaccard set,
+                 simhash (md5 variant) against a full fingerprint +
+                 hamming replay, IVF via the full-probe == brute-force
+                 identity.  Only the intrinsically approximate
+                 LSH/partial-probe ANN rows remain rows-only; their
+                 recall bars are pytest-asserted instead.
 """
 
 from __future__ import annotations
@@ -639,14 +642,43 @@ def _q_ann_ivf_topk(spark, sf_dir):
     ).select("query_id", "rank", "neighbor_id")
 
 
+def _q_ann_ivf_fullprobe(spark, sf_dir):
+    """IVF with n_probe == n_centroids: provably identical to exact
+    brute force (every cluster probed), so the SAME SQL oracle as
+    ann_cosine_topk hash-checks the whole IVF machinery — training,
+    assignment, cluster-key shuffle, per-probe scoring, merge.  The
+    approximate path (partial probe) stays as ann_ivf_topk."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_pdf = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    return ann.ivf_topk(
+        emb, queries_pdf, k=5, n_centroids=16, n_probe=16, seed=42
+    ).select("query_id", "rank", "neighbor_id")
+
+
 def _q_minhash_near_dups(spark, sf_dir):
-    return dedup.minhash_dedup(
-        _docs(spark, sf_dir), threshold=0.5
-    ).select("doc_a", "doc_b")
+    """MinHash LSH + exact-Jaccard verify, under a FULL SQL oracle:
+    the oracle computes the all-pairs exact shingle Jaccard >= 0.5 set,
+    so the hash check asserts BOTH exactness (every reported jaccard
+    equals the SQL value) and recall 1.0 on this corpus (its true pairs
+    are far above the threshold, where the 16-band LSH miss probability
+    is negligible — and the run is seeded/deterministic)."""
+    return dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.5).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def _q_simhash_near_dups(spark, sf_dir):
-    fps = dedup.simhash(_docs(spark, sf_dir))
+    """SimHash near-dups under a FULL SQL oracle: the md5 token-hash
+    variant is bit-replayable in DuckDB, which recomputes every
+    fingerprint AND the all-pairs hamming <= 8 set — the multi-index
+    blocking is recall-complete by pigeonhole, so the sets must be
+    identical (the xxhash64 fast path is pytest-verified against exact
+    all-pairs separately)."""
+    fps = dedup.simhash(_docs(spark, sf_dir), bits=60, hash_fn="md5")
     return dedup.simhash_near_dups(
         fps, max_hamming=8, max_bucket_size=1000
     ).select("doc_a", "doc_b", "hamming")
@@ -721,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_fullprobe": _q_ann_ivf_fullprobe,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id": _q_lang_id,
@@ -1021,6 +1054,47 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes za ON doc_a = za.doc_id
                        JOIN sizes zb ON doc_b = zb.doc_id
             WHERE ni / (za.n + zb.n - ni) >= 0.2""",
+        "simhash_near_dups": """
+            WITH tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+                FROM documents) z GROUP BY doc_id, tok),
+            th AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS h,
+                          tf
+                   FROM tf),
+            bitsum AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+              FROM th CROSS JOIN generate_series(0, 59) AS t(b)
+              GROUP BY doc_id, b),
+            fp AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << b
+                         ELSE CAST(0 AS UBIGINT) END) AS f
+              FROM bitsum GROUP BY doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 8""",
+        "minhash_near_dups": """
+            WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+                          FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(l) - 3, 0) + 1),
+                         i -> array_to_string(l[i:least(i + 2, len(l))], ' '))) AS g
+                FROM toks) z),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+                      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b, round(ni / (za.n + zb.n - ni), 6) AS jaccard
+            FROM inter JOIN sizes za ON doc_a = za.doc_id
+                       JOIN sizes zb ON doc_b = zb.doc_id
+            WHERE ni / (za.n + zb.n - ni) >= 0.5""",
         "facet_lang": f"""
             SELECT lang, count(*) AS count
             FROM documents WHERE doc_id IN (
@@ -1062,6 +1136,18 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract_all(lower(text), '[a-z0-9_]+'))), ' ')) AS fingerprint
             FROM documents""",
         "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            sims AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS cosine
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+                   neighbor_id
+            FROM sims QUALIFY rank <= 5""",
+        "ann_ivf_fullprobe": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 10),
             sims AS (

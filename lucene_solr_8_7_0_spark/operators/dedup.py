@@ -283,11 +283,22 @@ def minhash_dedup(
 
 
 def simhash(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 64, hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash fingerprints: sign of tf-weighted hash-bit sums.
+    """SimHash fingerprints: sign of tf-weighted hash-bit sums.
 
-    Token hashing JVM-side; the bit accumulation is numpy per batch."""
+    Token hashing JVM-side; the bit accumulation is numpy per batch.
+    ``hash_fn``: "xxhash64" (default, fastest) or "md5" — the first 15
+    hex chars of md5 as a 60-bit value, chosen because every SQL engine
+    can replay it exactly (the driver oracle recomputes fingerprints
+    AND near-dup pairs in DuckDB); use bits=60 with it."""
+    if hash_fn == "xxhash64":
+        th = F.xxhash64("tok")
+    elif hash_fn == "md5":
+        th = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     toks = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -297,7 +308,7 @@ def simhash(
         )
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
-        .select("doc_id", F.xxhash64("tok").alias("th"), "tf")
+        .select("doc_id", th.alias("th"), "tf")
     )
 
     def acc(key, pdf: pd.DataFrame) -> pd.DataFrame:
