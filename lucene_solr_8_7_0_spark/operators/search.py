@@ -103,18 +103,24 @@ class QueryCache:
     Admission mirrors the usage-tracking policy: a clause key is cached
     only once it has been seen ``min_uses`` times (cheap one-off
     filters never pay the persist).  Eviction is LRU over distinct
-    clause keys, bounded by ``max_queries`` (the reference's
-    maxSize=1000 queries / maxRamBytesUsed analog — here Spark's block
-    manager owns the bytes, spilling MEMORY_AND_DISK).  Keys embed the
-    index generation (deletes epoch), so a reopened snapshot never
-    serves stale docsets."""
+    clause keys, bounded by BOTH ``max_queries`` (the reference's
+    maxSize=1000) and ``max_bytes`` (the maxRamBytesUsed analog:
+    admitted entries are materialized and measured from Spark's block-
+    manager storage stats; entries larger than the whole budget are
+    never admitted, like the reference's per-query size gate).  Keys
+    embed the index identity + generation (deletes epoch), so ONE
+    cache can safely be shared across searchers (the reference shares
+    its cache across readers of a segment core) and a reopened
+    snapshot never serves stale docsets."""
 
     def __init__(self, max_queries: int = 32, min_uses: int = 2,
-                 history_size: int = 256):
+                 history_size: int = 256,
+                 max_bytes: int = 256 * 1024 * 1024):
         from collections import Counter, OrderedDict, deque
 
         self.max_queries = max_queries
         self.min_uses = min_uses
+        self.max_bytes = max_bytes
         self._uses: Counter = Counter()
         # bounded usage history (the reference's policy keeps a 256-entry
         # ring buffer, UsageTrackingQueryCachingPolicy.java:59): evicting
@@ -122,6 +128,8 @@ class QueryCache:
         # searcher with high filter diversity can't grow _uses unboundedly
         self._history = deque(maxlen=history_size)
         self._cache: OrderedDict = OrderedDict()
+        self._sizes: dict = {}
+        self.total_bytes = 0
         self.hits = 0
         self.misses = 0
 
@@ -133,6 +141,19 @@ class QueryCache:
                 del self._uses[old]
         self._history.append(key)
         self._uses[key] += 1
+
+    @staticmethod
+    def _storage_sizes(spark) -> dict:
+        """Persisted-RDD sizes from the block manager (mem + disk)."""
+        return {
+            info.id(): info.memSize() + info.diskSize()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    def _evict_lru(self) -> None:
+        key, old = self._cache.popitem(last=False)
+        old.unpersist()
+        self.total_bytes -= self._sizes.pop(key, 0)
 
     def get_or_build(self, key, build_fn):
         if key in self._cache:
@@ -146,11 +167,30 @@ class QueryCache:
             return df  # below the admission threshold: run uncached
         from pyspark.storagelevel import StorageLevel
 
+        spark = df.sparkSession
+        before = set(self._storage_sizes(spark))
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        n_rows = df.count()  # materialize so the size is real, not a plan guess
+        after = self._storage_sizes(spark)
+        size = sum(v for k, v in after.items() if k not in before)
+        if size <= 0:
+            size = max(n_rows, 1) * 1024  # storage info raced: coarse floor
+        if size > self.max_bytes:
+            # a single oversized docset would evict everything else and
+            # still not fit — run it uncached (the reference likewise
+            # refuses to cache segments over its size bound)
+            df.unpersist()
+            return df
         self._cache[key] = df
-        while len(self._cache) > self.max_queries:
-            _, old = self._cache.popitem(last=False)
-            old.unpersist()
+        self._sizes[key] = size
+        self.total_bytes += size
+        while self._cache and (
+            len(self._cache) > self.max_queries
+            or self.total_bytes > self.max_bytes
+        ):
+            if len(self._cache) == 1:
+                break  # the newest entry itself fits (checked above)
+            self._evict_lru()
         return df
 
     def clear(self) -> None:
@@ -159,6 +199,18 @@ class QueryCache:
         self._cache.clear()
         self._uses.clear()
         self._history.clear()
+        self._sizes.clear()
+        self.total_bytes = 0
+
+
+_SHARED_QUERY_CACHE: QueryCache | None = None
+
+
+def _default_query_cache() -> QueryCache:
+    global _SHARED_QUERY_CACHE
+    if _SHARED_QUERY_CACHE is None:
+        _SHARED_QUERY_CACHE = QueryCache()
+    return _SHARED_QUERY_CACHE
 
 
 class IndexSearcher:
@@ -170,7 +222,13 @@ class IndexSearcher:
         self.spark = spark
         self.index_dir = index_dir
         self.cfg = cfg or load_config(index_dir)
-        self.query_cache = QueryCache() if query_cache is None else query_cache
+        # default: ONE process-wide cache shared by every searcher
+        # (IndexSearcher.getDefaultQueryCache — the reference installs
+        # a single shared LRUQueryCache); keys embed index identity +
+        # generation so sharing is safe across indexes and snapshots
+        self.query_cache = (
+            _default_query_cache() if query_cache is None else query_cache
+        )
         row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
         self.stats = planner.CollectionStats(
             row["num_docs"], row["doc_count"], row["sum_ttf"], self.cfg.k1, self.cfg.b
