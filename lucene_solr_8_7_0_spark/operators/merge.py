@@ -31,7 +31,7 @@ from ..config import EngineConfig
 from ..functions.codec import decode_term_postings
 from ..functions.smallfloat import int_to_byte4_np
 from .search import rows_to_posting_map
-from .segments import SENTINEL_TERM, SEGMENT_SCHEMA, _SEG_COLS, norms_from_segments
+from .segments import SENTINEL_TERM, SEGMENT_SCHEMA, _SEG_COLS
 
 
 def _read(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
@@ -167,10 +167,7 @@ def merge_indexes(
         "overwrite"
     ).parquet(os.path.join(out_dir, "segments"))
     segs_final = _read(spark, out_dir, "segments")
-
-    norms_from_segments(segs_final, cfg).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "norms")
-    )
+    # norms stay a read-time view over the merged sentinels — no write
 
     docmeta.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         os.path.join(out_dir, "docmeta")

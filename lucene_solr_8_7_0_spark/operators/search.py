@@ -234,7 +234,12 @@ class IndexSearcher:
             row["num_docs"], row["doc_count"], row["sum_ttf"], self.cfg.k1, self.cfg.b
         )
         self.segments = spark.read.parquet(os.path.join(index_dir, "segments"))
-        self.norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+        # norms are a VIEW over the segment sentinels, never a separate
+        # table on disk — one fewer build stage/write; the plan prunes
+        # to the sentinel rows via the term predicate
+        from .segments import norms_from_segments
+
+        self.norms = norms_from_segments(self.segments, self.cfg)
         self.termdict = spark.read.parquet(os.path.join(index_dir, "termdict"))
         self.docmeta_path = os.path.join(index_dir, "docmeta")
         # optimizer statistics (column histograms) for point-query cost

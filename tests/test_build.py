@@ -157,7 +157,7 @@ def test_resume_skips_completed_stages(spark, built):
     res2 = build_index(spark, docs, d, cfg, resume=True)
     assert res2.stages_run == []
     assert set(res2.stages_skipped) == {
-        "docs", "docmeta", "norms", "stats", "colstats", "segments", "termdict"
+        "docs", "docmeta", "stats", "colstats", "segments", "termdict"
     }
 
 
