@@ -602,6 +602,36 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.content_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_highlight_topk(spark, sf_dir):
+    """Highlighting surface (UnifiedHighlighter re-analysis mode):
+    BM25 top-10 for data OR join, then deterministic best-window
+    snippets with <b> markup — window choice AND markup replayed by
+    the SQL oracle."""
+    from lucene_solr_8_7_0_spark.operators.highlight import highlight_df
+
+    s = _searcher(spark, sf_dir)
+    topk = _ranked_topk(spark, s, Q.term_or(["data", "join"], 1))
+    docs = _docs(spark, sf_dir).join(topk, "doc_id")
+    hl = highlight_df(docs, ["data", "join"], analyzer="simple", window=8)
+    return (
+        topk.join(hl, "doc_id")
+        .select("rank", "doc_id", "n_matches", "n_distinct",
+                "window_start", "snippet")
+        .orderBy("rank")
+    )
+
+
+def _q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (SIGMOD'03) rolling-hash fingerprints under a full SQL
+    oracle: the polynomial base-31 k-gram hash over ASCII text and the
+    sliding window-min are replayed exactly in DuckDB (values stay far
+    below 2^63, so no modular arithmetic is needed)."""
+    out = textstats.winnowing_fingerprint(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", F.explode("fingerprints").alias("fingerprint")
+    )
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_pdf = (
@@ -775,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "quality_stats": _q_quality_stats,
         "fingerprint": _q_fingerprint,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        "highlight_topk": _q_highlight_topk,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1160,6 +1192,63 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                        regexp_extract_all(lower(text), '[a-z0-9_]+'))), ' ')) AS fingerprint
             FROM documents""",
+        "highlight_topk": _BM25_CTE.format(terms="'data','join'")
+        + """,
+            top10 AS (
+              SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10),
+            tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+                   FROM documents JOIN top10 USING (doc_id)),
+            pos AS (SELECT doc_id, unnest(l) AS tok,
+                           generate_subscripts(l, 1) - 1 AS p
+                    FROM tl),
+            hitsp AS (SELECT doc_id, tok, p FROM pos WHERE tok IN ('data','join')),
+            cand AS (SELECT DISTINCT h.doc_id, greatest(h.p - t.off, 0) AS c
+                     FROM hitsp h, (SELECT unnest(generate_series(0, 7)) AS off) t),
+            sc AS (SELECT c.doc_id, c.c, count(*) AS m, count(DISTINCT h.tok) AS d
+                   FROM cand c JOIN hitsp h
+                     ON h.doc_id = c.doc_id AND h.p >= c.c AND h.p < c.c + 8
+                   GROUP BY 1, 2),
+            best AS (SELECT doc_id, c, m, d,
+                            row_number() OVER (PARTITION BY doc_id
+                                ORDER BY d DESC, m DESC, c ASC) AS rn
+                     FROM sc)
+            SELECT t10.rank, t10.doc_id,
+                   CAST(b.m AS INT) AS n_matches,
+                   CAST(b.d AS INT) AS n_distinct,
+                   CAST(b.c AS INT) AS window_start,
+                   array_to_string(list_transform(
+                       tl.l[b.c + 1:least(b.c + 8, len(tl.l))],
+                       x -> CASE WHEN x IN ('data','join')
+                                 THEN '<b>' || x || '</b>' ELSE x END), ' ')
+                     AS snippet
+            FROM top10 t10
+            JOIN best b ON b.doc_id = t10.doc_id AND b.rn = 1
+            JOIN tl ON tl.doc_id = t10.doc_id
+            ORDER BY t10.rank""",
+        "winnow_fingerprint": """
+            WITH t AS (SELECT doc_id, lower(text) AS s, length(text) AS n
+                       FROM documents WHERE length(text) >= 5),
+            g AS (SELECT doc_id, unnest(generate_series(1, n - 4)) AS p,
+                         n - 4 AS ng, s
+                  FROM t),
+            h AS (SELECT doc_id, p, ng,
+                         ord(substr(s, CAST(p AS INT), 1)) * 923521
+                       + ord(substr(s, CAST(p + 1 AS INT), 1)) * 29791
+                       + ord(substr(s, CAST(p + 2 AS INT), 1)) * 961
+                       + ord(substr(s, CAST(p + 3 AS INT), 1)) * 31
+                       + ord(substr(s, CAST(p + 4 AS INT), 1)) AS hv
+                  FROM g),
+            w AS (SELECT doc_id, p, ng,
+                         min(hv) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+                  FROM h)
+            SELECT DISTINCT doc_id, CAST(wm AS BIGINT) AS fingerprint
+            FROM w WHERE ng >= 4 AND p <= ng - 3
+            UNION
+            SELECT doc_id, CAST(min(hv) AS BIGINT) AS fingerprint
+            FROM h WHERE ng < 4 GROUP BY doc_id""",
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,147 @@
+"""Highlighting — the UnifiedHighlighter re-analysis mode.
+
+Reference surface: lucene/highlighter/src/java/org/apache/lucene/
+search/uhighlight/UnifiedHighlighter.java (OffsetSource.ANALYSIS):
+when the index stores no offsets/term vectors, the highlighter
+re-analyzes the stored content and selects the best passage for the
+query.  This engine's index likewise stores no offsets (SURVEY §2:
+.pay/term vectors out of scope), so re-analysis is the one true
+offset source — and the Spark-first shape is a narrow map over
+(doc_id, content): no shuffle, no index access beyond the hit set.
+
+Passage selection (deterministic, SQL-replayable — the driver oracle
+replays it in DuckDB):
+
+* candidate windows are ``window`` consecutive token positions
+  starting at each query-term hit's position minus 0..window-1,
+* the best window maximizes (#distinct matched terms, #matched
+  tokens), breaking ties by the EARLIEST start — the reference's
+  passage scoring prefers more distinct terms too
+  (PassageScorer.java), with the earliest-start tie-break making the
+  choice total,
+* the snippet is the window's analyzed tokens joined by single
+  spaces, matches wrapped in <b>..</b> (DefaultPassageFormatter's
+  markup; normalized-token text because no char offsets exist).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["highlight_df", "highlight_hits"]
+
+
+def highlight_df(
+    docs: DataFrame,
+    terms: list[str],
+    analyzer: str = "simple",
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> DataFrame:
+    """(doc_id, n_matches, n_distinct, window_start, snippet) for every
+    doc containing at least one query term."""
+    term_set = frozenset(terms)
+    w = int(window)
+
+    def run(batches):
+        from ..functions.analysis import analyze_batch
+
+        for pdf in batches:
+            batch = analyze_batch(pdf[text_col], analyzer)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            toks = batch.terms.to_numpy(dtype=object)
+            match = batch.terms.isin(term_set).to_numpy(dtype=bool)
+            out_rows = []
+            # per-doc token slices
+            lens = batch.doc_lengths
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            for d in range(len(ids)):
+                s, e = bounds[d], bounds[d + 1]
+                m = np.nonzero(match[s:e])[0]
+                if len(m) == 0:
+                    continue
+                dtoks = toks[s:e]
+                n = e - s
+                # candidate starts: hit position minus 0..w-1, clipped
+                cand = np.unique(
+                    np.clip((m[:, None] - np.arange(w)[None, :]).ravel(), 0, None)
+                )
+                # score each candidate: (#distinct, #matches)
+                best = None
+                for c in cand:
+                    in_win = m[(m >= c) & (m < c + w)]
+                    nm = len(in_win)
+                    nd = len(set(dtoks[in_win]))
+                    key = (-nd, -nm, c)
+                    if best is None or key < best[0]:
+                        best = (key, c, nm, nd)
+                _, c, nm, nd = best
+                snippet = " ".join(
+                    (pre + t + post) if match[s + i] else t
+                    for i, t in enumerate(
+                        dtoks[c : min(c + w, n)], start=c
+                    )
+                )
+                out_rows.append((int(ids[d]), nm, nd, int(c), snippet))
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "doc_id", "n_matches", "n_distinct", "window_start",
+                    "snippet",
+                ],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_matches int, n_distinct int, "
+            "window_start int, snippet string"
+        ),
+    )
+
+
+def highlight_hits(
+    searcher,
+    source_docs: DataFrame,
+    query,
+    k: int = 10,
+    window: int = 8,
+    text_col: str = "content",
+) -> DataFrame:
+    """Top-k search + snippets: the IndexSearcher ranks, the hit set
+    (k rows, broadcast) joins docmeta for the (repo, path) stored-
+    fields key, semi-joins the SOURCE table (the stored-fields store —
+    content is never copied into the index), and highlighting maps
+    over just those k docs.  Returns (rank, doc_id, score, n_matches,
+    snippet)."""
+    from ..plans import planner
+
+    td = searcher.search(query, k=k)
+    hits = searcher.spark.createDataFrame(
+        [(int(d), float(s), r + 1) for r, (d, s) in
+         enumerate(zip(td.doc_ids, td.scores))],
+        schema="doc_id bigint, score float, rank int",
+    )
+    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+        "doc_id", "repo", "path"
+    )
+    terms = sorted(
+        t for t in planner.collect_terms(query) if not t.startswith("\x00")
+    )
+    docs = source_docs.join(
+        F.broadcast(hits.join(meta, "doc_id")), ["repo", "path"], "inner"
+    ).select("doc_id", text_col)
+    hl = highlight_df(
+        docs, terms, analyzer=searcher.cfg.analyzer, window=window,
+        id_col="doc_id", text_col=text_col,
+    )
+    return (
+        hits.join(hl, "doc_id", "left")
+        .select("rank", "doc_id", "score", "n_matches", "snippet")
+        .orderBy("rank")
+    )

@@ -1,0 +1,98 @@
+"""Highlighting (UnifiedHighlighter re-analysis mode): best-window
+selection + markup, and the search-integrated surface."""
+
+import pandas as pd
+import pytest
+
+from lucene_solr_8_7_0_spark.operators.highlight import (
+    highlight_df,
+    highlight_hits,
+)
+
+
+@pytest.fixture(scope="module")
+def hdocs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        # two clusters: window must pick the RICHER one (both terms)
+        (1, "spark here filler filler filler filler filler filler "
+            "filler data join data tail tail"),
+        # tie on distinct -> more matches wins
+        (2, "data x x x x x x x x x data join x join"),
+        (3, "no query words at all"),
+        (4, "data at the very start and nothing else"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_best_window_selection(hdocs):
+    out = (
+        highlight_df(hdocs, ["data", "join", "spark"], window=4)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert 3 not in out.index and 0 not in out.index
+    # doc 1: the window over "data join data" (2 distinct, 3 matches)
+    # beats the lone "spark" (1 distinct)
+    assert out.loc[1, "n_distinct"] == 2 and out.loc[1, "n_matches"] == 3
+    assert "<b>data</b> <b>join</b> <b>data</b>" in out.loc[1, "snippet"]
+    # doc 2: both 2-distinct windows exist; the one holding
+    # "data join x join" has 3 matches and wins
+    assert out.loc[2, "n_matches"] == 3
+    assert out.loc[2, "window_start"] == 10
+    # doc 4: match at position 0 -> window starts at 0
+    assert out.loc[4, "window_start"] == 0
+    assert out.loc[4, "snippet"].startswith("<b>data</b>")
+
+
+def test_bruteforce_window_equivalence(spark):
+    """Engine window choice == brute-force argmax over all starts."""
+    import itertools
+    import random
+
+    random.seed(3)
+    vocab = ["data", "join", "x", "y"]
+    rows = [
+        (i, " ".join(random.choice(vocab) for _ in range(12)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    w = 4
+    out = highlight_df(docs, ["data", "join"], window=w).toPandas()
+    got = out.set_index("doc_id")[["n_matches", "n_distinct", "window_start"]]
+    for i, text in rows:
+        toks = text.split()
+        hits = [p for p, t in enumerate(toks) if t in ("data", "join")]
+        if not hits:
+            assert i not in got.index
+            continue
+        best = None
+        for c in range(len(toks)):
+            inw = [p for p in hits if c <= p < c + w]
+            if not inw:
+                continue
+            key = (-len(set(toks[p] for p in inw)), -len(inw), c)
+            if best is None or key < best:
+                best = key
+        nd, nm, c = -best[0], -best[1], best[2]
+        assert tuple(got.loc[i]) == (nm, nd, c), (i, text)
+
+
+def test_highlight_hits_integration(spark, tmp_path_factory):
+    from lucene_solr_8_7_0_spark.config import EngineConfig
+    from lucene_solr_8_7_0_spark.operators.build import build_index
+    from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+    from lucene_solr_8_7_0_spark.plans import queries as Q
+    from lucene_solr_8_7_0_spark.sources.corpus import corpus_df
+
+    d = str(tmp_path_factory.mktemp("hlidx"))
+    docs = corpus_df(spark, 120, seed=11)
+    build_index(spark, docs, d, EngineConfig(segment_size=64))
+    s = IndexSearcher(spark, d)
+    out = highlight_hits(
+        s, docs, Q.term_or(["public", "return"], 1), k=5
+    ).toPandas()
+    assert len(out) == 5
+    assert out["rank"].tolist() == [1, 2, 3, 4, 5]
+    assert (out["n_matches"] >= 1).all()
+    assert out["snippet"].str.contains("<b>").all()
