@@ -602,6 +602,46 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.content_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_suggest_prefix(spark, sf_dir):
+    """Suggest module surface: top-10 completions of 's' by (df desc,
+    term asc) from the term dictionary."""
+    from lucene_solr_8_7_0_spark.operators.suggest import suggest_prefix
+
+    return suggest_prefix(_searcher(spark, sf_dir), "s", k=10)
+
+
+def _q_suggest_fuzzy(spark, sf_dir):
+    """DirectSpellChecker surface: "did you mean" for the misspelling
+    'sta' — dictionary terms within 2 edits by (dist, df desc)."""
+    from lucene_solr_8_7_0_spark.operators.suggest import suggest_fuzzy
+
+    return suggest_fuzzy(_searcher(spark, sf_dir), "sta", k=10)
+
+
+def _q_group_topk(spark, sf_dir):
+    """Grouping module surface: top-3 lang groups for 'data', 2 docs
+    per group (FirstPass + TopGroups collectors)."""
+    from lucene_solr_8_7_0_spark.operators.grouping import group_topk
+
+    s = _searcher(spark, sf_dir)
+    out = group_topk(s, Q.TermQuery("data"), "lang", k_groups=3, per_group=2)
+    return _orig_ids(s, out).select(
+        "group_rank", "lang", "doc_rank", "doc_id"
+    )
+
+
+def _q_join_query(spark, sf_dir):
+    """Join module surface (JoinUtil ScoreMode.None): docs matching
+    'data' whose lang equals the lang of SOME doc matching 'vector'."""
+    from lucene_solr_8_7_0_spark.operators.joinq import join_query_docs
+
+    s = _searcher(spark, sf_dir)
+    out = join_query_docs(
+        s, Q.TermQuery("vector"), "lang", to_query=Q.TermQuery("data")
+    )
+    return _orig_ids(s, out).select("doc_id")
+
+
 def _q_highlight_topk(spark, sf_dir):
     """Highlighting surface (UnifiedHighlighter re-analysis mode):
     BM25 top-10 for data OR join, then deterministic best-window
@@ -807,6 +847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "highlight_topk": _q_highlight_topk,
+        "suggest_prefix": _q_suggest_prefix,
+        "suggest_fuzzy": _q_suggest_fuzzy,
+        "group_topk": _q_group_topk,
+        "join_query": _q_join_query,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1192,6 +1236,44 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                        regexp_extract_all(lower(text), '[a-z0-9_]+'))), ' ')) AS fingerprint
             FROM documents""",
+        "suggest_prefix": f"""
+            WITH td AS (SELECT tok AS term, count(DISTINCT doc_id) AS df
+                        FROM ({_TOKS}) GROUP BY tok)
+            SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS INT) AS rank,
+                   term, df
+            FROM td WHERE term LIKE 's%'
+            ORDER BY df DESC, term LIMIT 10""",
+        "suggest_fuzzy": f"""
+            WITH td AS (SELECT tok AS term, count(DISTINCT doc_id) AS df
+                        FROM ({_TOKS}) GROUP BY tok)
+            SELECT CAST(row_number() OVER (ORDER BY levenshtein(term, 'sta'), df DESC, term) AS INT) AS rank,
+                   term, df,
+                   CAST(levenshtein(term, 'sta') AS INT) AS dist
+            FROM td
+            WHERE term != 'sta' AND levenshtein(term, 'sta') <= 2
+            ORDER BY dist, df DESC, term LIMIT 10""",
+        "group_topk": _BM25_CTE.format(terms="'data'")
+        + """,
+            gh AS (SELECT s.doc_id, d.lang, round(s.score, 4) AS r
+                   FROM scored s JOIN documents d USING (doc_id)),
+            ranked AS (SELECT doc_id, lang, r,
+                              CAST(row_number() OVER (PARTITION BY lang
+                                  ORDER BY r DESC, doc_id) AS INT) AS doc_rank
+                       FROM gh),
+            heads AS (SELECT lang, r AS head_r FROM ranked WHERE doc_rank = 1),
+            tg AS (SELECT lang,
+                          CAST(row_number() OVER (ORDER BY head_r DESC, lang) AS INT) AS group_rank
+                   FROM heads ORDER BY head_r DESC, lang LIMIT 3)
+            SELECT tg.group_rank, ranked.lang, ranked.doc_rank, ranked.doc_id
+            FROM ranked JOIN tg USING (lang) WHERE doc_rank <= 2
+            ORDER BY group_rank, doc_rank""",
+        "join_query": f"""
+            SELECT DISTINCT t.doc_id
+            FROM ({_TOKS}) t JOIN documents d ON t.doc_id = d.doc_id
+            WHERE t.tok = 'data' AND d.lang IN (
+              SELECT DISTINCT d2.lang
+              FROM ({_TOKS}) t2 JOIN documents d2 ON t2.doc_id = d2.doc_id
+              WHERE t2.tok = 'vector')""",
         "highlight_topk": _BM25_CTE.format(terms="'data','join'")
         + """,
             top10 AS (

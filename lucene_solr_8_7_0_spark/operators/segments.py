@@ -542,20 +542,21 @@ def lengths_from_segments(segments: DataFrame, cfg: EngineConfig) -> DataFrame:
 
     def explode(batches):
         for pdf in batches:
-            outs = []
-            for r in pdf.itertuples(index=False):
-                lengths = np.frombuffer(r.freq_blocks, dtype="<i8")
-                base = int(r.segment_id) * seg_size
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": base + np.arange(len(lengths), dtype=np.int64),
-                            "length": lengths,
-                        }
-                    )
-                )
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"doc_id": [], "length": []}
+            if not len(pdf):
+                yield pd.DataFrame({"doc_id": [], "length": []})
+                continue
+            # whole-batch vectorized: one buffer concat + one
+            # grouped-arange for doc ids — no per-segment-row frames
+            bufs = pdf["freq_blocks"].tolist()
+            ns = np.fromiter((len(b) // 8 for b in bufs), np.int64,
+                             count=len(bufs))
+            lengths = np.frombuffer(b"".join(bufs), dtype="<i8")
+            bases = pdf["segment_id"].to_numpy(dtype=np.int64) * seg_size
+            offs = np.arange(int(ns.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(ns) - ns, ns
+            )
+            yield pd.DataFrame(
+                {"doc_id": np.repeat(bases, ns) + offs, "length": lengths}
             )
 
     return (

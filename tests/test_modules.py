@@ -1,0 +1,108 @@
+"""Suggest / grouping / join module surfaces against independent
+pandas recomputation over the same index."""
+
+import pandas as pd
+import pytest
+
+from lucene_solr_8_7_0_spark.config import EngineConfig
+from lucene_solr_8_7_0_spark.operators.build import build_index
+from lucene_solr_8_7_0_spark.operators.grouping import group_topk
+from lucene_solr_8_7_0_spark.operators.joinq import join_query_docs
+from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+from lucene_solr_8_7_0_spark.operators.suggest import (
+    suggest_fuzzy,
+    suggest_prefix,
+)
+from lucene_solr_8_7_0_spark.plans import queries as Q
+from lucene_solr_8_7_0_spark.sources.corpus import corpus_df
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("modidx"))
+    build_index(spark, corpus_df(spark, 150, seed=9), d,
+                EngineConfig(segment_size=64))
+    return IndexSearcher(spark, d)
+
+
+def test_suggest_prefix(idx):
+    td = idx.termdict.toPandas()
+    exp = (
+        td[td["term"].str.startswith("re")]
+        .sort_values(["df", "term"], ascending=[False, True])
+        .head(5)["term"]
+        .tolist()
+    )
+    got = suggest_prefix(idx, "re", k=5).toPandas()
+    assert got["term"].tolist() == exp
+    assert got["rank"].tolist() == list(range(1, len(exp) + 1))
+    # df weights are the real dictionary's
+    assert (got["df"] > 0).all()
+
+
+def test_suggest_fuzzy_pandas(idx):
+    td = idx.termdict.toPandas()
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    base = "retorn"
+    td["dist"] = td["term"].map(lambda t: lev(t, base))
+    exp = (
+        td[(td["dist"] <= 2) & (td["term"] != base)]
+        .sort_values(["dist", "df", "term"], ascending=[True, False, True])
+        .head(5)[["term", "dist"]]
+    )
+    got = suggest_fuzzy(idx, base, k=5).toPandas()
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["dist"].tolist() == exp["dist"].tolist()
+
+
+def test_group_topk(idx, spark):
+    out = group_topk(idx, Q.TermQuery("public"), "lang",
+                     k_groups=2, per_group=2).toPandas()
+    # structure: <=2 groups, <=2 docs each, ranks contiguous
+    assert out["group_rank"].max() <= 2
+    assert out["doc_rank"].max() <= 2
+    assert set(out.groupby("group_rank")["doc_rank"].min()) == {1}
+    # recompute heads: group_rank 1's head doc outranks group_rank 2's
+    meta = spark.read.parquet(idx.docmeta_path).select("doc_id", "lang").toPandas()
+    scores = idx.score_all_df(Q.TermQuery("public")).toPandas()
+    j = scores.merge(meta, on="doc_id")
+    j["r"] = j["score"].astype("float64").round(4)
+    heads = j.sort_values(["r", "doc_id"], ascending=[False, True]) \
+             .groupby("lang").first().reset_index()
+    heads = heads.sort_values(["r", "lang"], ascending=[False, True])
+    exp_groups = heads["lang"].head(2).tolist()
+    got_groups = (
+        out.drop_duplicates("group_rank").sort_values("group_rank")["lang"].tolist()
+    )
+    assert got_groups == exp_groups
+
+
+def test_join_query(idx, spark):
+    meta = spark.read.parquet(idx.docmeta_path).select("doc_id", "lang").toPandas()
+    fr = set(idx.matches_df(Q.TermQuery("class")).toPandas()["doc_id"])
+    langs = set(meta[meta["doc_id"].isin(fr)]["lang"])
+    to = set(idx.matches_df(Q.TermQuery("return")).toPandas()["doc_id"])
+    exp = {
+        int(r.doc_id) for r in meta.itertuples()
+        if r.lang in langs and r.doc_id in to
+    }
+    got = set(
+        join_query_docs(idx, Q.TermQuery("class"), "lang",
+                        to_query=Q.TermQuery("return")).toPandas()["doc_id"]
+    )
+    assert got == exp and len(got) > 0
+    # without to_query: every doc of a matching lang
+    got_all = set(
+        join_query_docs(idx, Q.TermQuery("class"), "lang").toPandas()["doc_id"]
+    )
+    assert got_all == {int(r.doc_id) for r in meta.itertuples() if r.lang in langs}
