@@ -602,6 +602,45 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.content_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_span_near(spark, sf_dir):
+    """SpanNearQuery ordered: data then join within 3 gap positions."""
+    s = _searcher(spark, sf_dir)
+    return _orig_ids(
+        s, s.matches_df(Q.SpanNearQuery(("data", "join"), slop=3))
+    ).select("doc_id")
+
+
+def _q_span_near_unordered(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return _orig_ids(
+        s,
+        s.matches_df(Q.SpanNearQuery(("data", "join"), slop=3, in_order=False)),
+    ).select("doc_id")
+
+
+def _q_span_near_k3(spark, sf_dir):
+    """3-term ordered span chain within a total gap of 6."""
+    s = _searcher(spark, sf_dir)
+    return _orig_ids(
+        s,
+        s.matches_df(Q.SpanNearQuery(("data", "join", "table"), slop=6)),
+    ).select("doc_id")
+
+
+def _q_mlt_terms(spark, sf_dir):
+    """MoreLikeThis term selection for doc 42: tf*idf-ranked
+    interesting terms with the reference's noise gates (minTermFreq=2,
+    minDocFreq=5, maxQueryTerms=25) — tf comes from the INDEX's
+    postings (no re-analysis), stats from the termdict."""
+    from lucene_solr_8_7_0_spark.operators.morelikethis import (
+        interesting_terms,
+    )
+
+    # engine doc numbering coincides with documents.doc_id (see
+    # _adapted): doc 42 is the same row on both sides
+    return interesting_terms(_searcher(spark, sf_dir), 42)
+
+
 def _q_suggest_prefix(spark, sf_dir):
     """Suggest module surface: top-10 completions of 's' by (df desc,
     term asc) from the term dictionary."""
@@ -848,6 +887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": _q_winnow_fingerprint,
         "highlight_topk": _q_highlight_topk,
         "suggest_prefix": _q_suggest_prefix,
+        "mlt_terms": _q_mlt_terms,
+        "span_near": _q_span_near,
+        "span_near_unordered": _q_span_near_unordered,
+        "span_near_k3": _q_span_near_k3,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "group_topk": _q_group_topk,
         "join_query": _q_join_query,
@@ -1236,6 +1279,45 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                        regexp_extract_all(lower(text), '[a-z0-9_]+'))), ' ')) AS fingerprint
             FROM documents""",
+        "span_near": f"""
+            WITH pos AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
+              FROM documents)
+            SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+            WHERE a.tok = 'data' AND b.tok = 'join'
+              AND b.p > a.p AND b.p - a.p - 1 <= 3""",
+        "span_near_unordered": f"""
+            WITH pos AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
+              FROM documents)
+            SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+            WHERE a.tok = 'data' AND b.tok = 'join'
+              AND abs(b.p - a.p) - 1 <= 3""",
+        "span_near_k3": f"""
+            WITH pos AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
+              FROM documents)
+            SELECT DISTINCT a.doc_id
+            FROM pos a JOIN pos b USING (doc_id) JOIN pos c USING (doc_id)
+            WHERE a.tok = 'data' AND b.tok = 'join' AND c.tok = 'table'
+              AND b.p > a.p AND c.p > b.p AND c.p - a.p - 2 <= 6""",
+        "mlt_terms": f"""
+            WITH toks AS ({_TOKS}),
+            n AS (SELECT count(*) AS nd FROM documents),
+            dtf AS (SELECT tok AS term, count(*) AS tf FROM toks
+                    WHERE doc_id = 42 GROUP BY tok HAVING count(*) >= 2),
+            tdf AS (SELECT tok AS term, count(DISTINCT doc_id) AS df
+                    FROM toks GROUP BY tok),
+            sel AS (SELECT d.term, CAST(d.tf AS INT) AS tf, t.df,
+                           d.tf * (ln(n.nd / (t.df + 1.0)) + 1.0) AS score
+                    FROM dtf d JOIN tdf t USING (term) CROSS JOIN n
+                    WHERE t.df >= 5)
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, term) AS INT) AS rank,
+                   term, tf, df, round(score, 6) AS score
+            FROM sel ORDER BY round(score, 9) DESC, term LIMIT 25""",
         "suggest_prefix": f"""
             WITH td AS (SELECT tok AS term, count(DISTINCT doc_id) AS df
                         FROM ({_TOKS}) GROUP BY tok)

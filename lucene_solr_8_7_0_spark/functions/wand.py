@@ -75,6 +75,8 @@ class ScoringClause:
     # selecting this clause's terms among the segment's LOCAL terms;
     # the postings scan is pre-filtered by the equivalent JVM condition
     pred: object | None = None
+    # span_near: require query order (SpanNearQuery.inOrder)
+    in_order: bool = True
 
     @property
     def is_phrase(self) -> bool:
@@ -250,6 +252,84 @@ def _synonym_docs_scores(
     return uniq, clause.scorer.score(freq_sum, norms[uniq])
 
 
+def _ordered_span_exists(pls: list[np.ndarray], slop: int) -> bool:
+    """SpanNearQuery(inOrder=true): an increasing chain p_0<p_1<..<p_k
+    with total width p_k - p_0 - (k-1) <= slop.  For each start the
+    greedy next-position chain minimizes the end, so scanning starts
+    decides existence in O(total positions) searchsorted steps."""
+    k = len(pls)
+    for p0 in pls[0]:
+        prev = int(p0)
+        for i in range(1, k):
+            j = np.searchsorted(pls[i], prev, side="right")
+            if j >= len(pls[i]):
+                # later starts only grow prev — no chain can complete
+                return False
+            prev = int(pls[i][j])
+        if prev - int(p0) - (k - 1) <= slop:
+            return True
+    return False
+
+
+def _unordered_span_exists(pls: list[np.ndarray], slop: int) -> bool:
+    """SpanNearQuery(inOrder=false): some window holds one occurrence
+    of EVERY term with width - k <= slop — the classic minimal covering
+    window sweep over the merged tagged position stream."""
+    k = len(pls)
+    pos = np.concatenate(pls)
+    lab = np.repeat(np.arange(k), [len(p) for p in pls])
+    order = np.argsort(pos, kind="stable")
+    pos, lab = pos[order], lab[order]
+    counts = np.zeros(k, dtype=np.int64)
+    have = 0
+    lo = 0
+    for hi in range(len(pos)):
+        counts[lab[hi]] += 1
+        if counts[lab[hi]] == 1:
+            have += 1
+        while have == k:
+            if int(pos[hi]) - int(pos[lo]) - (k - 1) <= slop:
+                return True
+            counts[lab[lo]] -= 1
+            if counts[lab[lo]] == 0:
+                have -= 1
+            lo += 1
+    return False
+
+
+def _span_near_docs_scores(
+    posting_map: dict, norms: np.ndarray, clause: ScoringClause
+) -> tuple[np.ndarray, np.ndarray]:
+    tps = [posting_map.get(t) for t in clause.terms]
+    if any(tp is None for tp in tps):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    decoded = [decode_term_postings(tp, with_positions=True) for tp in tps]
+    if any(d[2] is None for d in decoded):
+        raise ValueError("span query requires positions in the index")
+    cand = decoded[0][0]
+    for docs, _, _ in decoded[1:]:
+        cand = cand[np.isin(cand, docs, assume_unique=True)]
+    if len(cand) == 0:
+        return cand, np.empty(0, np.float32)
+    slices = []
+    for docs, freqs, poss in decoded:
+        bounds = np.concatenate(([0], np.cumsum(freqs)))
+        idx = np.searchsorted(docs, cand)
+        slices.append((bounds, idx, poss))
+    check = _ordered_span_exists if clause.in_order else _unordered_span_exists
+    out = []
+    for ci in range(len(cand)):
+        pls = [
+            poss[bounds[idx[ci]] : bounds[idx[ci] + 1]]
+            for bounds, idx, poss in slices
+        ]
+        if check(pls, clause.slop):
+            out.append(int(cand[ci]))
+    docs = np.asarray(out, dtype=np.int64)
+    score = np.float32(clause.const_score or 0.0)
+    return docs, np.full(len(docs), score)
+
+
 def _eval_clause(
     posting_map: dict[str, TermPostings], norms: np.ndarray, clause: ScoringClause
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -272,6 +352,8 @@ def _eval_clause(
         return _synonym_docs_scores(hits, norms, clause)
     if clause.kind == "multiphrase":
         return _multiphrase_docs_scores(posting_map, norms, clause)
+    if clause.kind == "span_near":
+        return _span_near_docs_scores(posting_map, norms, clause)
     if clause.sub is not None:
         res = score_segment(posting_map, norms, clause.sub, None, prune=False)
         if clause.const_score is not None:

@@ -19,6 +19,7 @@ from .queries import (
     FieldTermQuery,
     MultiPhraseQuery,
     MultiTermUnionQuery,
+    SpanNearQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -45,7 +46,7 @@ class CollectionStats:
 def collect_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
-    if isinstance(q, (PhraseQuery, SynonymQuery)):
+    if isinstance(q, (PhraseQuery, SynonymQuery, SpanNearQuery)):
         return set(q.terms)
     if isinstance(q, MultiPhraseQuery):
         return {t for p in q.positions for t in p}
@@ -109,7 +110,7 @@ def collect_point_queries(q: Query) -> set:
 
 
 def has_phrase(q: Query) -> bool:
-    if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
+    if isinstance(q, (PhraseQuery, MultiPhraseQuery, SpanNearQuery)):
         return True
     if isinstance(q, DisjunctionMaxQuery):
         return any(has_phrase(sub) for sub in q.queries)
@@ -132,6 +133,13 @@ def _make_clause(
         return _make_clause(q.query, stats, term_stats, boost * q.boost, constant, scoring)
     if isinstance(q, ConstantScoreQuery):
         return _make_clause(q.query, stats, term_stats, boost, True, scoring)
+    if isinstance(q, SpanNearQuery):
+        # constant-score span clause (spans are filter-shaped here;
+        # see SpanNearQuery docstring for the scoring scope note)
+        return ScoringClause(
+            tuple(q.terms), None, const_score=(boost if scoring else 0.0),
+            slop=q.slop, kind="span_near", in_order=q.in_order,
+        )
     if isinstance(q, (PointRangeQuery, FieldTermQuery)):
         # constant-score doc-value clause: PointRangeQuery's weight is
         # a ConstantScoreWeight (PointRangeQuery.java:107); keyword
@@ -270,8 +278,8 @@ def compile_query(
             [], [], 1, combine="dismax", tie=q.tie_breaker,
         )
     if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery,
-                      PointRangeQuery, FieldTermQuery, BoostQuery,
-                      ConstantScoreQuery)):
+                      SpanNearQuery, PointRangeQuery, FieldTermQuery,
+                      BoostQuery, ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
         return CompiledQuery([clause], [], [], [], 0)
     if isinstance(q, BooleanQuery):

@@ -63,6 +63,25 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Proximity query over term spans (lucene/core/search/spans/
+    SpanNearQuery.java): the terms must all occur within ``slop``
+    total gap positions, in query order when ``in_order`` (SpanNear
+    semantics: span width minus the term count <= slop).  Compiled as
+    a CONSTANT-SCORE clause (span scoring via sloppyFreq is out of
+    scope; the reference's span family is most used for filtering and
+    the classic parser never emits it)."""
+
+    terms: tuple[str, ...]
+    slop: int = 0
+    in_order: bool = True
+
+    def __str__(self) -> str:
+        order = "ordered" if self.in_order else "unordered"
+        return f"spanNear([{' '.join(self.terms)}], {self.slop}, {order})"
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Terms scored as one pseudo-term: blended stats (df = max sub df,
     ttf = sum), per-doc freq = sum of sub freqs (SynonymQuery.java:233-247,

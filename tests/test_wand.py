@@ -211,3 +211,42 @@ def test_randomized_wand_vs_exhaustive():
         np.testing.assert_array_equal(pruned.scores, exact.scores)
         # pruned hit count is a valid lower bound
         assert pruned.hits <= exact.hits or pruned.hits_exact
+
+
+def test_span_near_kernels_bruteforce():
+    """Ordered/unordered span existence vs exhaustive enumeration."""
+    import itertools
+    import random
+
+    import numpy as np
+
+    from lucene_solr_8_7_0_spark.functions.wand import (
+        _ordered_span_exists,
+        _unordered_span_exists,
+    )
+
+    rng = random.Random(17)
+    for _ in range(400):
+        k = rng.randint(2, 4)
+        # model a real token stream: ONE term per position (the index
+        # can never hold two terms at the same position of a doc)
+        doc = [rng.randint(0, k) for _ in range(rng.randint(k, 25))]
+        pls = [
+            np.array([p for p, t in enumerate(doc) if t == i], dtype=np.int64)
+            for i in range(k)
+        ]
+        if any(len(p) == 0 for p in pls):
+            continue
+        slop = rng.randint(0, 6)
+        combos = list(itertools.product(*[p.tolist() for p in pls]))
+        exp_ord = any(
+            all(c[i] < c[i + 1] for i in range(k - 1))
+            and c[-1] - c[0] - (k - 1) <= slop
+            for c in combos
+        )
+        exp_un = any(
+            len(set(c)) == k and max(c) - min(c) - (k - 1) <= slop
+            for c in combos
+        )
+        assert _ordered_span_exists(pls, slop) == exp_ord, (pls, slop)
+        assert _unordered_span_exists(pls, slop) == exp_un, (pls, slop)
