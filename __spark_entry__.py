@@ -602,6 +602,16 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.content_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_check_index(spark, sf_dir):
+    """CheckIndex over the contract index: the integrity report MUST be
+    empty — postings decode, df/ttf/doc-order/skip-data invariants,
+    termdict-vs-segment sums, stats and norm/length cross-checks."""
+    from lucene_solr_8_7_0_spark.operators.checkindex import check_index
+
+    s = _searcher(spark, sf_dir)
+    return check_index(spark, s.index_dir)
+
+
 def _q_span_near(spark, sf_dir):
     """SpanNearQuery ordered: data then join within 3 gap positions."""
     s = _searcher(spark, sf_dir)
@@ -888,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_topk": _q_highlight_topk,
         "suggest_prefix": _q_suggest_prefix,
         "mlt_terms": _q_mlt_terms,
+        "check_index": _q_check_index,
         "span_near": _q_span_near,
         "span_near_unordered": _q_span_near_unordered,
         "span_near_k3": _q_span_near_k3,
@@ -1279,6 +1290,12 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                        regexp_extract_all(lower(text), '[a-z0-9_]+'))), ' ')) AS fingerprint
             FROM documents""",
+        "check_index": """
+            SELECT CAST(NULL AS VARCHAR) AS "check",
+                   CAST(NULL AS INT) AS segment_id,
+                   CAST(NULL AS VARCHAR) AS term,
+                   CAST(NULL AS VARCHAR) AS detail
+            WHERE 1 = 0""",
         "span_near": f"""
             WITH pos AS (
               SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,

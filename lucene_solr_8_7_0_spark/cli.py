@@ -116,6 +116,27 @@ def cmd_search(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_check(args) -> None:
+    """CheckIndex: distributed integrity verification; exit 1 on any
+    violation (the reference tool's -exorcise-free mode)."""
+    from .operators.checkindex import check_index
+
+    spark = _spark(args)
+    rep = check_index(spark, args.index)
+    bad = rep.limit(1000).collect()
+    print(json.dumps({
+        "index": args.index,
+        "violations": len(bad),
+        "sample": [
+            {"check": r["check"], "segment_id": r["segment_id"],
+             "term": r["term"], "detail": r["detail"]}
+            for r in bad[:20]
+        ],
+    }))
+    if bad:
+        sys.exit(1)
+
+
 def cmd_bench_scaling(args) -> None:
     """The north rule's two-cluster-size evidence: same input, same
     job, N vs 4N cores; reports throughput at both + efficiency."""
@@ -213,6 +234,10 @@ def main(argv=None) -> None:
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
     s.set_defaults(fn=cmd_search)
+
+    ck = sub.add_parser("check")
+    ck.add_argument("--index", required=True)
+    ck.set_defaults(fn=cmd_check)
 
     sc = sub.add_parser("bench-scaling")
     sc.add_argument("--files", type=int, default=20000)

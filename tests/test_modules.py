@@ -106,3 +106,42 @@ def test_join_query(idx, spark):
         join_query_docs(idx, Q.TermQuery("class"), "lang").toPandas()["doc_id"]
     )
     assert got_all == {int(r.doc_id) for r in meta.itertuples() if r.lang in langs}
+
+
+def test_checkindex_healthy_and_corrupt(spark, idx, tmp_path_factory):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_8_7_0_spark.operators.checkindex import (
+        assert_healthy,
+        check_index,
+    )
+
+    # a freshly built index is clean
+    assert_healthy(spark, idx.index_dir)
+
+    # tamper: bump one term's df in the termdict -> termdict_mismatch
+    d = str(tmp_path_factory.mktemp("corrupt"))
+    shutil.copytree(idx.index_dir, d, dirs_exist_ok=True)
+    td = spark.read.parquet(f"{d}/termdict").toPandas()
+    td.loc[td.index[0], "df"] += 1
+    spark.createDataFrame(td).write.mode("overwrite").parquet(f"{d}/termdict_new")
+    shutil.rmtree(f"{d}/termdict")
+    shutil.move(f"{d}/termdict_new", f"{d}/termdict")
+    rep = check_index(spark, d).toPandas()
+    assert (rep["check"] == "termdict_mismatch").any()
+
+    # tamper: corrupt one docmeta norm -> norm_invariant
+    d2 = str(tmp_path_factory.mktemp("corrupt2"))
+    shutil.copytree(idx.index_dir, d2, dirs_exist_ok=True)
+    dm = spark.read.parquet(f"{d2}/docmeta").toPandas()
+    dm.loc[dm.index[3], "norm"] = 255
+    dm.loc[dm.index[3], "length"] = 1
+    spark.createDataFrame(dm).write.mode("overwrite").parquet(f"{d2}/docmeta_new")
+    shutil.rmtree(f"{d2}/docmeta")
+    shutil.move(f"{d2}/docmeta_new", f"{d2}/docmeta")
+    rep2 = check_index(spark, d2).toPandas()
+    assert (rep2["check"] == "norm_invariant").any() or (
+        rep2["check"] == "length_mismatch"
+    ).any()
