@@ -230,8 +230,11 @@ class IndexSearcher:
             _default_query_cache() if query_cache is None else query_cache
         )
         row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+        # an EMPTY index has NULL aggregate sums — normalize to zeros
+        # so every query path degrades to empty results, not errors
         self.stats = planner.CollectionStats(
-            row["num_docs"], row["doc_count"], row["sum_ttf"], self.cfg.k1, self.cfg.b
+            int(row["num_docs"] or 0), int(row["doc_count"] or 0),
+            int(row["sum_ttf"] or 0), self.cfg.k1, self.cfg.b,
         )
         self.segments = spark.read.parquet(os.path.join(index_dir, "segments"))
         # norms are a VIEW over the segment sentinels, never a separate

@@ -41,6 +41,8 @@ class CollectionStats:
         self.k1 = k1
         self.b = b
         self.avgdl = avg_field_length(sum_ttf, self.doc_count)
+        if not self.avgdl > 0:  # empty index: avoid 0-division in the
+            self.avgdl = np.float32(1.0)  # norm cache (nothing scores)
 
 
 def collect_terms(q: Query) -> set[str]:

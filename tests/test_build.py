@@ -273,3 +273,23 @@ def test_encode_backend_equivalence(spark, tmp_path_factory):
             .toPandas().sort_values(keys, ignore_index=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_empty_corpus_build_and_search(spark, tmpdir_path):
+    """An EMPTY source table builds a valid (empty) index and every
+    query path degrades to zero hits instead of erroring."""
+    from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+    from lucene_solr_8_7_0_spark.plans import queries as Q
+
+    docs = spark.createDataFrame(
+        [], schema="repo string, path string, commit string, lang string, "
+                   "content string"
+    )
+    res = build_index(spark, docs, tmpdir_path,
+                      EngineConfig(segment_size=64), resume=False)
+    assert res.num_docs == 0 and res.num_terms == 0
+    s = IndexSearcher(spark, tmpdir_path)
+    assert s.search(Q.TermQuery("x"), k=5).total_hits == 0
+    assert s.matches_df(Q.PrefixQuery("a")).count() == 0
+    assert s.count(Q.MatchAllDocsQuery()) == 0
+    assert s.search(Q.PhraseQuery(("a", "b")), k=3).total_hits == 0
