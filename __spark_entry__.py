@@ -526,6 +526,17 @@ def _q_synonym_topk(spark, sf_dir):
     return _ranked_topk(spark, s, Q.SynonymQuery(("data", "join")))
 
 
+def _q_parsed_synonym_topk(spark, sf_dir):
+    """Query-time synonyms through the PARSER (SynonymGraphFilter
+    surface): 'data' with synonym 'join' parses to the blended-stats
+    SynonymQuery — same oracle as the hand-built synonym query."""
+    from lucene_solr_8_7_0_spark.plans.queryparser import QueryParser
+
+    s = _searcher(spark, sf_dir)
+    q = QueryParser(synonyms={"data": ["join"]}).parse("data")
+    return _ranked_topk(spark, s, q)
+
+
 def _q_dismax_topk(spark, sf_dir):
     """DisjunctionMaxQuery: score = max + tie * (sum - max)."""
     s = _searcher(spark, sf_dir)
@@ -884,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_and_topk": _q_bm25_and_topk,
         "synonym_topk": _q_synonym_topk,
+        "parsed_synonym_topk": _q_parsed_synonym_topk,
         "dismax_topk": _q_dismax_topk,
         "phrase_topk": _q_phrase_topk,
         "bm25_msm2_topk": _q_bm25_msm2_topk,
@@ -1113,6 +1125,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
               HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2) z""",
         "synonym_topk": f"""
+            WITH toks AS ({_TOKS}),
+            lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+            cs AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM lens),
+            quant AS (
+              SELECT doc_id, len,
+                CASE WHEN len < 40 THEN len
+                     ELSE 24 + (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3))
+                                 << (CAST(floor(log2(len - 24)) AS INT) - 3))
+                END AS dlen
+              FROM lens),
+            tf AS (SELECT doc_id, count(*) AS freq FROM toks
+                   WHERE tok IN ('data','join') GROUP BY doc_id),
+            df AS (SELECT max(cnt) AS df FROM (
+                     SELECT tok, count(DISTINCT doc_id) AS cnt FROM toks
+                     WHERE tok IN ('data','join') GROUP BY tok) z),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln(1 + (cs.doc_count - df.df + 0.5) / (df.df + 0.5))
+                     * (1 - 1 / (1 + tf.freq * (1 / (1.2 * (0.25 + 0.75 * q.dlen
+                         / (cs.sum_ttf / CAST(cs.doc_count AS DOUBLE))))))) AS score
+              FROM tf CROSS JOIN df JOIN quant q ON tf.doc_id = q.doc_id CROSS JOIN cs)
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                   doc_id
+            FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
+        "parsed_synonym_topk": f"""
             WITH toks AS ({_TOKS}),
             lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
             cs AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM lens),

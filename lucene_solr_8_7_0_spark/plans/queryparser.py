@@ -49,13 +49,22 @@ _TOKEN_RE = re.compile(
 
 
 class QueryParser:
-    """parser = QueryParser(default_field, analyzer); parser.parse(s)"""
+    """parser = QueryParser(default_field, analyzer); parser.parse(s)
+
+    ``synonyms``: optional term -> [alternatives] map applied to plain
+    term clauses — the SynonymGraphFilter surface (analysis/common
+    synonym/SynonymGraphFilter.java): a term with synonyms becomes a
+    SynonymQuery over the group, scored with blended statistics
+    exactly as the reference produces for single-token synonyms at a
+    position."""
 
     def __init__(self, default_field: str = "content", analyzer: str = "simple",
-                 numeric_fields: tuple[str, ...] = ("length",)):
+                 numeric_fields: tuple[str, ...] = ("length",),
+                 synonyms: dict[str, list[str]] | None = None):
         self.default_field = default_field
         self.analyzer = analyzer
         self.numeric_fields = set(numeric_fields)
+        self.synonyms = synonyms or {}
 
     # ---- lexer ----
 
@@ -203,7 +212,12 @@ class QueryParser:
             ):
                 return Q.PrefixQuery(lowered[:-1])
             return Q.WildcardQuery(lowered)
-        return Q.TermQuery(self._analyze_term(body))
+        t = self._analyze_term(body)
+        syns = self.synonyms.get(t)
+        if syns:
+            group = tuple(dict.fromkeys([t, *syns]))  # dedup, keep order
+            return Q.SynonymQuery(group)
+        return Q.TermQuery(t)
 
 
 def parse(s: str, default_field: str = "content",

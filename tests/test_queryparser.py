@@ -86,3 +86,20 @@ def test_empty_and_degenerate():
     assert parse("") == Q.MatchNoDocsQuery("empty query string")
     assert parse("   ") == Q.MatchNoDocsQuery("empty query string")
     assert parse("AND") == Q.MatchNoDocsQuery("empty query string")
+
+
+def test_query_time_synonyms():
+    """SynonymGraphFilter surface: a mapped term parses to a
+    SynonymQuery over the group (blended-stats scoring downstream)."""
+    from lucene_solr_8_7_0_spark.plans.queryparser import QueryParser
+
+    p = QueryParser(synonyms={"quick": ["fast", "speedy"]})
+    assert p.parse("quick") == Q.SynonymQuery(("quick", "fast", "speedy"))
+    assert p.parse("+quick brown") == bq(
+        (M, Q.SynonymQuery(("quick", "fast", "speedy"))),
+        (S, Q.TermQuery("brown")),
+    )
+    # non-mapped terms, phrases and fields are untouched
+    assert p.parse("brown") == Q.TermQuery("brown")
+    assert p.parse('"quick brown"') == Q.PhraseQuery(("quick", "brown"))
+    assert p.parse("lang:quick") == Q.FieldTermQuery("lang", "quick")
