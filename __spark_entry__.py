@@ -613,6 +613,21 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.content_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_term_vector(spark, sf_dir):
+    """Term vector of doc 42 read back from the index postings (the
+    getTermVector surface — no stored .tvd duplication, no
+    re-analysis); term + freq + exact position list, all replayed by
+    the oracle from the raw text."""
+    from lucene_solr_8_7_0_spark.operators.termvectors import term_vector
+
+    return term_vector(_searcher(spark, sf_dir), 42).select(
+        "term", "freq",
+        # string-serialize the position list: identical text on both
+        # sides regardless of how each runtime renders array columns
+        F.concat_ws(",", F.col("positions")).alias("positions"),
+    )
+
+
 def _q_check_index(spark, sf_dir):
     """CheckIndex over the contract index: the integrity report MUST be
     empty — postings decode, df/ttf/doc-order/skip-data invariants,
@@ -910,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_topk": _q_highlight_topk,
         "suggest_prefix": _q_suggest_prefix,
         "mlt_terms": _q_mlt_terms,
+        "term_vector": _q_term_vector,
         "check_index": _q_check_index,
         "span_near": _q_span_near,
         "span_near_unordered": _q_span_near_unordered,
@@ -1327,6 +1343,15 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                        regexp_extract_all(lower(text), '[a-z0-9_]+'))), ' ')) AS fingerprint
             FROM documents""",
+        "term_vector": f"""
+            SELECT tok AS term, CAST(count(*) AS INT) AS freq,
+                   array_to_string(list_sort(array_agg(p)), ',') AS positions
+            FROM (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) - 1 AS p
+              FROM documents WHERE doc_id = 42)
+            GROUP BY tok""",
         "check_index": """
             SELECT CAST(NULL AS VARCHAR) AS "check",
                    CAST(NULL AS INT) AS segment_id,
