@@ -26,6 +26,7 @@ from ..plans.queries import (
     DisjunctionMaxQuery,
     MultiPhraseQuery,
     MultiTermUnionQuery,
+    SpanNearQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -185,6 +186,37 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
             total += float(idf(oi.term_df.get(t, 0), oi.doc_count))
         sc = _scorer(oi, np.float32(total), boost)
         return docs, sc.score(np.asarray(out_f, dtype=np.float32), _norm_of(oi, docs))
+    if isinstance(q, SpanNearQuery):
+        # brute force: enumerate all position combinations per doc
+        import itertools
+
+        pos_by_term = []
+        for t in q.terms:
+            rows = oi.positions.get(t)
+            if rows is None:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            pos_by_term.append(rows)
+        cand = set(pos_by_term[0])
+        for m in pos_by_term[1:]:
+            cand &= set(m)
+        out = []
+        k = len(q.terms)
+        for d in sorted(cand):
+            combos = itertools.product(*[m[d] for m in pos_by_term])
+            for c in combos:
+                if q.in_order and not all(
+                    c[i] < c[i + 1] for i in range(k - 1)
+                ):
+                    continue
+                if len(set(c)) != k:
+                    continue
+                if max(c) - min(c) - (k - 1) <= q.slop:
+                    out.append(d)
+                    break
+        docs = np.asarray(out, dtype=np.int64)
+        return docs, np.full(
+            len(docs), np.float32(boost if scoring else 0.0)
+        )
     if isinstance(q, MultiTermUnionQuery):
         # exact brute force: expand against the FULL term list, then
         # evaluate as the constant-score union it rewrites to

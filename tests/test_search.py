@@ -413,3 +413,23 @@ def test_search_after_score_paging(engine):
         # total hits reported per page counts ALL matches
         if pages:
             assert pages[-1].total_hits == full.total_hits
+
+
+def test_span_near_in_boolean(engine):
+    """SpanNearQuery leaves composed inside BooleanQuery: identical to
+    the brute-force oracle (const-score spans + scored terms)."""
+    searcher, oi = engine
+    for span in [
+        Q.SpanNearQuery(("public", "return"), slop=4),
+        Q.SpanNearQuery(("public", "return"), slop=4, in_order=False),
+        Q.SpanNearQuery(("public", "static", "return"), slop=8),
+    ]:
+        assert_identical(searcher, oi, span)
+        b = Q.Builder()
+        b.add(span, Q.Occur.MUST)
+        b.add(Q.TermQuery("class"), Q.Occur.MUST_NOT)
+        assert_identical(searcher, oi, b.build())
+        b = Q.Builder()
+        b.add(Q.TermQuery("import"), Q.Occur.SHOULD)
+        b.add(span, Q.Occur.SHOULD)
+        assert_identical(searcher, oi, b.build())
