@@ -204,11 +204,14 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
         for d in sorted(cand):
             combos = itertools.product(*[m[d] for m in pos_by_term])
             for c in combos:
+                # ordered spans need a strictly increasing chain (which
+                # makes positions distinct); unordered spans follow
+                # Lucene 8.x NearSpansUnordered, where sub-spans MAY
+                # overlap — a duplicated term can reuse one occurrence
+                # (kernel and oracle agree on this by construction)
                 if q.in_order and not all(
                     c[i] < c[i + 1] for i in range(k - 1)
                 ):
-                    continue
-                if len(set(c)) != k:
                     continue
                 if max(c) - min(c) - (k - 1) <= q.slop:
                     out.append(d)

@@ -83,9 +83,16 @@ def merge_segment_rows(seg_union: DataFrame, cfg: EngineConfig) -> DataFrame:
 
             multi = others[others["term"].isin(multi_terms)]
             with_pos = "pos_blocks" in multi.columns
-            terms_list, docs_parts, freqs_parts, pos_parts = [], [], [], []
-            df_per_term = []
-            all_have_pos = with_pos
+            # position availability is tracked PER TERM: terms whose
+            # every source row carries positions re-encode with them,
+            # position-less terms re-encode without — a mixed merge
+            # (e.g. one input built index_positions=False) never drops
+            # positions from the terms that do have them.  Each bucket
+            # gets its own batched encode call.
+            buckets = {
+                True: ([], [], [], [], []),   # terms, df, docs, freqs, pos
+                False: ([], [], [], [], []),
+            }
             for term, grp in multi.groupby("term", sort=False):
                 has_pos = with_pos and all(
                     len(x) > 0 for x in grp["pos_block_offsets"]
@@ -104,31 +111,34 @@ def merge_segment_rows(seg_union: DataFrame, cfg: EngineConfig) -> DataFrame:
                         f"merge inputs overlap in doc ids for term {term!r} "
                         f"segment {seg_id}"
                     )
-                terms_list.append(term)
-                df_per_term.append(len(docs))
-                docs_parts.append(docs)
-                freqs_parts.append(np.concatenate([d[1] for d in decoded]))
-                if has_pos and all(d[2] is not None for d in decoded):
-                    pos_parts.append(np.concatenate([d[2] for d in decoded]))
-                else:
-                    all_have_pos = False
-            boundaries = np.concatenate(
-                ([0], np.cumsum(np.asarray(df_per_term, dtype=np.int64)))
-            )
-            rows.extend(
-                _encode_all_terms(
-                    seg_id,
-                    np.asarray(terms_list, dtype=object),
-                    boundaries,
-                    np.concatenate(docs_parts),
-                    np.concatenate(freqs_parts),
-                    norms_full,
-                    pos_col=None,
-                    pos_flat=(
-                        np.concatenate(pos_parts) if all_have_pos else None
-                    ),
+                has_pos = has_pos and all(d[2] is not None for d in decoded)
+                terms_b, df_b, docs_b, freqs_b, pos_b = buckets[has_pos]
+                terms_b.append(term)
+                df_b.append(len(docs))
+                docs_b.append(docs)
+                freqs_b.append(np.concatenate([d[1] for d in decoded]))
+                if has_pos:
+                    pos_b.append(np.concatenate([d[2] for d in decoded]))
+            for has_pos, (terms_b, df_b, docs_b, freqs_b, pos_b) in buckets.items():
+                if not terms_b:
+                    continue
+                boundaries = np.concatenate(
+                    ([0], np.cumsum(np.asarray(df_b, dtype=np.int64)))
                 )
-            )
+                rows.extend(
+                    _encode_all_terms(
+                        seg_id,
+                        np.asarray(terms_b, dtype=object),
+                        boundaries,
+                        np.concatenate(docs_b),
+                        np.concatenate(freqs_b),
+                        norms_full,
+                        pos_col=None,
+                        pos_flat=(
+                            np.concatenate(pos_b) if has_pos else None
+                        ),
+                    )
+                )
         out_multi = pd.DataFrame(rows, columns=_SEG_COLS)
         return pd.concat([out_single[_SEG_COLS], out_multi], ignore_index=True)
 

@@ -108,14 +108,18 @@ class QueryCache:
     admitted entries are materialized and measured from Spark's block-
     manager storage stats; entries larger than the whole budget are
     never admitted, like the reference's per-query size gate).  Keys
-    embed the index identity + generation (deletes epoch), so ONE
-    cache can safely be shared across searchers (the reference shares
-    its cache across readers of a segment core) and a reopened
-    snapshot never serves stale docsets."""
+    embed the index identity + generation (deletes epoch) + the Spark
+    application id (searchers stamp it in), so ONE cache can safely be
+    shared across searchers (the reference shares its cache across
+    readers of a segment core), a reopened snapshot never serves stale
+    docsets, and a restarted SparkSession never serves DataFrames bound
+    to the stopped one.  All mutation happens under a lock (the
+    reference's LRUQueryCache synchronizes on itself the same way)."""
 
     def __init__(self, max_queries: int = 32, min_uses: int = 2,
                  history_size: int = 256,
                  max_bytes: int = 256 * 1024 * 1024):
+        import threading
         from collections import Counter, OrderedDict, deque
 
         self.max_queries = max_queries
@@ -132,6 +136,9 @@ class QueryCache:
         self.total_bytes = 0
         self.hits = 0
         self.misses = 0
+        # guards every read-modify-write of the OrderedDict/Counter —
+        # concurrent searchers share the process-wide default cache
+        self._lock = threading.RLock()
 
     def _observe(self, key) -> None:
         if len(self._history) == self._history.maxlen:
@@ -150,20 +157,48 @@ class QueryCache:
             for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
         }
 
+    @staticmethod
+    def _cached_rdd_id(df) -> int | None:
+        """RDD id of THIS DataFrame's InMemoryRelation buffers, looked
+        up from the session's cache manager — so byte accounting
+        attributes only the entry's own storage, not whatever else got
+        persisted concurrently.  Returns None when the internal lookup
+        isn't available (older/other runtimes) — callers then fall back
+        to the before/after storage diff."""
+        try:
+            spark = df.sparkSession
+            cd = (
+                spark._jsparkSession.sharedState().cacheManager()
+                .lookupCachedData(df._jdf)
+            )
+            if cd.isDefined():
+                return int(
+                    cd.get().cachedRepresentation().cacheBuilder()
+                    .cachedColumnBuffers().id()
+                )
+        except Exception:
+            pass
+        return None
+
     def _evict_lru(self) -> None:
         key, old = self._cache.popitem(last=False)
-        old.unpersist()
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # entry's session already stopped: nothing to release
         self.total_bytes -= self._sizes.pop(key, 0)
 
     def get_or_build(self, key, build_fn):
-        if key in self._cache:
-            self._cache.move_to_end(key)
-            self.hits += 1
-            return self._cache[key]
-        self.misses += 1
-        self._observe(key)
+        with self._lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                self.hits += 1
+                return self._cache[key]
+            self.misses += 1
+            self._observe(key)
+            admit = self._uses[key] >= self.min_uses
         df = build_fn()
-        if self._uses[key] < self.min_uses:
+        if not admit:
             return df  # below the admission threshold: run uncached
         from pyspark.storagelevel import StorageLevel
 
@@ -172,7 +207,11 @@ class QueryCache:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         n_rows = df.count()  # materialize so the size is real, not a plan guess
         after = self._storage_sizes(spark)
-        size = sum(v for k, v in after.items() if k not in before)
+        own_id = self._cached_rdd_id(df)
+        if own_id is not None and own_id in after:
+            size = after[own_id]  # exact: this entry's own buffers only
+        else:
+            size = sum(v for k, v in after.items() if k not in before)
         if size <= 0:
             size = max(n_rows, 1) * 1024  # storage info raced: coarse floor
         if size > self.max_bytes:
@@ -181,26 +220,35 @@ class QueryCache:
             # refuses to cache segments over its size bound)
             df.unpersist()
             return df
-        self._cache[key] = df
-        self._sizes[key] = size
-        self.total_bytes += size
-        while self._cache and (
-            len(self._cache) > self.max_queries
-            or self.total_bytes > self.max_bytes
-        ):
-            if len(self._cache) == 1:
-                break  # the newest entry itself fits (checked above)
-            self._evict_lru()
+        with self._lock:
+            if key in self._cache:  # another thread admitted it first
+                df.unpersist()
+                self._cache.move_to_end(key)
+                return self._cache[key]
+            self._cache[key] = df
+            self._sizes[key] = size
+            self.total_bytes += size
+            while self._cache and (
+                len(self._cache) > self.max_queries
+                or self.total_bytes > self.max_bytes
+            ):
+                if len(self._cache) == 1:
+                    break  # the newest entry itself fits (checked above)
+                self._evict_lru()
         return df
 
     def clear(self) -> None:
-        for df in self._cache.values():
-            df.unpersist()
-        self._cache.clear()
-        self._uses.clear()
-        self._history.clear()
-        self._sizes.clear()
-        self.total_bytes = 0
+        with self._lock:
+            for df in self._cache.values():
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            self._cache.clear()
+            self._uses.clear()
+            self._history.clear()
+            self._sizes.clear()
+            self.total_bytes = 0
 
 
 _SHARED_QUERY_CACHE: QueryCache | None = None
@@ -229,6 +277,11 @@ class IndexSearcher:
         self.query_cache = (
             _default_query_cache() if query_cache is None else query_cache
         )
+        # cache-key prefix: index identity + Spark application id — a
+        # restarted session gets fresh keys, so the shared cache never
+        # serves DataFrames bound to a stopped SparkContext (stale
+        # entries age out through normal LRU eviction)
+        self._cache_token = (index_dir, spark.sparkContext.applicationId)
         row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
         # an EMPTY index has NULL aggregate sums — normalize to zeros
         # so every query path degrades to empty results, not errors
@@ -710,11 +763,12 @@ class IndexSearcher:
         from ..functions.wand import ScoringClause
 
         clause = ScoringClause((DELETES_TOKEN,), None, const_score=0.0)
-        # key embeds the index identity: the cache object may be SHARED
-        # across searchers over different indexes (the reference keys per
-        # segment core), so (index, generation) disambiguates
+        # key embeds the index identity + session: the cache object may
+        # be SHARED across searchers over different indexes (the
+        # reference keys per segment core), so (index, app-id,
+        # generation) disambiguates
         rows = self.query_cache.get_or_build(
-            (self.index_dir, "deletes", self._generation()), build
+            (self._cache_token, "deletes", self._generation()), build
         )
         return clause, rows.select(*cols)
 
@@ -815,7 +869,7 @@ class IndexSearcher:
                     self._point_sel(q, lead), q.token_key()
                 )
             else:
-                key = (self.index_dir, "pts", self._generation(), q.token_key())
+                key = (self._cache_token, "pts", self._generation(), q.token_key())
                 rows = self.query_cache.get_or_build(
                     key,
                     lambda q=q: self._docset_rows(

@@ -156,6 +156,15 @@ class QueryParser:
         field, body = self._split_field(text)
         if kind == "phrase":
             m = re.match(r'"([^"]*)"(?:~(\d+))?$', body)
+            if field is not None:
+                # fielded phrase: metadata fields are keyword
+                # (StringField) fields, whose analyzer keeps the whole
+                # value as ONE un-analyzed token — the classic parser's
+                # field:"..." therefore compiles to exact equality on
+                # the raw quoted text (QueryParserBase.getFieldQuery
+                # with a KeywordAnalyzer field), never a silent
+                # default-field phrase
+                return Q.FieldTermQuery(field, m.group(1))
             words, slop = m.group(1).split(), int(m.group(2) or 0)
             from ..functions.analysis import tokenize_text
 
@@ -189,6 +198,14 @@ class QueryParser:
                 include_lower=inc_lo, include_upper=inc_hi,
             )
         if kind == "regexp":
+            if field is not None:
+                # regexp over a keyword metadata field is not part of
+                # the engine's query algebra — fail loudly (same policy
+                # as the non-numeric-range error above) instead of
+                # silently matching against the default field
+                raise ValueError(
+                    f"regexp on non-default field {field!r} is not supported"
+                )
             return Q.RegexpQuery(body[1:-1])
         # word: fuzzy / wildcard / prefix / plain term
         if field is not None:

@@ -253,3 +253,42 @@ def test_update_documents(spark, full_and_split, tmp_path_factory):
         s.matches_df(Q.MatchAllDocsQuery()).toPandas()["doc_id"]
     )
     assert s.search(Q.MatchAllDocsQuery(), k=1, score_mode="complete").total_hits == N
+
+
+
+def test_merge_mixed_position_availability(spark, tmp_path_factory):
+    """Position availability is PER TERM across a merge (round-4 fix):
+    in a boundary segment mixing a positions-less source, terms whose
+    every source row carries positions still answer phrase queries;
+    only terms touching the positions-less source lose them (and fail
+    loudly, like a Lucene field indexed without positions)."""
+    import pytest
+
+    root = tmp_path_factory.mktemp("mixedpos")
+
+    def mini(doc_rows, out, positions=True):
+        df = spark.createDataFrame(
+            [(int(i), "r", f"p{i:04d}", "c", "en", txt) for i, txt in doc_rows],
+            "doc_id bigint, repo string, path string, commit string, "
+            "lang string, content string",
+        )
+        cfg = EngineConfig(segment_size=64, index_positions=positions)
+        build_index(spark, df, str(root / out), cfg, resume=False,
+                    precomputed_ids=True)
+        return str(root / out)
+
+    # all three indexes share segment 0 (disjoint doc ranges 0-9/10-19/20-29)
+    a = mini([(i, "alpha beta delta") for i in range(0, 10)], "a")
+    b = mini([(i, "alpha beta") for i in range(10, 20)], "b")
+    c = mini([(i, "delta zeta") for i in range(20, 30)], "c", positions=False)
+    merged = str(root / "merged")
+    merge_indexes(spark, [a, b, c], merged)
+    s = IndexSearcher(spark, merged)
+    # alpha+beta merged from positions-bearing sources only: phrase works
+    got = sorted(
+        s.matches_df(Q.PhraseQuery(("alpha", "beta"))).toPandas()["doc_id"]
+    )
+    assert got == list(range(20))
+    # delta touched the positions-less source: per Lucene, loud failure
+    with pytest.raises(Exception, match="requires positions"):
+        s.matches_df(Q.PhraseQuery(("delta", "zeta"))).toPandas()

@@ -103,3 +103,23 @@ def test_query_time_synonyms():
     assert p.parse("brown") == Q.TermQuery("brown")
     assert p.parse('"quick brown"') == Q.PhraseQuery(("quick", "brown"))
     assert p.parse("lang:quick") == Q.FieldTermQuery("lang", "quick")
+
+
+def test_fielded_phrase_is_keyword_equality():
+    # field:"..." on a metadata (keyword/StringField) field compiles to
+    # exact equality on the raw quoted text — never a silent
+    # default-field phrase (round-4 fix)
+    assert parse('lang:"de fr"') == Q.FieldTermQuery("lang", "de fr")
+    assert parse('+a +lang:"de"') == bq(
+        (M, Q.TermQuery("a")), (M, Q.FieldTermQuery("lang", "de"))
+    )
+    # default-field phrases still parse as PhraseQuery
+    assert parse('content:"a b"') == Q.PhraseQuery(("a", "b"))
+
+
+def test_fielded_regexp_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="regexp on non-default field"):
+        parse("lang:/d./")
+    assert parse("content:/d./") == Q.RegexpQuery("d.")

@@ -250,3 +250,35 @@ def test_span_near_kernels_bruteforce():
         )
         assert _ordered_span_exists(pls, slop) == exp_ord, (pls, slop)
         assert _unordered_span_exists(pls, slop) == exp_un, (pls, slop)
+
+
+def test_unordered_span_duplicate_term_overlap_semantics():
+    """Lucene 8.x NearSpansUnordered lets sub-spans overlap: a
+    duplicated term may reuse ONE occurrence (width 0).  Kernel and
+    brute-force oracle must agree on this (round-4 alignment)."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_8_7_0_spark.functions.oracle import (
+        build_oracle_index,
+        oracle_search,
+    )
+    from lucene_solr_8_7_0_spark.functions.wand import _unordered_span_exists
+    from lucene_solr_8_7_0_spark.plans import queries as Q
+
+    # doc 0 has ONE 'alpha'; doc 1 has two
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1], "content": ["alpha beta", "alpha x alpha"]}
+    )
+    oi = build_oracle_index(docs)
+    hit = oracle_search(
+        oi, Q.SpanNearQuery(("alpha", "alpha"), slop=0, in_order=False), k=10
+    )
+    assert sorted(hit.doc_ids.tolist()) == [0, 1]  # overlap allowed
+    pls = [np.array([3], dtype=np.int64)] * 2
+    assert _unordered_span_exists(pls, 0)
+    # ordered spans still need a strictly increasing chain
+    hit_ord = oracle_search(
+        oi, Q.SpanNearQuery(("alpha", "alpha"), slop=2, in_order=True), k=10
+    )
+    assert sorted(hit_ord.doc_ids.tolist()) == [1]
