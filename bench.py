@@ -133,11 +133,17 @@ def main() -> None:
         qs = headline_queries(searcher)
         # warm the JVM/readers once with a throwaway query
         searcher.search(Q.TermQuery("warmup_zzz"), k=10)
+        # best-of-2 per query, like the build: single-shot walls on this
+        # host drift +-30 %, which round 3 showed can fake a 2x
+        # "regression" on a sub-second query
         query_total = 0.0
         for name, q in qs.items():
-            t0 = time.time()
-            td = searcher.search(q, k=10)
-            dt = time.time() - t0
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                searcher.search(q, k=10)
+                walls.append(time.time() - t0)
+            dt = min(walls)
             timings[name] = round(dt, 3)
             query_total += dt
         total = build_sec + query_total

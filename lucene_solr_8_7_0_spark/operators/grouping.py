@@ -5,13 +5,19 @@ Reference: lucene/grouping/src/java/org/apache/lucene/search/grouping/
 best-scoring doc; TopGroupsCollector then collects the top docs inside
 each selected group — GroupingSearch.search).
 
-Spark-first shape: the distributed hit set joins docmeta for the group
-field, a per-group window ranks docs, a group-level aggregate ranks
-groups by their head doc — two shuffles keyed on the group field (the
-reference's two passes), no driver-side state.  Scores are rounded to
-4 decimals before ranking, matching the engine's established
-float32-vs-SQL tie policy; ties then break by doc id / group value,
-so the output is total-ordered and SQL-replayable.
+Spark-first shape mirrors the reference's two passes EXACTLY at the
+physical level: pass 1 ranks hits per (segment, group) — the
+FirstPassGroupingCollector runs per leaf, so no reducer ever sees more
+than one segment's slice of a group — keeping at most ``per_group``
+candidates per segment; pass 2 ranks the surviving
+``<= segments x per_group`` rows per group globally.  A 90 %-share
+group value (realistic for ``lang``) therefore never lands on one
+straggler task: the only full-group window runs over the bounded
+candidate set.  Correct because a group's global top-k is contained in
+the union of its per-segment top-k.  Scores are rounded to 4 decimals
+before ranking, matching the engine's established float32-vs-SQL tie
+policy; ties then break by doc id / group value, so the output is
+total-ordered and SQL-replayable.
 """
 
 from __future__ import annotations
@@ -34,20 +40,34 @@ def group_topk(
     from pyspark.sql import Window
 
     meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
-        "doc_id", group_field
+        "doc_id", "segment_id", group_field
     )
     hits = (
         searcher.score_all_df(query)
         .join(meta, "doc_id")
         .select(
-            "doc_id", group_field,
+            "doc_id", "segment_id", group_field,
             F.round(F.col("score").cast("double"), 4).alias("r"),
         )
     )
+    # pass 1 (per-leaf FirstPass): partial top-per_group per
+    # (segment, group) — partition cardinality is bounded by
+    # segment_size, so a dominant group value shards across segments
+    # instead of serializing into one task
+    per_seg = Window.partitionBy("segment_id", group_field).orderBy(
+        F.col("r").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        hits.withColumn("seg_rank", F.row_number().over(per_seg))
+        .filter(F.col("seg_rank") <= per_group)
+        .drop("seg_rank", "segment_id")
+    )
+    # pass 2 (TopGroups): the global per-group window now ranks at most
+    # segments x per_group candidate rows per group
     in_group = Window.partitionBy(group_field).orderBy(
         F.col("r").desc(), F.col("doc_id").asc()
     )
-    ranked = hits.withColumn(
+    ranked = cand.withColumn(
         "doc_rank", F.row_number().over(in_group).cast("int")
     ).filter(F.col("doc_rank") <= per_group)
     heads = (

@@ -43,17 +43,23 @@ def interesting_terms(
     local = doc_id - seg_id * searcher.cfg.segment_size
 
     # tf of every term of THIS doc: one segment's postings, decoded in
-    # a narrow map (no shuffle; term freqs live in the index)
+    # a narrow map (no shuffle; term freqs live in the index).  Column
+    # projection drops pos_blocks — the scan never reads positions —
+    # and the whole batch converts through rows_to_posting_map ONCE
+    # (itertuples), not a pandas row-slice per term.
     seg = searcher.segments.filter(
         (F.col("segment_id") == seg_id) & (F.col("term") != SENTINEL_TERM)
+    ).select(
+        "term", "df", "ttf", "singleton_doc", "singleton_freq",
+        "doc_blocks", "doc_block_offsets", "freq_blocks",
+        "freq_block_offsets", "block_last_docs",
+        "impacts_flat", "impacts_offsets",
     )
 
     def tf_of_doc(batches):
         for pdf in batches:
             terms, tfs = [], []
-            for i in range(len(pdf)):
-                term = pdf["term"].iloc[i]
-                tp = rows_to_posting_map(pdf.iloc[[i]])[term]
+            for term, tp in rows_to_posting_map(pdf).items():
                 docs, freqs, _ = decode_term_postings(tp)
                 j = np.searchsorted(docs, local)
                 if j < len(docs) and docs[j] == local:

@@ -39,9 +39,10 @@ def term_vector(searcher, doc_id: int) -> DataFrame:
     def run(batches):
         for pdf in batches:
             terms, freqs, poss = [], [], []
-            for i in range(len(pdf)):
-                term = pdf["term"].iloc[i]
-                tp = rows_to_posting_map(pdf.iloc[[i]])[term]
+            # one itertuples pass builds every TermPostings; the
+            # per-term work is then only the decode itself (the old
+            # per-row pandas .iloc slicing was pure overhead)
+            for term, tp in rows_to_posting_map(pdf).items():
                 docs, fr, pos = decode_term_postings(tp, with_positions=True)
                 j = np.searchsorted(docs, local)
                 if j < len(docs) and docs[j] == local:

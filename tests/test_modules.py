@@ -145,3 +145,49 @@ def test_checkindex_healthy_and_corrupt(spark, idx, tmp_path_factory):
     assert (rep2["check"] == "norm_invariant").any() or (
         rep2["check"] == "length_mismatch"
     ).any()
+
+
+def test_group_topk_skew_safe_plan_and_correctness(idx, spark):
+    """Round-4 de-skew: the first grouping pass partitions by
+    (segment_id, group), so a 90 %-share group value never serializes
+    its full hit set into one window task.  corpus lang is heavily
+    concentrated; verify both the two-key window in the physical plan
+    and result correctness vs a full pandas recomputation."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    out_df = group_topk(idx, Q.TermQuery("public"), "lang",
+                        k_groups=3, per_group=2)
+    plan = out_df._jdf.queryExecution().explainString(
+        out_df._sc._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("simple")
+    )
+    # the first-pass window must key on (segment_id, lang) — never a
+    # single-task full-group sort over one skewed lang value
+    assert re.search(r"windowspecdefinition\(segment_id#\d+, lang#", plan), plan
+    out = out_df.toPandas()
+    # brute-force recomputation: full per-group ranking in pandas
+    meta = spark.read.parquet(idx.docmeta_path).select("doc_id", "lang").toPandas()
+    hits = idx.score_all_df(Q.TermQuery("public")).toPandas()
+    hits["r"] = hits["score"].astype("float64").round(4)
+    j = hits.merge(meta, on="doc_id").sort_values(
+        ["r", "doc_id"], ascending=[False, True]
+    )
+    j["doc_rank"] = j.groupby("lang").cumcount() + 1
+    heads = (
+        j[j["doc_rank"] == 1]
+        .sort_values(["r", "lang"], ascending=[False, True])
+        .head(3)
+    )
+    exp_groups = heads["lang"].tolist()
+    got_groups = (
+        out.drop_duplicates("group_rank").sort_values("group_rank")["lang"].tolist()
+    )
+    assert got_groups == exp_groups
+    for grank, lang in enumerate(exp_groups, start=1):
+        exp_docs = j[(j["lang"] == lang) & (j["doc_rank"] <= 2)]["doc_id"].tolist()
+        got_docs = out[out["group_rank"] == grank].sort_values("doc_rank")[
+            "doc_id"
+        ].tolist()
+        assert got_docs == exp_docs, lang
