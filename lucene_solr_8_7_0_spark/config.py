@@ -39,6 +39,12 @@ class EngineConfig:
     # --- result-affecting (reference-pinned defaults) ---
     k1: float = 1.2
     b: float = 0.75
+    # default Similarity bound by searchers over this index: "bm25"
+    # (BM25Similarity, k1/b above) or "classic" (ClassicSimilarity
+    # TF-IDF).  A search can override per query
+    # (IndexSearcher.setSimilarity surface); norms store the document
+    # LENGTH either way, so the choice is purely query-time.
+    similarity: str = "bm25"
     analyzer: str = "standard"  # "standard" | "simple"
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     index_positions: bool = True

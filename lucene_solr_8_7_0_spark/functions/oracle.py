@@ -27,6 +27,8 @@ from ..plans.queries import (
     MultiPhraseQuery,
     MultiTermUnionQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -98,7 +100,20 @@ def _norm_of(oi: OracleIndex, docs: np.ndarray) -> np.ndarray:
     return oi.norms[idx]
 
 
-def _scorer(oi: OracleIndex, idf_val, boost: float) -> BM25Scorer:
+def _idf(oi: OracleIndex, df: int):
+    """Per-term idf under the configured similarity."""
+    if oi.cfg.similarity == "classic":
+        from .tfidf import classic_idf
+
+        return classic_idf(df, oi.doc_count)
+    return idf(df, oi.doc_count)
+
+
+def _scorer(oi: OracleIndex, idf_val, boost: float):
+    if oi.cfg.similarity == "classic":
+        from .tfidf import TFIDFScorer
+
+        return TFIDFScorer.create(boost, idf_val)
     return BM25Scorer.create(
         boost, oi.cfg.k1, oi.cfg.b, idf_val,
         avg_field_length(oi.sum_ttf, max(oi.doc_count, 1)),
@@ -132,7 +147,7 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
         docs = rows["doc_id"].to_numpy(dtype=np.int64)
         if not scoring:
             return docs, np.zeros(len(docs), np.float32)
-        sc = _scorer(oi, idf(oi.term_df.get(q.term, 0), oi.doc_count), boost)
+        sc = _scorer(oi, _idf(oi, oi.term_df.get(q.term, 0)), boost)
         return docs, sc.score(rows["freq"].to_numpy(), _norm_of(oi, docs))
     if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
         from .sloppy import sloppy_phrase_freq
@@ -183,16 +198,51 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
             return docs, np.zeros(len(docs), np.float32)
         total = 0.0
         for t in all_terms:
-            total += float(idf(oi.term_df.get(t, 0), oi.doc_count))
+            total += float(_idf(oi, oi.term_df.get(t, 0)))
         sc = _scorer(oi, np.float32(total), boost)
         return docs, sc.score(np.asarray(out_f, dtype=np.float32), _norm_of(oi, docs))
+    if isinstance(q, (SpanOrQuery, SpanNotQuery)):
+        q = SpanNearQuery((q,), slop=0, in_order=True)
     if isinstance(q, SpanNearQuery):
-        # brute force: enumerate all position combinations per doc
+        # brute force: enumerate all position combinations per doc;
+        # clause position sets expand per spec (term / or-union /
+        # not-window-diff) by direct set algebra
         import itertools
+
+        def clause_pos(spec):
+            if isinstance(spec, str):
+                return oi.positions.get(spec)
+            if isinstance(spec, SpanOrQuery):
+                merged: dict = {}
+                for t in spec.terms:
+                    for d, pp in oi.positions.get(t, {}).items():
+                        merged[d] = (
+                            np.union1d(merged[d], pp) if d in merged else pp
+                        )
+                return merged or None
+            if isinstance(spec, SpanNotQuery):
+                inc = oi.positions.get(spec.include)
+                if inc is None:
+                    return None
+                exc = oi.positions.get(spec.exclude, {})
+                out = {}
+                for d, pp in inc.items():
+                    ee = exc.get(d)
+                    if ee is None:
+                        out[d] = pp
+                        continue
+                    kept = np.asarray([
+                        x for x in pp
+                        if not ((ee >= x - spec.pre) & (ee <= x + spec.post)).any()
+                    ], dtype=np.int64)
+                    if len(kept):
+                        out[d] = kept
+                return out or None
+            raise TypeError(type(spec))
 
         pos_by_term = []
         for t in q.terms:
-            rows = oi.positions.get(t)
+            rows = clause_pos(t)
             if rows is None:
                 return np.empty(0, np.int64), np.empty(0, np.float32)
             pos_by_term.append(rows)
@@ -239,7 +289,7 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
         if not scoring:
             return docs, np.zeros(len(docs), np.float32)
         df = max((oi.term_df.get(t, 0) for t in q.terms), default=0)
-        sc = _scorer(oi, idf(df, oi.doc_count), boost)
+        sc = _scorer(oi, _idf(oi, df), boost)
         return docs, sc.score(agg.to_numpy(), _norm_of(oi, docs))
     if isinstance(q, DisjunctionMaxQuery):
         subs = [_eval(oi, x, boost, scoring) for x in q.queries]

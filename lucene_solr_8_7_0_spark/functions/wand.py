@@ -77,6 +77,10 @@ class ScoringClause:
     pred: object | None = None
     # span_near: require query order (SpanNearQuery.inOrder)
     in_order: bool = True
+    # span_near: the original clause specs (str | SpanOrQuery |
+    # SpanNotQuery per slot); ``terms`` holds the FLAT term list for
+    # stats/scan purposes
+    span_specs: tuple | None = None
 
     @property
     def is_phrase(self) -> bool:
@@ -297,15 +301,80 @@ def _unordered_span_exists(pls: list[np.ndarray], slop: int) -> bool:
     return False
 
 
+def _decode_span_term(posting_map: dict, term: str):
+    tp = posting_map.get(term)
+    if tp is None:
+        return None
+    d, f, p = decode_term_postings(tp, with_positions=True)
+    if p is None:
+        raise ValueError("span query requires positions in the index")
+    return d, f, p
+
+
+def _span_clause_stream(posting_map: dict, spec):
+    """One span clause -> its occurrence stream (docs, freqs, poss), or
+    None when the clause cannot match in this segment.
+
+    * str: the term's postings,
+    * SpanOrQuery: distinct (doc, pos) union of the member terms
+      (SpanOrQuery.java:45 — union of sub-spans),
+    * SpanNotQuery: include occurrences with any occurrence of the
+      exclude term within [p - pre, p + post] removed
+      (SpanNotQuery.java accept():176-188 specialised to term spans).
+    """
+    from ..plans.queries import SpanNotQuery, SpanOrQuery
+
+    if isinstance(spec, str):
+        return _decode_span_term(posting_map, spec)
+    if isinstance(spec, SpanOrQuery):
+        keys_parts = []
+        for t in spec.terms:
+            dec = _decode_span_term(posting_map, t)
+            if dec is None:
+                continue
+            d, f, p = dec
+            keys_parts.append(np.repeat(d, f) * _POS_SHIFT + p)
+        if not keys_parts:
+            return None
+        uk = np.unique(np.concatenate(keys_parts))
+        docs, freqs = np.unique(uk // _POS_SHIFT, return_counts=True)
+        return docs, freqs, uk % _POS_SHIFT
+    if isinstance(spec, SpanNotQuery):
+        dec = _decode_span_term(posting_map, spec.include)
+        if dec is None:
+            return None
+        d, f, p = dec
+        exc = _decode_span_term(posting_map, spec.exclude)
+        if exc is None:
+            return d, f, p
+        ed, ef, ep = exc
+        # flat vectorized window test: include occurrence (doc, pos)
+        # survives iff no exclude key falls in the doc-scoped interval
+        # [pos - pre, pos + post] (both streams are (doc, pos)-sorted)
+        inc_doc = np.repeat(d, f)
+        exc_keys = np.repeat(ed, ef) * _POS_SHIFT + ep
+        lo = np.searchsorted(
+            exc_keys, inc_doc * _POS_SHIFT + np.maximum(p - spec.pre, 0)
+        )
+        hi = np.searchsorted(
+            exc_keys, inc_doc * _POS_SHIFT + (p + spec.post), side="right"
+        )
+        keep = lo == hi
+        if not keep.any():
+            return None
+        kd, kp = inc_doc[keep], p[keep]
+        docs, freqs = np.unique(kd, return_counts=True)
+        return docs, freqs, kp
+    raise TypeError(f"bad span clause {type(spec).__name__}")
+
+
 def _span_near_docs_scores(
     posting_map: dict, norms: np.ndarray, clause: ScoringClause
 ) -> tuple[np.ndarray, np.ndarray]:
-    tps = [posting_map.get(t) for t in clause.terms]
-    if any(tp is None for tp in tps):
+    specs = clause.span_specs if clause.span_specs is not None else clause.terms
+    decoded = [_span_clause_stream(posting_map, spec) for spec in specs]
+    if any(d is None for d in decoded):
         return np.empty(0, np.int64), np.empty(0, np.float32)
-    decoded = [decode_term_postings(tp, with_positions=True) for tp in tps]
-    if any(d[2] is None for d in decoded):
-        raise ValueError("span query requires positions in the index")
     cand = decoded[0][0]
     for docs, _, _ in decoded[1:]:
         cand = cand[np.isin(cand, docs, assume_unique=True)]

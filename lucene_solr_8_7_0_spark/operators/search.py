@@ -288,6 +288,7 @@ class IndexSearcher:
         self.stats = planner.CollectionStats(
             int(row["num_docs"] or 0), int(row["doc_count"] or 0),
             int(row["sum_ttf"] or 0), self.cfg.k1, self.cfg.b,
+            similarity=self.cfg.similarity,
         )
         self.segments = spark.read.parquet(os.path.join(index_dir, "segments"))
         # norms are a VIEW over the segment sentinels, never a separate
@@ -438,8 +439,13 @@ class IndexSearcher:
         score_mode: str = "top_scores",
         total_hits_threshold: int = DEFAULT_TOTAL_HITS_THRESHOLD,
         two_pass_threshold: bool = False,
+        similarity: str | None = None,
     ) -> TopDocs:
-        """``two_pass_threshold=True`` adds the MaxScoreAccumulator
+        """``similarity`` overrides the scoring model for this search
+        (IndexSearcher.setSimilarity): None -> the index config's
+        default (BM25 k1/b), "classic" -> ClassicSimilarity TF-IDF.
+
+        ``two_pass_threshold=True`` adds the MaxScoreAccumulator
         analog: a first pass over one segment establishes a global
         min-competitive score that every segment's kernel then prunes
         against from its first window (cross-slice threshold sharing,
@@ -450,7 +456,8 @@ class IndexSearcher:
         q = rw.rewrite(query, self._term_lookup)
         terms = planner.collect_terms(q)
         ts = self._term_stats(terms)
-        cq = planner.compile_query(q, self.stats, ts, score_mode)
+        stats = self.stats.with_similarity(similarity)
+        cq = planner.compile_query(q, stats, ts, score_mode)
         if cq is None:
             return TopDocs(0, "EQ", np.empty(0, np.int64), np.empty(0, np.float32))
         pqs = planner.collect_point_queries(q)
@@ -516,16 +523,20 @@ class IndexSearcher:
         nothing is collected to the driver."""
         return self._bulk_df(query, score_mode="filter").select("doc_id")
 
-    def score_all_df(self, query: Query) -> DataFrame:
+    def score_all_df(self, query: Query, similarity: str | None = None) -> DataFrame:
         """(doc_id, score float32) for every matching doc, distributed
         (COMPLETE score mode, exhaustive — no pruning)."""
-        return self._bulk_df(query, score_mode="complete").select("doc_id", "score")
+        return self._bulk_df(query, score_mode="complete",
+                             similarity=similarity).select("doc_id", "score")
 
-    def _bulk_df(self, query: Query, score_mode: str) -> DataFrame:
+    def _bulk_df(self, query: Query, score_mode: str,
+                 similarity: str | None = None) -> DataFrame:
         q = rw.rewrite(query, self._term_lookup)
         terms = planner.collect_terms(q)
         ts = self._term_stats(terms)
-        cq = planner.compile_query(q, self.stats, ts, score_mode)
+        cq = planner.compile_query(
+            q, self.stats.with_similarity(similarity), ts, score_mode
+        )
         if cq is None:
             return self.spark.createDataFrame([], schema=RESULT_SCHEMA).filter(
                 F.col("doc_id") >= 0

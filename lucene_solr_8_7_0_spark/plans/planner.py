@@ -20,6 +20,8 @@ from .queries import (
     MultiPhraseQuery,
     MultiTermUnionQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -34,21 +36,64 @@ from .queries import (
 
 
 class CollectionStats:
-    def __init__(self, num_docs: int, doc_count: int, sum_ttf: int, k1: float, b: float):
+    """Collection statistics + the bound Similarity.
+
+    ``similarity`` selects the scoring model per search (the
+    IndexSearcher.setSimilarity surface): "bm25" (BM25Similarity,
+    parameterized by k1/b) or "classic" (ClassicSimilarity /
+    TFIDFSimilarity).  Both are bound once on the driver, so weights
+    are identical in every segment kernel."""
+
+    def __init__(self, num_docs: int, doc_count: int, sum_ttf: int,
+                 k1: float, b: float, similarity: str = "bm25"):
         self.num_docs = num_docs
         self.doc_count = max(doc_count, 1)
         self.sum_ttf = sum_ttf
         self.k1 = k1
         self.b = b
+        self.similarity = similarity
         self.avgdl = avg_field_length(sum_ttf, self.doc_count)
         if not self.avgdl > 0:  # empty index: avoid 0-division in the
             self.avgdl = np.float32(1.0)  # norm cache (nothing scores)
+
+    def with_similarity(self, similarity: str | None) -> "CollectionStats":
+        if similarity is None or similarity == self.similarity:
+            return self
+        return CollectionStats(
+            self.num_docs, self.doc_count, self.sum_ttf,
+            self.k1, self.b, similarity,
+        )
+
+    def leaf_idf(self, df: int) -> np.float32:
+        """Per-term idf under the bound similarity (BM25Similarity.idf
+        vs ClassicSimilarity.idf); phrase/multiphrase idfs SUM these
+        per-term values in both models (idfExplain(termStats[]))."""
+        if self.similarity == "classic":
+            from ..functions.tfidf import classic_idf
+
+            return classic_idf(df, self.doc_count)
+        return idf(df, self.doc_count)
+
+    def scorer(self, boost: float, idf_value: np.float32):
+        """Bound SimScorer for one leaf (the similarity.scorer() call
+        in TermWeight/PhraseWeight)."""
+        if self.similarity == "classic":
+            from ..functions.tfidf import TFIDFScorer
+
+            return TFIDFScorer.create(boost, idf_value)
+        return BM25Scorer.create(boost, self.k1, self.b, idf_value, self.avgdl)
 
 
 def collect_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
-    if isinstance(q, (PhraseQuery, SynonymQuery, SpanNearQuery)):
+    if isinstance(q, SpanNearQuery):
+        return set(q.flat_terms())
+    if isinstance(q, SpanOrQuery):
+        return set(q.terms)
+    if isinstance(q, SpanNotQuery):
+        return {q.include, q.exclude}
+    if isinstance(q, (PhraseQuery, SynonymQuery)):
         return set(q.terms)
     if isinstance(q, MultiPhraseQuery):
         return {t for p in q.positions for t in p}
@@ -112,7 +157,8 @@ def collect_point_queries(q: Query) -> set:
 
 
 def has_phrase(q: Query) -> bool:
-    if isinstance(q, (PhraseQuery, MultiPhraseQuery, SpanNearQuery)):
+    if isinstance(q, (PhraseQuery, MultiPhraseQuery, SpanNearQuery,
+                      SpanOrQuery, SpanNotQuery)):
         return True
     if isinstance(q, DisjunctionMaxQuery):
         return any(has_phrase(sub) for sub in q.queries)
@@ -135,12 +181,17 @@ def _make_clause(
         return _make_clause(q.query, stats, term_stats, boost * q.boost, constant, scoring)
     if isinstance(q, ConstantScoreQuery):
         return _make_clause(q.query, stats, term_stats, boost, True, scoring)
+    if isinstance(q, (SpanOrQuery, SpanNotQuery)):
+        # standalone or/not span == a 1-clause SpanNear (matches any
+        # doc where the clause has at least one surviving occurrence)
+        q = SpanNearQuery((q,), slop=0, in_order=True)
     if isinstance(q, SpanNearQuery):
         # constant-score span clause (spans are filter-shaped here;
         # see SpanNearQuery docstring for the scoring scope note)
         return ScoringClause(
-            tuple(q.terms), None, const_score=(boost if scoring else 0.0),
+            q.flat_terms(), None, const_score=(boost if scoring else 0.0),
             slop=q.slop, kind="span_near", in_order=q.in_order,
+            span_specs=tuple(q.terms),
         )
     if isinstance(q, (PointRangeQuery, FieldTermQuery)):
         # constant-score doc-value clause: PointRangeQuery's weight is
@@ -166,9 +217,7 @@ def _make_clause(
                 (q.term,), None, const_score=(boost if scoring else 0.0)
             )
         df, _ = term_stats.get(q.term, (0, 0))
-        scorer = BM25Scorer.create(
-            boost, stats.k1, stats.b, idf(df, stats.doc_count), stats.avgdl
-        )
+        scorer = stats.scorer(boost, stats.leaf_idf(df))
         return ScoringClause((q.term,), scorer)
     if isinstance(q, SynonymQuery):
         if constant or not scoring:
@@ -179,9 +228,7 @@ def _make_clause(
         # blended pseudo-term stats: df = max sub df (ttf summed but
         # unused by idf) — SynonymQuery.java:233-247
         df = max((term_stats.get(t, (0, 0))[0] for t in q.terms), default=0)
-        scorer = BM25Scorer.create(
-            boost, stats.k1, stats.b, idf(df, stats.doc_count), stats.avgdl
-        )
+        scorer = stats.scorer(boost, stats.leaf_idf(df))
         return ScoringClause(tuple(q.terms), scorer, kind="synonym")
     if isinstance(q, DisjunctionMaxQuery):
         sub = compile_query(q, stats, term_stats,
@@ -208,10 +255,8 @@ def _make_clause(
         total = 0.0
         for t in all_terms:
             df, _ = term_stats.get(t, (0, 0))
-            total += float(idf(df, stats.doc_count))
-        scorer = BM25Scorer.create(
-            boost, stats.k1, stats.b, np.float32(total), stats.avgdl
-        )
+            total += float(stats.leaf_idf(df))
+        scorer = stats.scorer(boost, np.float32(total))
         return ScoringClause(
             all_terms, scorer, slop=q.slop, kind="multiphrase", alts=q.positions
         )
@@ -225,10 +270,8 @@ def _make_clause(
         total = 0.0
         for t in q.terms:
             df, _ = term_stats.get(t, (0, 0))
-            total += float(idf(df, stats.doc_count))
-        scorer = BM25Scorer.create(
-            boost, stats.k1, stats.b, np.float32(total), stats.avgdl
-        )
+            total += float(stats.leaf_idf(df))
+        scorer = stats.scorer(boost, np.float32(total))
         return ScoringClause(tuple(q.terms), scorer, slop=q.slop)
     if isinstance(q, (BooleanQuery, MatchAllDocsQuery)):
         # nested boolean clause: compiled recursively; evaluated as a
@@ -280,7 +323,8 @@ def compile_query(
             [], [], 1, combine="dismax", tie=q.tie_breaker,
         )
     if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery,
-                      SpanNearQuery, PointRangeQuery, FieldTermQuery,
+                      SpanNearQuery, SpanOrQuery, SpanNotQuery,
+                      PointRangeQuery, FieldTermQuery,
                       BoostQuery, ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
         return CompiledQuery([clause], [], [], [], 0)

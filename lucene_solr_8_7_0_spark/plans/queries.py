@@ -63,22 +63,70 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
-class SpanNearQuery(Query):
-    """Proximity query over term spans (lucene/core/search/spans/
-    SpanNearQuery.java): the terms must all occur within ``slop``
-    total gap positions, in query order when ``in_order`` (SpanNear
-    semantics: span width minus the term count <= slop).  Compiled as
-    a CONSTANT-SCORE clause (span scoring via sloppyFreq is out of
-    scope; the reference's span family is most used for filtering and
-    the classic parser never emits it)."""
+class SpanOrQuery(Query):
+    """Union of term spans (L/search/spans/SpanOrQuery.java:45): the
+    clause's spans are the union of every member term's occurrences.
+    Usable standalone or as a clause inside SpanNearQuery."""
 
     terms: tuple[str, ...]
+
+    def __str__(self) -> str:
+        return f"spanOr([{' '.join(self.terms)}])"
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """Include-spans with nearby exclude-spans removed
+    (L/search/spans/SpanNotQuery.java:64-71, accept():176-188): an
+    occurrence of ``include`` at position p is dropped when some
+    occurrence of ``exclude`` lies within [p - pre, p + post] (the
+    reference's overlap test specialised to width-1 term spans).
+    Usable standalone or as a clause inside SpanNearQuery."""
+
+    include: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
+
+    def __str__(self) -> str:
+        return f"spanNot({self.include}, {self.exclude}, {self.pre}, {self.post})"
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Proximity query over spans (lucene/core/search/spans/
+    SpanNearQuery.java): the clauses must all occur within ``slop``
+    total gap positions, in query order when ``in_order`` (SpanNear
+    semantics: span width minus the term count <= slop).  Each clause
+    is a term, a SpanOrQuery (union of terms), or a SpanNotQuery
+    (term minus nearby exclusions) — the or/not composition the
+    reference's span family provides.  Compiled as a CONSTANT-SCORE
+    clause (span scoring via sloppyFreq is out of scope; the
+    reference's span family is most used for filtering and the classic
+    parser never emits it)."""
+
+    terms: tuple  # of str | SpanOrQuery | SpanNotQuery
     slop: int = 0
     in_order: bool = True
 
+    def flat_terms(self) -> tuple[str, ...]:
+        """Every index term this query touches (stats/scan predicate)."""
+        out: list[str] = []
+        for c in self.terms:
+            if isinstance(c, str):
+                out.append(c)
+            elif isinstance(c, SpanOrQuery):
+                out.extend(c.terms)
+            elif isinstance(c, SpanNotQuery):
+                out.extend((c.include, c.exclude))
+            else:
+                raise TypeError(f"bad span clause {type(c).__name__}")
+        return tuple(out)
+
     def __str__(self) -> str:
         order = "ordered" if self.in_order else "unordered"
-        return f"spanNear([{' '.join(self.terms)}], {self.slop}, {order})"
+        clauses = " ".join(str(c) for c in self.terms)
+        return f"spanNear([{clauses}], {self.slop}, {order})"
 
 
 @dataclass(frozen=True)

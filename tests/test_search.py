@@ -433,3 +433,153 @@ def test_span_near_in_boolean(engine):
         b.add(Q.TermQuery("import"), Q.Occur.SHOULD)
         b.add(span, Q.Occur.SHOULD)
         assert_identical(searcher, oi, b.build())
+
+
+def test_classic_similarity_rank_identity(engine):
+    """ClassicSimilarity (TF-IDF, sqrt-tf * idf^cls / sqrt(len)):
+    pruned engine == brute-force oracle, bitwise float32, across the
+    boolean shapes — the per-query setSimilarity surface."""
+    import dataclasses
+
+    searcher, oi = engine
+    oi_c = dataclasses.replace(
+        oi, cfg=dataclasses.replace(oi.cfg, similarity="classic")
+    )
+    queries = [
+        Q.TermQuery("public"),
+        Q.term_or(["public", "return", "import"], 1),
+        Q.term_and(["public", "return"]),
+        Q.PhraseQuery(("public", "return")),
+        Q.SynonymQuery(("public", "return")),
+        Q.DisjunctionMaxQuery(
+            (Q.TermQuery("public"), Q.TermQuery("return")), tie_breaker=0.1
+        ),
+        Q.BoostQuery(Q.TermQuery("public"), 2.5),
+    ]
+    for q in queries:
+        td = searcher.search(
+            q, k=10, total_hits_threshold=1, similarity="classic"
+        )
+        exp = oracle_search(oi_c, rewrite(q, searcher._term_lookup), k=10)
+        assert td.doc_ids.tolist() == exp.doc_ids.tolist(), str(q)
+        np.testing.assert_array_equal(td.scores, exp.scores, err_msg=str(q))
+        # pruned == exhaustive, bitwise
+        full = searcher.search(
+            q, k=10, score_mode="complete", similarity="classic"
+        )
+        assert td.doc_ids.tolist() == full.doc_ids.tolist(), str(q)
+        np.testing.assert_array_equal(td.scores, full.scores, err_msg=str(q))
+        # sanity: classic actually differs from BM25 on this corpus
+    bm = searcher.search(Q.TermQuery("public"), k=10, total_hits_threshold=1)
+    cl = searcher.search(
+        Q.TermQuery("public"), k=10, total_hits_threshold=1,
+        similarity="classic",
+    )
+    assert bm.scores.tolist() != cl.scores.tolist()
+
+
+def test_bm25_nondefault_k1_b_parity(spark, tmp_path_factory):
+    """Parameterized BM25 (EngineConfig k1/b): the 256-entry norm cache
+    rebinds for non-default parameters and the engine stays bitwise
+    equal to the oracle."""
+    d = str(tmp_path_factory.mktemp("k1b"))
+    cfg = EngineConfig(segment_size=64, k1=0.9, b=0.4)
+    docs = corpus_df(spark, 150, seed=11)
+    build_index(spark, docs, d, cfg)
+    searcher = IndexSearcher(spark, d)
+    assert searcher.cfg.k1 == 0.9 and searcher.cfg.b == 0.4
+    corpus_pdf = (
+        docs.join(
+            spark.read.parquet(f"{d}/docs").select("repo", "path", "doc_id"),
+            ["repo", "path"],
+        )
+        .select("doc_id", "content")
+        .toPandas()
+    )
+    oi = build_oracle_index(corpus_pdf, cfg)
+    for q in [
+        Q.TermQuery("public"),
+        Q.term_or(["public", "return", "import"], 1),
+        Q.term_and(["public", "return"]),
+        Q.PhraseQuery(("public", "return")),
+    ]:
+        td = searcher.search(q, k=10, total_hits_threshold=1)
+        exp = oracle_search(oi, rewrite(q, searcher._term_lookup), k=10)
+        assert td.doc_ids.tolist() == exp.doc_ids.tolist(), str(q)
+        np.testing.assert_array_equal(td.scores, exp.scores, err_msg=str(q))
+
+
+def test_function_score_topk(engine, spark):
+    """FunctionScoreQuery (boost-by-field): blended top-k equals a full
+    pandas recomputation (BM25 x weight*log1p(length)), and the
+    distributed TakeOrdered head equals the exhaustive global sort."""
+    import pandas as pd
+
+    from lucene_solr_8_7_0_spark.operators.functionscore import (
+        function_score_topk,
+    )
+
+    searcher, oi = engine
+    q = Q.term_or(["public", "return"], 1)
+    out = function_score_topk(
+        searcher, q, "length", k=10, combine="multiply", weight=0.5
+    ).toPandas()
+    # recompute: exhaustive scores + docmeta lengths, global sort
+    scored = searcher.score_all_df(q).toPandas()
+    meta = spark.read.parquet(searcher.docmeta_path).select(
+        "doc_id", "length"
+    ).toPandas()
+    j = scored.merge(meta, on="doc_id")
+    j["fscore"] = (
+        j["score"].astype("float64") * (0.5 * np.log1p(j["length"]))
+    ).round(4)
+    j = j.sort_values(["fscore", "doc_id"], ascending=[False, True]).head(10)
+    assert out["doc_id"].tolist() == j["doc_id"].tolist()
+    np.testing.assert_allclose(
+        out["fscore"].to_numpy(), j["fscore"].to_numpy(), atol=1e-9
+    )
+    # additive blend too
+    out2 = function_score_topk(
+        searcher, q, "length", k=5, combine="sum", weight=0.1
+    ).toPandas()
+    j2 = scored.merge(meta, on="doc_id")
+    j2["fscore"] = (
+        j2["score"].astype("float64") + 0.1 * np.log1p(j2["length"])
+    ).round(4)
+    j2 = j2.sort_values(["fscore", "doc_id"], ascending=[False, True]).head(5)
+    assert out2["doc_id"].tolist() == j2["doc_id"].tolist()
+
+
+def test_span_or_not_composition(engine):
+    """SpanOr / SpanNot clauses inside SpanNearQuery (and standalone):
+    engine hit sets equal the brute-force oracle's set algebra."""
+    searcher, oi = engine
+    queries = [
+        Q.SpanNearQuery(
+            (Q.SpanOrQuery(("public", "static")), "return"), slop=2
+        ),
+        Q.SpanNearQuery(
+            (Q.SpanNotQuery("public", "static", pre=2, post=2), "return"),
+            slop=3,
+        ),
+        Q.SpanNearQuery(
+            (
+                Q.SpanOrQuery(("public", "static")),
+                Q.SpanNotQuery("return", "import", pre=1, post=1),
+            ),
+            slop=5, in_order=False,
+        ),
+        Q.SpanOrQuery(("public", "zzz_not_a_term")),
+        Q.SpanNotQuery("public", "static", pre=1, post=1),
+    ]
+    from lucene_solr_8_7_0_spark.functions.oracle import _eval
+
+    for q in queries:
+        got = sorted(searcher.matches_df(q).toPandas()["doc_id"].tolist())
+        exp_docs, _ = _eval(oi, q, 1.0, False)
+        assert got == sorted(exp_docs.tolist()), str(q)
+        # and composed under a boolean with a scored term
+        b = Q.Builder()
+        b.add(Q.TermQuery("import"), Q.Occur.MUST)
+        b.add(q, Q.Occur.FILTER)
+        assert_identical(searcher, oi, b.build())

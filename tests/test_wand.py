@@ -282,3 +282,62 @@ def test_unordered_span_duplicate_term_overlap_semantics():
         oi, Q.SpanNearQuery(("alpha", "alpha"), slop=2, in_order=True), k=10
     )
     assert sorted(hit_ord.doc_ids.tolist()) == [1]
+
+
+def test_span_or_not_kernel_micro():
+    """Hand-derived golden cases for the or/not span clause streams,
+    straight through the kernel (no Spark)."""
+    import numpy as np
+
+    from lucene_solr_8_7_0_spark.functions.codec import encode_term_postings
+    from lucene_solr_8_7_0_spark.functions.wand import (
+        ScoringClause,
+        _span_near_docs_scores,
+    )
+    from lucene_solr_8_7_0_spark.plans.queries import (
+        SpanNotQuery,
+        SpanOrQuery,
+    )
+
+    # docs: 0 "alpha beta gamma" | 1 "alpha delta beta" | 2 "beta alpha"
+    #       3 "alpha noise beta"
+    toks = {
+        "alpha": [(0, [0]), (1, [0]), (2, [1]), (3, [0])],
+        "beta": [(0, [1]), (1, [2]), (2, [0]), (3, [2])],
+        "gamma": [(0, [2])],
+        "delta": [(1, [1])],
+        "noise": [(3, [1])],
+    }
+    pmap = {}
+    for t, posting in toks.items():
+        docs = np.asarray([d for d, _ in posting], dtype=np.int64)
+        freqs = np.asarray([len(p) for _, p in posting], dtype=np.int64)
+        pos = np.concatenate([np.asarray(p, dtype=np.int64) for _, p in posting])
+        pmap[t] = encode_term_postings(docs, freqs, np.zeros(len(docs), np.int64), pos)
+    norms = np.full(4, 3, dtype=np.int64)
+
+    def run(specs, slop, in_order=True):
+        cl = ScoringClause(
+            (), None, const_score=1.0, slop=slop, kind="span_near",
+            in_order=in_order, span_specs=tuple(specs),
+        )
+        docs, _ = _span_near_docs_scores(pmap, norms, cl)
+        return sorted(docs.tolist())
+
+    # (alpha|delta) then beta, adjacent: doc0 alpha-beta, doc1 delta-beta
+    assert run([SpanOrQuery(("alpha", "delta")), "beta"], 0) == [0, 1]
+    # alpha-with-no-noise-within-1 then beta within gap 1:
+    # doc3's alpha is killed by the adjacent 'noise'
+    assert run(
+        [SpanNotQuery("alpha", "noise", pre=1, post=1), "beta"], 1
+    ) == [0, 1]
+    # unordered: doc2 (beta alpha) joins in
+    assert run(
+        [SpanNotQuery("alpha", "noise", pre=1, post=1), "beta"], 1,
+        in_order=False,
+    ) == [0, 1, 2]
+    # exclude term absent in segment: include passes through (doc2 is
+    # still out — its beta precedes alpha and the span is ordered)
+    assert run([SpanNotQuery("alpha", "zzz", pre=9, post=9), "beta"], 9) == [
+        0, 1, 3
+    ]
