@@ -48,6 +48,13 @@ class EngineConfig:
     analyzer: str = "standard"  # "standard" | "simple"
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     index_positions: bool = True
+    # opt-in character-offset store (the .pay / offsets tier,
+    # Lucene84PostingsFormat DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS):
+    # materializes a doc-major ``termvectors`` table at build time so
+    # highlighting can slice ORIGINAL text by stored offsets
+    # (operators/termvectors.py).  Off by default — it costs one extra
+    # content scan and its own storage, like the reference's opt-in.
+    index_offsets: bool = False
     # StopFilter stop set (position-hole semantics); empty = the
     # StandardAnalyzer() default (StandardAnalyzer.java:51-53)
     stopwords: tuple = ()

@@ -392,3 +392,84 @@ def tokenize_text(
     """Convenience scalar path (query analysis, tests)."""
     batch = analyze_batch(pd.Series([text]), analyzer, max_token_length, stopwords)
     return batch.terms.tolist()
+
+
+class OffsetTokenBatch(NamedTuple):
+    """TokenBatch plus character offsets into the ORIGINAL text —
+    the OffsetAttribute of the reference's token stream
+    (L/analysis/tokenattributes/OffsetAttribute.java): ``starts[i]`` /
+    ``ends[i]`` delimit the i-th kept token as ``text[start:end]``."""
+
+    doc_idx: np.ndarray
+    terms: pd.Series
+    positions: np.ndarray
+    doc_lengths: np.ndarray
+    starts: np.ndarray       # int32 char start per kept token
+    ends: np.ndarray         # int32 char end (exclusive) per kept token
+    offsets_valid: np.ndarray  # bool per doc: offsets index the original text
+
+
+def analyze_batch_with_offsets(
+    texts: pd.Series,
+    analyzer: str = "standard",
+    max_token_length: int = 255,
+    stopwords=(),
+) -> OffsetTokenBatch:
+    """Tokenize with character offsets (the StandardTokenizer's
+    OffsetAttribute).  Token/position/length semantics are IDENTICAL to
+    ``analyze_batch`` (same grammar, same over-long/stopword rules) —
+    only the extraction runs finditer so each token carries its span.
+
+    Offsets refer to the ORIGINAL text.  The standard analyzer scans
+    the original directly (lowercasing happens after tokenization,
+    like the reference chain).  The simple analyzer scans
+    ``text.lower()``; Python lowercasing preserves length for all
+    common scripts but not universally (e.g. U+212A KELVIN SIGN
+    shrinks), so a doc whose lowered form changes length gets
+    ``offsets_valid=False`` (tokens/positions still correct) and
+    consumers fall back to re-analysis rendering for it."""
+    texts = texts.fillna("")
+    n = len(texts)
+    doc_idx_l: list[int] = []
+    toks: list[str] = []
+    pos_l: list[int] = []
+    st_l: list[int] = []
+    en_l: list[int] = []
+    valid = np.ones(n, dtype=bool)
+    stop = frozenset(stopwords) if stopwords else None
+    lengths = np.zeros(n, dtype=np.int64)
+    for di, text in enumerate(texts):
+        if analyzer == "standard":
+            scan, rx = text, STANDARD_TOKEN_RE
+        elif analyzer == "simple":
+            scan, rx = text.lower(), SIMPLE_TOKEN_RE
+            if len(scan) != len(text):
+                valid[di] = False
+        else:
+            raise ValueError(f"unknown analyzer {analyzer!r}")
+        pos = 0
+        for m in rx.finditer(scan):
+            raw = m.group()
+            if len(raw) > max_token_length:
+                pos += 1  # dropped but position-consuming
+                continue
+            term = raw.lower() if analyzer == "standard" else raw
+            if stop is not None and term in stop:
+                pos += 1
+                continue
+            doc_idx_l.append(di)
+            toks.append(term)
+            pos_l.append(pos)
+            st_l.append(m.start())
+            en_l.append(m.end())
+            lengths[di] += 1
+            pos += 1
+    return OffsetTokenBatch(
+        np.asarray(doc_idx_l, dtype=np.int64),
+        pd.Series(toks, dtype=object),
+        np.asarray(pos_l, dtype=np.int32),
+        lengths,
+        np.asarray(st_l, dtype=np.int32),
+        np.asarray(en_l, dtype=np.int32),
+        valid,
+    )

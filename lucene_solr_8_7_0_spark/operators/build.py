@@ -156,14 +156,38 @@ def build_index(
     # (norms are NOT materialized: searcher/merge derive the per-segment
     # norms view from the sentinel rows at read time — one fewer stage)
 
+    # -- stage: termvectors (opt-in doc-major offset store) -----------------
+    # The engine's offsets tier (see operators/termvectors.py): one
+    # extra content scan, no shuffle, doc-sorted parquet so the
+    # highlight path's doc_id pushdown reads only the hit docs.
+    if cfg.index_offsets:
+        t0 = time.time()
+        if stage("termvectors"):
+            from .termvectors import build_term_vectors
+
+            tv_input = docs.select("repo", "path", content_col).join(
+                docs_ids.select("repo", "path", "doc_id"), ["repo", "path"]
+            )
+            _write(
+                build_term_vectors(tv_input, cfg, content_col),
+                index_dir, "termvectors", sort_cols=["doc_id", "term"],
+            )
+            record("termvectors", time.time() - t0, {})
+
     # -- stage: docmeta (identity + sha256 + exact length + norm) -----------
     # No content access: sha256 rides in from the mapping, lengths from
     # the segment sentinels.
     t0 = time.time()
     if stage("docmeta"):
         lengths = lengths_from_segments(segments, cfg)
+        # EVERY non-content source column rides into docmeta — extra
+        # scalar columns become keyword/point fields, ARRAY columns
+        # become multi-valued (SORTED_SET docvalues analog) fields
+        # usable by faceting and FieldTermQuery membership
+        base = ["doc_id", "repo", "path", "commit", "lang", "sha256"]
+        extras = [c for c in docs_ids.columns if c not in base]
         meta = (
-            docs_ids.select("doc_id", "repo", "path", "commit", "lang", "sha256")
+            docs_ids.select(*base, *extras)
             .join(lengths, "doc_id", "left")
             .fillna({"length": 0})
         )
@@ -180,9 +204,14 @@ def build_index(
                 )
                 yield pdf
 
+        extra_schema = "".join(
+            f", {c} {docs_ids.schema[c].dataType.simpleString()}"
+            for c in extras
+        )
         schema = (
             "doc_id bigint, repo string, path string, commit string, "
-            "lang string, sha256 string, length bigint, norm int, segment_id int"
+            f"lang string, sha256 string{extra_schema}, "
+            "length bigint, norm int, segment_id int"
         )
         _write(meta.mapInPandas(add_norm, schema=schema), index_dir, "docmeta",
                sort_cols=["doc_id"])
@@ -223,6 +252,8 @@ def build_index(
                 "k1": cfg.k1, "b": cfg.b, "analyzer": cfg.analyzer,
                 "max_token_length": cfg.max_token_length,
                 "index_positions": cfg.index_positions,
+                "index_offsets": cfg.index_offsets,
+                "similarity": cfg.similarity,
                 "segment_size": cfg.segment_size,
                 "stopwords": list(cfg.stopwords),
             },

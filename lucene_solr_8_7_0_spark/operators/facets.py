@@ -23,11 +23,20 @@ def facet_counts(
 ) -> DataFrame:
     """(facet value, count) over the documents matching ``query``.
 
-    ``facet_col`` is any docmeta column (e.g. ``lang``, ``repo``)."""
+    ``facet_col`` is any docmeta column (e.g. ``lang``, ``repo``).
+    An ARRAY-typed column (multi-valued / SORTED_SET field) facets per
+    VALUE — each of a doc's values counts once, like SortedSetDocValues
+    faceting (lucene/facet SortedSetDocValuesFacetCounts)."""
+    from pyspark.sql.types import ArrayType
+
     hits = searcher.matches_df(query)
     meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
         "doc_id", facet_col
     )
+    if isinstance(meta.schema[facet_col].dataType, ArrayType):
+        meta = meta.select(
+            "doc_id", F.explode_outer(facet_col).alias(facet_col)
+        )
     out = (
         hits.join(meta, "doc_id")
         .groupBy(facet_col)

@@ -26,11 +26,13 @@ replays it in DuckDB):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["highlight_df", "highlight_hits"]
+__all__ = ["highlight_df", "highlight_hits", "highlight_offsets_df"]
 
 
 def highlight_df(
@@ -144,4 +146,116 @@ def highlight_hits(
         hits.join(hl, "doc_id", "left")
         .select("rank", "doc_id", "score", "n_matches", "snippet")
         .orderBy("rank")
+    )
+
+
+def highlight_offsets_df(
+    searcher,
+    docs: DataFrame,
+    terms: list[str],
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> DataFrame:
+    """Offset-based snippets: EXACT substrings of the original text.
+
+    The stored-offsets tier (UnifiedHighlighter with
+    OffsetSource.TERM_VECTORS / the postings-offsets mode,
+    Lucene84PostingsFormat.java:312): token char offsets come from the
+    index's doc-major ``termvectors`` table (built with
+    ``EngineConfig.index_offsets=True``), never from re-analysis.  The
+    snippet is ``text[window_first.start : window_last.end]`` with
+    ``pre``/``post`` markup wrapped around each matched token's exact
+    span — inter-token whitespace/punctuation is preserved verbatim.
+
+    Window choice is the same deterministic rule as ``highlight_df``
+    (max distinct matched terms, then max matches, then earliest
+    start), so both tiers pick the same passage.  Docs whose offsets
+    were flagged invalid at build time (see
+    analyze_batch_with_offsets) emit a NULL snippet; callers can fall
+    back to the re-analysis tier.
+
+    Plan shape: doc_id pushdown into the doc-sorted termvectors
+    parquet reads only the hit docs' rows; one cogrouped pandas kernel
+    per doc; no shuffle beyond the k-row join.
+    """
+    term_set = frozenset(terms)
+    w = int(window)
+    tv_path = os.path.join(searcher.index_dir, "termvectors")
+    if not os.path.exists(os.path.join(tv_path, "_SUCCESS")):
+        raise ValueError(
+            "index has no termvectors table — build with "
+            "EngineConfig(index_offsets=True) or use highlight_df "
+            "(re-analysis tier)"
+        )
+    tv = searcher.spark.read.parquet(tv_path)
+    hit_docs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    joined = tv.join(F.broadcast(hit_docs), "doc_id")
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = int(key[0])
+        text = pdf["_text"].iloc[0]
+        if not bool(pdf["offsets_valid"].iloc[0]):
+            return pd.DataFrame(
+                [(doc_id, 0, 0, -1, None)],
+                columns=[
+                    "doc_id", "n_matches", "n_distinct", "window_start",
+                    "snippet",
+                ],
+            )
+        pos = np.concatenate([np.asarray(p, np.int64) for p in pdf["positions"]])
+        st = np.concatenate([np.asarray(p, np.int64) for p in pdf["starts"]])
+        en = np.concatenate([np.asarray(p, np.int64) for p in pdf["ends"]])
+        tname = np.repeat(
+            pdf["term"].to_numpy(dtype=object), pdf["freq"].to_numpy()
+        )
+        order = np.argsort(pos)
+        pos, st, en, tname = pos[order], st[order], en[order], tname[order]
+        is_match = np.isin(tname, list(term_set))
+        m = pos[is_match]
+        if len(m) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "doc_id", "n_matches", "n_distinct", "window_start",
+                    "snippet",
+                ]
+            )
+        cand = np.unique(
+            np.clip((m[:, None] - np.arange(w)[None, :]).ravel(), 0, None)
+        )
+        best = None
+        for c in cand:
+            sel = is_match & (pos >= c) & (pos < c + w)
+            nm = int(sel.sum())
+            nd = len(set(tname[sel]))
+            keyt = (-nd, -nm, int(c))
+            if best is None or keyt < best[0]:
+                best = (keyt, int(c), nm, nd)
+        _, c, nm, nd = best
+        in_win = (pos >= c) & (pos < c + w)
+        idxs = np.nonzero(in_win)[0]
+        parts = []
+        cur = int(st[idxs[0]])
+        for i in idxs:
+            parts.append(text[cur : int(st[i])])
+            tok = text[int(st[i]) : int(en[i])]
+            parts.append((pre + tok + post) if is_match[i] else tok)
+            cur = int(en[i])
+        return pd.DataFrame(
+            [(doc_id, nm, nd, c, "".join(parts))],
+            columns=[
+                "doc_id", "n_matches", "n_distinct", "window_start", "snippet",
+            ],
+        )
+
+    return joined.groupby("doc_id").applyInPandas(
+        kern,
+        schema=(
+            "doc_id bigint, n_matches int, n_distinct int, "
+            "window_start int, snippet string"
+        ),
     )

@@ -182,6 +182,18 @@ def merge_indexes(
     docmeta.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         os.path.join(out_dir, "docmeta")
     )
+    # offsets tier: doc ids are globally disjoint across inputs, so the
+    # doc-major termvectors tables union with no re-encode; present in
+    # the merged snapshot only when EVERY input carries it
+    tv_dirs = [os.path.join(d, "termvectors") for d in index_dirs]
+    if all(os.path.exists(os.path.join(t, "_SUCCESS")) for t in tv_dirs):
+        tv = None
+        for d in index_dirs:
+            t = _read(spark, d, "termvectors")
+            tv = t if tv is None else tv.union(t)
+        tv.sortWithinPartitions("doc_id", "term").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "termvectors"))
     docmeta = _read(spark, out_dir, "docmeta")
     docmeta.agg(
         F.count("*").alias("num_docs"),
@@ -210,6 +222,8 @@ def merge_indexes(
                 "k1": cfg.k1, "b": cfg.b, "analyzer": cfg.analyzer,
                 "max_token_length": cfg.max_token_length,
                 "index_positions": cfg.index_positions,
+                "index_offsets": cfg.index_offsets,
+                "similarity": cfg.similarity,
                 "segment_size": cfg.segment_size,
                 "stopwords": list(cfg.stopwords),
             },

@@ -660,8 +660,10 @@ class IndexSearcher:
         for pq in planner.collect_point_queries(q):
             from ..functions.codec import encode_term_postings
 
-            sel = self.spark.read.parquet(self.docmeta_path).filter(
-                (F.col("segment_id") == seg_id) & self._dv_cond(pq)
+            meta_df = self.spark.read.parquet(self.docmeta_path)
+            sel = meta_df.filter(
+                (F.col("segment_id") == seg_id)
+                & self._dv_cond(pq, meta_df.schema)
             )
             ld = np.sort(
                 np.asarray([r["doc_id"] for r in sel.select("doc_id").collect()],
@@ -891,13 +893,23 @@ class IndexSearcher:
         return outs
 
     @staticmethod
-    def _dv_cond(q):
+    def _dv_cond(q, schema=None):
         """Docmeta filter Column of one doc-value clause: a numeric
-        point range or a keyword (StringField) equality."""
+        point range, a keyword (StringField) equality, or — when the
+        docmeta column is ARRAY-typed (the SORTED_SET docvalues
+        analog, L/index/SortedSetDocValues.java:33) — multi-valued
+        membership: the doc matches when ANY of its values equals the
+        query value."""
+        from pyspark.sql.types import ArrayType
+
         from ..plans.queries import FieldTermQuery
 
         c = F.col(q.field)
         if isinstance(q, FieldTermQuery):
+            if schema is not None and isinstance(
+                schema[q.field].dataType, ArrayType
+            ):
+                return F.array_contains(c, q.value)
             return c == q.value
         cond = F.lit(True)
         if q.lower is not None:
@@ -912,7 +924,9 @@ class IndexSearcher:
         sel = self.spark.read.parquet(self.docmeta_path)
         if lead is not None:
             sel = sel.join(self._term_docs_df(lead[0]).select("doc_id"), "doc_id")
-        return sel.filter(self._dv_cond(q)).select("segment_id", "doc_id")
+        return sel.filter(self._dv_cond(q, sel.schema)).select(
+            "segment_id", "doc_id"
+        )
 
     def _generation(self) -> int:
         """Snapshot generation: the deletes epoch (cache invalidation —

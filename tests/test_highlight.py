@@ -3,6 +3,7 @@ selection + markup, and the search-integrated surface."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from lucene_solr_8_7_0_spark.operators.highlight import (
     highlight_df,
@@ -96,3 +97,51 @@ def test_highlight_hits_integration(spark, tmp_path_factory):
     assert out["rank"].tolist() == [1, 2, 3, 4, 5]
     assert (out["n_matches"] >= 1).all()
     assert out["snippet"].str.contains("<b>").all()
+
+
+def test_highlight_offsets_exact_substrings(spark, tmp_path_factory):
+    """Stored-offsets tier: snippets are EXACT substrings of the
+    original text (markup removed), window choice agrees with the
+    re-analysis tier, and match spans wrap the right characters."""
+    from lucene_solr_8_7_0_spark.config import EngineConfig
+    from lucene_solr_8_7_0_spark.operators.build import build_index
+    from lucene_solr_8_7_0_spark.operators.highlight import (
+        highlight_df,
+        highlight_offsets_df,
+    )
+    from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+    from lucene_solr_8_7_0_spark.sources.corpus import corpus_df
+
+    d = str(tmp_path_factory.mktemp("offidx"))
+    docs = corpus_df(spark, 80, seed=3)
+    cfg = EngineConfig(segment_size=64, index_offsets=True)
+    build_index(spark, docs, d, cfg)
+    searcher = IndexSearcher(spark, d)
+    assert searcher.cfg.index_offsets
+    ids = spark.read.parquet(f"{d}/docs").select("repo", "path", "doc_id")
+    src = docs.join(ids, ["repo", "path"]).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    terms = ["public", "return"]
+    off = highlight_offsets_df(searcher, src, terms, window=6).toPandas()
+    rea = highlight_df(
+        src, terms, analyzer="standard", window=6
+    ).toPandas()
+    assert len(off) > 0
+    texts = {r["doc_id"]: r["text"] for _, r in src.toPandas().iterrows()}
+    merged = off.merge(rea, on="doc_id", suffixes=("_o", "_r"))
+    assert len(merged) == len(off) == len(rea)
+    for _, row in merged.iterrows():
+        # same passage selection in both tiers
+        assert row["window_start_o"] == row["window_start_r"]
+        assert row["n_matches_o"] == row["n_matches_r"]
+        snip = row["snippet_o"]
+        # exact-substring property: strip markup -> verbatim slice
+        plain = snip.replace("<b>", "").replace("</b>", "")
+        assert plain in texts[row["doc_id"]], row["doc_id"]
+        # every marked span is one of the query terms, verbatim
+        import re as _re
+
+        for mtok in _re.findall(r"<b>(.*?)</b>", snip):
+            assert mtok.lower() in terms
+        assert snip.count("<b>") == row["n_matches_o"]

@@ -583,3 +583,52 @@ def test_span_or_not_composition(engine):
         b.add(Q.TermQuery("import"), Q.Occur.MUST)
         b.add(q, Q.Occur.FILTER)
         assert_identical(searcher, oi, b.build())
+
+
+def test_multivalued_field_membership_and_facets(spark, tmp_path_factory):
+    """Multi-valued metadata fields (SORTED_SET docvalues analog):
+    array-typed source columns ride into docmeta, FieldTermQuery means
+    membership (any value equals), and facets count per value."""
+    from lucene_solr_8_7_0_spark.operators.facets import facet_counts
+    from lucene_solr_8_7_0_spark.sources.corpus import corpus_df
+
+    d = str(tmp_path_factory.mktemp("mvidx"))
+    docs = corpus_df(spark, 120, seed=5)
+    from pyspark.sql import functions as F
+
+    tagged = docs.withColumn(
+        "tags",
+        F.array(
+            F.concat(F.lit("t"), (F.crc32(F.col("path")) % 3).cast("string")),
+            F.concat(F.lit("u"), (F.crc32(F.col("path")) % 5).cast("string")),
+        ),
+    )
+    build_index(spark, tagged, d, EngineConfig(segment_size=64))
+    searcher = IndexSearcher(spark, d)
+    meta = spark.read.parquet(searcher.docmeta_path).select(
+        "doc_id", "tags"
+    ).toPandas()
+    assert "tags" in meta.columns
+    # membership: tags CONTAINS 't1' AND term query
+    b = Q.Builder()
+    b.add(Q.TermQuery("public"), Q.Occur.MUST)
+    b.add(Q.FieldTermQuery("tags", "t1"), Q.Occur.FILTER)
+    got = sorted(searcher.matches_df(b.build()).toPandas()["doc_id"])
+    term_hits = set(
+        searcher.matches_df(Q.TermQuery("public")).toPandas()["doc_id"]
+    )
+    exp = sorted(
+        int(r["doc_id"]) for _, r in meta.iterrows()
+        if "t1" in list(r["tags"]) and int(r["doc_id"]) in term_hits
+    )
+    assert got == exp and len(got) > 0
+    # per-value facet counts over the hit set
+    fc = facet_counts(searcher, Q.TermQuery("public"), "tags").toPandas()
+    from collections import Counter
+
+    exp_counts = Counter(
+        t for _, r in meta.iterrows() if int(r["doc_id"]) in term_hits
+        for t in r["tags"]
+    )
+    got_counts = dict(zip(fc["tags"], fc["count"]))
+    assert got_counts == dict(exp_counts)
