@@ -45,24 +45,34 @@ def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     original doc_id so engine results map back exactly, and repo is a
     constant so the engine's (repo, path) doc numbering coincides with
     the original doc_id order — score ties must break identically in
-    the engine (internal doc id) and the SQL oracle (doc_id)."""
+    the engine (internal doc id) and the SQL oracle (doc_id).
+
+    ``tags`` is a deterministic synthetic MULTI-VALUED column (the
+    SORTED_SET docvalues surface): every doc carries two labels derived
+    from its id, SQL-replayable on the oracle side."""
+    d = F.col("doc_id")
     return _docs(spark, sf_dir).select(
         F.lit("corpus").alias("repo"),
         F.format_string("%010d", "doc_id").alias("path"),
         F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
         F.col("lang"),
+        F.array(
+            F.concat(F.lit("t"), (d % 3).cast("string")),
+            F.concat(F.lit("u"), (d % 5).cast("string")),
+        ).alias("tags"),
         F.col("text").alias("content"),
     )
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Build (or resume) the engine index for this sf_dir; cached."""
-    # v4: docs table became a content-free identity mapping + colstats
-    key = hashlib.md5(f"{sf_dir}:v4".encode()).hexdigest()[:10]
+    # v5: + multi-valued tags column, + stored offsets (termvectors)
+    key = hashlib.md5(f"{sf_dir}:v5".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
-    cfg = EngineConfig(analyzer="simple", segment_size=256, index_positions=True)
+    cfg = EngineConfig(analyzer="simple", segment_size=256, index_positions=True,
+                       index_offsets=True)
     build_index(spark, _adapted(spark, sf_dir), d, cfg, resume=True)
     s = IndexSearcher(spark, d)
     _SEARCHERS[key] = s
@@ -90,10 +100,6 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------- queries
-
-def _q_token_counts(spark, sf_dir):
-    return textstats.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
-
 
 def _q_term_freqs(spark, sf_dir):
     """The inversion operator (analysis chain + hash group-by)."""
@@ -171,20 +177,6 @@ def _std_toks_sql() -> str:
     )
 
 
-def _q_std_term_freqs(spark, sf_dir):
-    """The inversion operator under the STANDARD analyzer: per-doc term
-    freqs of the tokens that only UAX#29 joiner rules can produce
-    (dotted numbers, comma groups, apostrophes)."""
-    from lucene_solr_8_7_0_spark.operators.invert import invert, split_postings
-
-    cfg = EngineConfig(analyzer="standard", index_positions=False)
-    docs = _aug_docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
-    postings, _ = split_postings(invert(docs, cfg))
-    return postings.filter(F.col("term").rlike("[.,']")).select(
-        "doc_id", "term", F.col("freq").alias("tf")
-    )
-
-
 def _q_std_fingerprint(spark, sf_dir):
     """Whole-tokenization parity: md5 of each doc's sorted distinct
     standard-analyzer terms — ANY token difference vs the DuckDB
@@ -248,18 +240,6 @@ def _q_bool_and_not(spark, sf_dir):
     b.add(Q.TermQuery("data"), Q.Occur.MUST)
     b.add(Q.TermQuery("join"), Q.Occur.MUST_NOT)
     return _orig_ids(s, s.matches_df(b.build())).select("doc_id")
-
-
-def _q_phrase_match(spark, sf_dir):
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(
-        s, s.matches_df(Q.PhraseQuery(("data", "join")))
-    ).select("doc_id")
-
-
-def _q_prefix_match(spark, sf_dir):
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(s, s.matches_df(Q.PrefixQuery("va"))).select("doc_id")
 
 
 def _q_parsed_query(spark, sf_dir):
@@ -370,16 +350,6 @@ def _q_lang_filter(spark, sf_dir):
     return _orig_ids(s, s.matches_df(b.build())).select("doc_id")
 
 
-def _q_range_filter(spark, sf_dir):
-    """Numeric point range (docmeta length) AND a term — PointRangeQuery
-    as FILTER composed with TermQuery in the kernel."""
-    s = _searcher(spark, sf_dir)
-    b = Q.Builder()
-    b.add(Q.TermQuery("data"), Q.Occur.MUST)
-    b.add(Q.PointRangeQuery("length", 60, 120), Q.Occur.FILTER)
-    return _orig_ids(s, s.matches_df(b.build())).select("doc_id")
-
-
 def _q_phrase_slop(spark, sf_dir):
     """Sloppy phrase: "data join"~2 (greedy SloppyPhraseMatcher port)."""
     s = _searcher(spark, sf_dir)
@@ -388,46 +358,7 @@ def _q_phrase_slop(spark, sf_dir):
     ).select("doc_id")
 
 
-def _q_multi_phrase(spark, sf_dir):
-    """MultiPhraseQuery: "(data|big) join" — per-slot term alternatives."""
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(
-        s, s.matches_df(Q.MultiPhraseQuery((("data", "big"), ("join",))))
-    ).select("doc_id")
-
-
-def _q_multi_phrase_rpt(spark, sf_dir):
-    """MultiPhraseQuery with a MULTI-TERM REPEAT: "(data|join) join" —
-    'join' appears in a 2-alternative slot AND alone; one occurrence
-    may satisfy both slots only at different positions."""
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(
-        s, s.matches_df(Q.MultiPhraseQuery((("data", "join"), ("join",))))
-    ).select("doc_id")
-
-
-def _q_wildcard_match(spark, sf_dir):
-    """Leading-wildcard term expansion (full JVM-side dict match)."""
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(s, s.matches_df(Q.WildcardQuery("*or*"))).select("doc_id")
-
-
-def _q_regexp_match(spark, sf_dir):
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(
-        s, s.matches_df(Q.RegexpQuery("(sc|st|sp)[a-z]+"))
-    ).select("doc_id")
-
-
-def _q_fuzzy_match(spark, sf_dir):
-    """FuzzyQuery: edit-distance <= 2 expansion over the term dict."""
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(
-        s, s.matches_df(Q.FuzzyQuery("spark", max_edits=2))
-    ).select("doc_id")
-
-
-def _ranked_topk(spark, s, query, k=10):
+def _ranked_topk(spark, s, query, k=10, similarity=None):
     """Rank by (score rounded to 4 decimals desc, doc asc).
 
     The engine scores in float32 (Lucene semantics), the SQL oracle in
@@ -438,7 +369,7 @@ def _ranked_topk(spark, s, query, k=10):
     identity vs Lucene semantics is asserted by tests/test_search.py."""
     from pyspark.sql import Window
 
-    scored = s.score_all_df(query)
+    scored = s.score_all_df(query, similarity=similarity)
     meta = spark.read.parquet(s.docmeta_path).select(
         "doc_id", F.col("path").cast("long").alias("orig")
     )
@@ -482,48 +413,11 @@ def _q_sort_by_field(spark, sf_dir):
     return _orig_ids(s, out).select("rank", "doc_id", "length")
 
 
-def _q_range_dv_filter(spark, sf_dir):
-    """IndexOrDocValuesQuery: the same range+term conjunction as
-    range_filter but dv-eligible — the engine picks the access path by
-    cost; results must be identical to the plain SQL semantics."""
-    s = _searcher(spark, sf_dir)
-    b = Q.Builder()
-    b.add(Q.TermQuery("vector"), Q.Occur.MUST)
-    b.add(
-        Q.IndexOrDocValuesQuery(Q.PointRangeQuery("length", 20, None)),
-        Q.Occur.FILTER,
-    )
-    return _orig_ids(s, s.matches_df(b.build())).select("doc_id")
-
-
-def _q_term_range_match(spark, sf_dir):
-    """TermRangeQuery [data .. dz]: dictionary-range expansion (falls
-    back to the constant-score union beyond maxClauseCount)."""
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(
-        s, s.matches_df(Q.TermRangeQuery("data", "dz"))
-    ).select("doc_id")
-
-
-def _q_term_set_match(spark, sf_dir):
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(
-        s, s.matches_df(Q.TermInSetQuery(("data", "join", "vector")))
-    ).select("doc_id")
-
-
 def _q_count_query(spark, sf_dir):
     """TotalHitCountCollector: exact hit count of a conjunction."""
     s = _searcher(spark, sf_dir)
     n = s.count(Q.term_and(["data", "join"]))
     return spark.createDataFrame([(n,)], "total_hits bigint")
-
-
-def _q_synonym_topk(spark, sf_dir):
-    """SynonymQuery blended-stats scoring: df = max sub df, per-doc
-    freq = sum of sub freqs, scored once."""
-    s = _searcher(spark, sf_dir)
-    return _ranked_topk(spark, s, Q.SynonymQuery(("data", "join")))
 
 
 def _q_parsed_synonym_topk(spark, sf_dir):
@@ -595,24 +489,6 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
-def _q_stopword_stats(spark, sf_dir):
-    return textstats.stopword_stats(
-        _docs(spark, sf_dir), stopwords=["the", "a", "data", "fast"]
-    )
-
-
-def _q_bpe_token_counts(spark, sf_dir):
-    return textstats.bpe_token_counts(_docs(spark, sf_dir))
-
-
-def _q_quality_stats(spark, sf_dir):
-    return textstats.quality_stats(_docs(spark, sf_dir))
-
-
-def _q_fingerprint(spark, sf_dir):
-    return textstats.content_fingerprint(_docs(spark, sf_dir))
-
-
 def _q_term_vector(spark, sf_dir):
     """Term vector of doc 42 read back from the index postings (the
     getTermVector surface — no stored .tvd duplication, no
@@ -638,31 +514,6 @@ def _q_check_index(spark, sf_dir):
     return check_index(spark, s.index_dir)
 
 
-def _q_span_near(spark, sf_dir):
-    """SpanNearQuery ordered: data then join within 3 gap positions."""
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(
-        s, s.matches_df(Q.SpanNearQuery(("data", "join"), slop=3))
-    ).select("doc_id")
-
-
-def _q_span_near_unordered(spark, sf_dir):
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(
-        s,
-        s.matches_df(Q.SpanNearQuery(("data", "join"), slop=3, in_order=False)),
-    ).select("doc_id")
-
-
-def _q_span_near_k3(spark, sf_dir):
-    """3-term ordered span chain within a total gap of 6."""
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(
-        s,
-        s.matches_df(Q.SpanNearQuery(("data", "join", "table"), slop=6)),
-    ).select("doc_id")
-
-
 def _q_mlt_terms(spark, sf_dir):
     """MoreLikeThis term selection for doc 42: tf*idf-ranked
     interesting terms with the reference's noise gates (minTermFreq=2,
@@ -675,22 +526,6 @@ def _q_mlt_terms(spark, sf_dir):
     # engine doc numbering coincides with documents.doc_id (see
     # _adapted): doc 42 is the same row on both sides
     return interesting_terms(_searcher(spark, sf_dir), 42)
-
-
-def _q_suggest_prefix(spark, sf_dir):
-    """Suggest module surface: top-10 completions of 's' by (df desc,
-    term asc) from the term dictionary."""
-    from lucene_solr_8_7_0_spark.operators.suggest import suggest_prefix
-
-    return suggest_prefix(_searcher(spark, sf_dir), "s", k=10)
-
-
-def _q_suggest_fuzzy(spark, sf_dir):
-    """DirectSpellChecker surface: "did you mean" for the misspelling
-    'sta' — dictionary terms within 2 edits by (dist, df desc)."""
-    from lucene_solr_8_7_0_spark.operators.suggest import suggest_fuzzy
-
-    return suggest_fuzzy(_searcher(spark, sf_dir), "sta", k=10)
 
 
 def _q_group_topk(spark, sf_dir):
@@ -718,16 +553,20 @@ def _q_join_query(spark, sf_dir):
 
 
 def _q_highlight_topk(spark, sf_dir):
-    """Highlighting surface (UnifiedHighlighter re-analysis mode):
-    BM25 top-10 for data OR join, then deterministic best-window
-    snippets with <b> markup — window choice AND markup replayed by
-    the SQL oracle."""
-    from lucene_solr_8_7_0_spark.operators.highlight import highlight_df
+    """Highlighting surface, STORED-OFFSETS tier (round 4): BM25 top-10
+    for data OR join, then best-window snippets sliced from the
+    ORIGINAL text by the index's termvectors offsets — exact verbatim
+    substrings with <b> markup around the match spans.  Window choice,
+    offsets, AND markup all replayed by the SQL oracle (DuckDB
+    reconstructs char offsets from the token/separator split)."""
+    from lucene_solr_8_7_0_spark.operators.highlight import (
+        highlight_offsets_df,
+    )
 
     s = _searcher(spark, sf_dir)
     topk = _ranked_topk(spark, s, Q.term_or(["data", "join"], 1))
     docs = _docs(spark, sf_dir).join(topk, "doc_id")
-    hl = highlight_df(docs, ["data", "join"], analyzer="simple", window=8)
+    hl = highlight_offsets_df(s, docs, ["data", "join"], window=8)
     return (
         topk.join(hl, "doc_id")
         .select("rank", "doc_id", "n_matches", "n_distinct",
@@ -876,63 +715,176 @@ def _q_lang_id(spark, sf_dir):
     )
 
 
+# ---- round-4 merged/new contract queries -------------------------------
+# The driver records CORRECTNESS rows for at most the first 50 entries
+# of queries(); round 3 had 63 and silently lost 13 operators' hard
+# signal.  Round 4 consolidates related operators into tagged UNION
+# queries (one oracle per variant, UNION ALL on the SQL side) so every
+# operator family fits inside the 50-row window, with the families that
+# have never had a driver row ordered FIRST.
+
+
+def _variant_union(s, variants: dict):
+    """UNION of per-variant hit sets as (variant, doc_id) rows."""
+    out = None
+    for name, q in sorted(variants.items()):
+        d = _orig_ids(s, s.matches_df(q)).select(
+            F.lit(name).alias("variant"), "doc_id"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _q_span_family(spark, sf_dir):
+    """The whole span family under ONE oracle: ordered/unordered/k-term
+    SpanNear plus SpanOr-in-near (position-list union) and
+    SpanNot-in-near (pre/post exclusion window), each variant tagged."""
+    s = _searcher(spark, sf_dir)
+    return _variant_union(s, {
+        "ordered": Q.SpanNearQuery(("data", "join"), slop=3),
+        "unordered": Q.SpanNearQuery(("data", "join"), slop=3, in_order=False),
+        "k3": Q.SpanNearQuery(("data", "join", "table"), slop=6),
+        "or_in_near": Q.SpanNearQuery(
+            (Q.SpanOrQuery(("data", "big")), "join"), slop=2
+        ),
+        "not_in_near": Q.SpanNearQuery(
+            (Q.SpanNotQuery("data", "big", pre=2, post=2), "join"), slop=3
+        ),
+    })
+
+
+def _q_multiterm_match(spark, sf_dir):
+    """Every multi-term rewrite family (prefix/wildcard/regexp/fuzzy/
+    term-range/term-set) as one tagged union — each variant exercises
+    the same distributed constant-score expansion path it always did."""
+    s = _searcher(spark, sf_dir)
+    return _variant_union(s, {
+        "prefix": Q.PrefixQuery("va"),
+        "wildcard": Q.WildcardQuery("*or*"),
+        "regexp": Q.RegexpQuery("(sc|st|sp)[a-z]+"),
+        "fuzzy": Q.FuzzyQuery("spark", max_edits=2),
+        "term_range": Q.TermRangeQuery("data", "dz"),
+        "term_set": Q.TermInSetQuery(("data", "join", "vector")),
+    })
+
+
+def _q_range_filter(spark, sf_dir):
+    """Point-range filtering, BOTH access paths tagged: "index" is the
+    plain pushed-down range scan; "dv" wraps the range in
+    IndexOrDocValuesQuery so the engine cost-chooses the per-candidate
+    verify path — results must be identical semantics either way."""
+    s = _searcher(spark, sf_dir)
+    b1 = Q.Builder()
+    b1.add(Q.TermQuery("data"), Q.Occur.MUST)
+    b1.add(Q.PointRangeQuery("length", 60, 120), Q.Occur.FILTER)
+    b2 = Q.Builder()
+    b2.add(Q.TermQuery("vector"), Q.Occur.MUST)
+    b2.add(
+        Q.IndexOrDocValuesQuery(Q.PointRangeQuery("length", 20, None)),
+        Q.Occur.FILTER,
+    )
+    return _variant_union(s, {"index": b1.build(), "dv": b2.build()})
+
+
+def _q_multi_phrase(spark, sf_dir):
+    """MultiPhraseQuery, plain alternatives + multi-term repeat."""
+    s = _searcher(spark, sf_dir)
+    return _variant_union(s, {
+        "alt": Q.MultiPhraseQuery((("data", "big"), ("join",))),
+        "rpt": Q.MultiPhraseQuery((("data", "join"), ("join",))),
+    })
+
+
+def _q_suggest(spark, sf_dir):
+    """Suggest module: prefix completion + DirectSpellChecker fuzzy
+    "did you mean", tagged."""
+    from lucene_solr_8_7_0_spark.operators.suggest import (
+        suggest_fuzzy,
+        suggest_prefix,
+    )
+
+    s = _searcher(spark, sf_dir)
+    pre = suggest_prefix(s, "s", k=10).select(
+        F.lit("prefix").alias("variant"), "rank", "term", "df"
+    )
+    fuz = suggest_fuzzy(s, "sta", k=10).select(
+        F.lit("fuzzy").alias("variant"), "rank", "term", "df"
+    )
+    return pre.unionByName(fuz)
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """ClassicSimilarity (TF-IDF) ranking: sqrt(tf) x (ln((N+1)/(df+1))
+    + 1) x 1/sqrt(quantized_len), per-query similarity override."""
+    s = _searcher(spark, sf_dir)
+    return _ranked_topk(
+        spark, s, Q.term_or(["data", "join"], 1), similarity="classic"
+    )
+
+
+def _q_boosted_by_field_topk(spark, sf_dir):
+    """FunctionScoreQuery boost-by-field: BM25 x (0.5 x ln(1+length)),
+    distributed TakeOrdered top-10."""
+    from lucene_solr_8_7_0_spark.operators.functionscore import (
+        function_score_topk,
+    )
+
+    s = _searcher(spark, sf_dir)
+    out = function_score_topk(
+        s, Q.term_or(["data", "join"], 1), "length", k=10,
+        combine="multiply", weight=0.5,
+    )
+    return _orig_ids(s, out).select("rank", "doc_id", "fscore")
+
+
+def _q_facet_tags(spark, sf_dir):
+    """Multi-valued (SORTED_SET) faceting: per-VALUE counts of the
+    synthetic tags array over the hit set of a term query."""
+    from lucene_solr_8_7_0_spark.operators.facets import facet_counts
+
+    s = _searcher(spark, sf_dir)
+    return facet_counts(s, Q.TermQuery("data"), "tags").select(
+        F.col("tags").alias("tag"), "count"
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    """Per-doc token statistics: analyzer token counts + whitespace/
+    BPE-ish tokenizer counts, one row per doc."""
+    tc = textstats.token_counts(_docs(spark, sf_dir))
+    bpe = textstats.bpe_token_counts(_docs(spark, sf_dir))
+    return tc.join(bpe, "doc_id").select(
+        "doc_id", "n_tokens", "n_unique_tokens", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+def _q_quality_stats_full(spark, sf_dir):
+    """Quality scoring + stopword ratio + content fingerprint, one row
+    per doc (the text-analysis pipeline ops consolidated)."""
+    q = textstats.quality_stats(_docs(spark, sf_dir))
+    sw = textstats.stopword_stats(
+        _docs(spark, sf_dir), stopwords=["the", "a", "data", "fast"]
+    ).select("doc_id", "stopword_hits")
+    fp = textstats.content_fingerprint(_docs(spark, sf_dir))
+    return q.join(sw, "doc_id").join(fp, "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries (the driver records correctness rows for the
+    # first 50).  Families that had no driver row in round 3 come
+    # first; long-stable redundant queries were folded into tagged
+    # unions (span_family, multiterm_match, multi_phrase, range_filter,
+    # suggest, token_stats, quality_stats) with UNION-ALL oracles.
     return {
-        "token_counts": _q_token_counts,
-        "term_freqs": _q_term_freqs,
-        "std_term_freqs": _q_std_term_freqs,
-        "std_fingerprint": _q_std_fingerprint,
-        "std_bool_and": _q_std_bool_and,
-        "doc_freqs": _q_doc_freqs,
-        "bool_and": _q_bool_and,
-        "bool_or_msm2": _q_bool_or_msm2,
-        "bool_and_not": _q_bool_and_not,
-        "phrase_match": _q_phrase_match,
-        "phrase_slop": _q_phrase_slop,
-        "range_filter": _q_range_filter,
-        "lang_filter": _q_lang_filter,
-        "parsed_query": _q_parsed_query,
-        "deleted_match": _q_deleted_match,
-        "merged_bool_and": _q_merged_bool_and,
-        "streaming_bool_and": _q_streaming_bool_and,
-        "multi_phrase": _q_multi_phrase,
-        "multi_phrase_rpt": _q_multi_phrase_rpt,
-        "prefix_match": _q_prefix_match,
-        "wildcard_match": _q_wildcard_match,
-        "regexp_match": _q_regexp_match,
-        "fuzzy_match": _q_fuzzy_match,
-        "sort_by_field": _q_sort_by_field,
-        "range_dv_filter": _q_range_dv_filter,
-        "term_range_match": _q_term_range_match,
-        "term_set_match": _q_term_set_match,
-        "count_query": _q_count_query,
-        "facet_lang": _q_facet_lang,
-        "bm25_topk": _q_bm25_topk,
-        "bm25_and_topk": _q_bm25_and_topk,
-        "synonym_topk": _q_synonym_topk,
-        "parsed_synonym_topk": _q_parsed_synonym_topk,
-        "dismax_topk": _q_dismax_topk,
-        "phrase_topk": _q_phrase_topk,
-        "bm25_msm2_topk": _q_bm25_msm2_topk,
-        "boost_topk": _q_boost_topk,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_exact": _q_dedup_exact,
-        "stopword_stats": _q_stopword_stats,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "quality_stats": _q_quality_stats,
-        "fingerprint": _q_fingerprint,
-        "winnow_fingerprint": _q_winnow_fingerprint,
-        "highlight_topk": _q_highlight_topk,
-        "suggest_prefix": _q_suggest_prefix,
-        "mlt_terms": _q_mlt_terms,
-        "term_vector": _q_term_vector,
-        "check_index": _q_check_index,
-        "span_near": _q_span_near,
-        "span_near_unordered": _q_span_near_unordered,
-        "span_near_k3": _q_span_near_k3,
-        "suggest_fuzzy": _q_suggest_fuzzy,
+        # -- never-driver-green in r3 + new r4 surfaces (priority) --
+        "span_family": _q_span_family,
+        "suggest": _q_suggest,
         "group_topk": _q_group_topk,
         "join_query": _q_join_query,
+        "tfidf_topk": _q_tfidf_topk,
+        "boosted_by_field_topk": _q_boosted_by_field_topk,
+        "facet_tags": _q_facet_tags,
+        "highlight_topk": _q_highlight_topk,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -941,6 +893,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id": _q_lang_id,
         "media_stats": _q_media_stats,
+        # -- driver-green in r3 (stable) --
+        "token_stats": _q_token_stats,
+        "term_freqs": _q_term_freqs,
+        "std_fingerprint": _q_std_fingerprint,
+        "std_bool_and": _q_std_bool_and,
+        "doc_freqs": _q_doc_freqs,
+        "bool_and": _q_bool_and,
+        "bool_or_msm2": _q_bool_or_msm2,
+        "bool_and_not": _q_bool_and_not,
+        "phrase_slop": _q_phrase_slop,
+        "range_filter": _q_range_filter,
+        "lang_filter": _q_lang_filter,
+        "parsed_query": _q_parsed_query,
+        "deleted_match": _q_deleted_match,
+        "merged_bool_and": _q_merged_bool_and,
+        "streaming_bool_and": _q_streaming_bool_and,
+        "multi_phrase": _q_multi_phrase,
+        "multiterm_match": _q_multiterm_match,
+        "sort_by_field": _q_sort_by_field,
+        "count_query": _q_count_query,
+        "facet_lang": _q_facet_lang,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_and_topk": _q_bm25_and_topk,
+        "parsed_synonym_topk": _q_parsed_synonym_topk,
+        "dismax_topk": _q_dismax_topk,
+        "phrase_topk": _q_phrase_topk,
+        "bm25_msm2_topk": _q_bm25_msm2_topk,
+        "boost_topk": _q_boost_topk,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_exact": _q_dedup_exact,
+        "quality_stats": _q_quality_stats_full,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        "mlt_terms": _q_mlt_terms,
+        "term_vector": _q_term_vector,
+        "check_index": _q_check_index,
     }
 
 
@@ -1006,22 +993,228 @@ scored_t AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "token_counts": f"""
+        "span_family": """WITH pos AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p
+              FROM documents)
+            SELECT 'ordered' AS variant, doc_id FROM (
+              SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+              WHERE a.tok = 'data' AND b.tok = 'join'
+                AND b.p > a.p AND b.p - a.p - 1 <= 3)
+            UNION ALL
+            SELECT 'unordered', doc_id FROM (
+              SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+              WHERE a.tok = 'data' AND b.tok = 'join'
+                AND abs(b.p - a.p) - 1 <= 3)
+            UNION ALL
+            SELECT 'k3', doc_id FROM (
+              SELECT DISTINCT a.doc_id
+              FROM pos a JOIN pos b USING (doc_id) JOIN pos c USING (doc_id)
+              WHERE a.tok = 'data' AND b.tok = 'join' AND c.tok = 'table'
+                AND b.p > a.p AND c.p > b.p AND c.p - a.p - 2 <= 6)
+            UNION ALL
+            SELECT 'or_in_near', doc_id FROM (
+              SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+              WHERE a.tok IN ('data', 'big') AND b.tok = 'join'
+                AND b.p > a.p AND b.p - a.p - 1 <= 2)
+            UNION ALL
+            SELECT 'not_in_near', doc_id FROM (
+              SELECT DISTINCT i.doc_id FROM (
+                SELECT doc_id, p FROM pos
+                WHERE tok = 'data' AND NOT EXISTS (
+                  SELECT 1 FROM pos e
+                  WHERE e.doc_id = pos.doc_id AND e.tok = 'big'
+                    AND e.p BETWEEN pos.p - 2 AND pos.p + 2)) i
+              JOIN pos b ON b.doc_id = i.doc_id
+              WHERE b.tok = 'join' AND b.p > i.p AND b.p - i.p - 1 <= 3)""",
+        "suggest": f"""
+            WITH td AS (SELECT tok AS term, count(DISTINCT doc_id) AS df
+                        FROM ({_TOKS}) GROUP BY tok)
+            SELECT 'prefix' AS variant, rank, term, df FROM (
+              SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS INT) AS rank,
+                     term, df
+              FROM td WHERE term LIKE 's%'
+              ORDER BY df DESC, term LIMIT 10)
+            UNION ALL
+            SELECT 'fuzzy', rank, term, df FROM (
+              SELECT CAST(row_number() OVER (ORDER BY levenshtein(term, 'sta'), df DESC, term) AS INT) AS rank,
+                     term, df
+              FROM td
+              WHERE term != 'sta' AND levenshtein(term, 'sta') <= 2
+              ORDER BY levenshtein(term, 'sta'), df DESC, term LIMIT 10)""",
+        "tfidf_topk": f"""
+            WITH toks AS ({_TOKS}),
+            lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+            cs AS (SELECT count(*) AS doc_count FROM lens),
+            quant AS (
+              SELECT doc_id, len,
+                CASE WHEN len < 40 THEN len
+                     ELSE 24 + (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3))
+                                 << (CAST(floor(log2(len - 24)) AS INT) - 3))
+                END AS dlen
+              FROM lens),
+            tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks
+                   WHERE tok IN ('data','join') GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                   WHERE tok IN ('data','join') GROUP BY tok),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(sqrt(tf.freq)
+                         * (ln((cs.doc_count + 1.0) / (df.df + 1.0)) + 1.0)
+                         * (1.0 / sqrt(q.dlen))) AS score
+              FROM tf JOIN df USING (tok) JOIN quant q ON tf.doc_id = q.doc_id
+                   CROSS JOIN cs
+              GROUP BY tf.doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                   doc_id
+            FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
+        "boosted_by_field_topk": _BM25_CTE.format(terms="'data','join'")
+        + """,
+            exact AS (SELECT doc_id, count(*) AS elen FROM toks GROUP BY doc_id),
+            blended AS (
+              SELECT s.doc_id,
+                     round(s.score * (0.5 * ln(1 + x.elen)), 4) AS fscore
+              FROM scored s JOIN exact x USING (doc_id))
+            SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id) AS INT) AS rank,
+                   doc_id, fscore
+            FROM blended ORDER BY fscore DESC, doc_id LIMIT 10""",
+        "facet_tags": f"""
+            WITH hits AS (SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok = 'data'),
+            vals AS (
+              SELECT doc_id, 't' || CAST(doc_id % 3 AS VARCHAR) AS tag FROM hits
+              UNION ALL
+              SELECT doc_id, 'u' || CAST(doc_id % 5 AS VARCHAR) AS tag FROM hits)
+            SELECT tag, count(*) AS count FROM vals GROUP BY tag""",
+        "highlight_topk": _BM25_CTE.format(terms="'data','join'")
+        + """,
+            top10 AS (
+              SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10),
+            tl AS (SELECT d.doc_id, d.text,
+                          regexp_extract_all(lower(d.text), '[a-z0-9_]+') AS toks,
+                          regexp_split_to_array(lower(d.text), '[a-z0-9_]+') AS seps
+                   FROM documents d JOIN top10 USING (doc_id)),
+            tok AS (SELECT doc_id, i, toks[i] AS tok,
+                           length(toks[i]) AS tlen, length(seps[i]) AS slen
+                    FROM tl, unnest(generate_series(1, len(toks))) AS g(i)),
+            offs AS (SELECT doc_id, i, tok,
+                            CAST(sum(slen + tlen) OVER (PARTITION BY doc_id ORDER BY i) - tlen AS BIGINT) AS strt,
+                            CAST(sum(slen + tlen) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS e
+                     FROM tok),
+            hitsp AS (SELECT doc_id, tok, i - 1 AS p FROM offs
+                      WHERE tok IN ('data','join')),
+            cand AS (SELECT DISTINCT h.doc_id, greatest(h.p - t.off, 0) AS c
+                     FROM hitsp h, (SELECT unnest(generate_series(0, 7)) AS off) t),
+            sc AS (SELECT c.doc_id, c.c, count(*) AS m, count(DISTINCT h.tok) AS d
+                   FROM cand c JOIN hitsp h
+                     ON h.doc_id = c.doc_id AND h.p >= c.c AND h.p < c.c + 8
+                   GROUP BY 1, 2),
+            best AS (SELECT doc_id, c, m, d,
+                            row_number() OVER (PARTITION BY doc_id
+                                ORDER BY d DESC, m DESC, c ASC) AS rn
+                     FROM sc),
+            win AS (SELECT o.doc_id, o.i, o.tok, o.strt, o.e,
+                           lag(o.e) OVER (PARTITION BY o.doc_id ORDER BY o.i) AS prev_e
+                    FROM offs o JOIN best b
+                      ON b.doc_id = o.doc_id AND b.rn = 1
+                    WHERE o.i - 1 >= b.c AND o.i - 1 < b.c + 8),
+            snip AS (SELECT w.doc_id,
+                            string_agg(
+                              CASE WHEN w.prev_e IS NULL THEN ''
+                                   ELSE substr(t.text, CAST(w.prev_e + 1 AS INT),
+                                               CAST(w.strt - w.prev_e AS INT)) END
+                              || CASE WHEN w.tok IN ('data','join')
+                                      THEN '<b>' || substr(t.text, CAST(w.strt + 1 AS INT),
+                                                           CAST(w.e - w.strt AS INT)) || '</b>'
+                                      ELSE substr(t.text, CAST(w.strt + 1 AS INT),
+                                                  CAST(w.e - w.strt AS INT)) END,
+                              '' ORDER BY w.i) AS snippet
+                     FROM win w JOIN tl t USING (doc_id) GROUP BY w.doc_id)
+            SELECT t10.rank, t10.doc_id,
+                   CAST(b.m AS INT) AS n_matches,
+                   CAST(b.d AS INT) AS n_distinct,
+                   CAST(b.c AS INT) AS window_start,
+                   s.snippet
+            FROM top10 t10
+            JOIN best b ON b.doc_id = t10.doc_id AND b.rn = 1
+            JOIN snip s ON s.doc_id = t10.doc_id
+            ORDER BY t10.rank""",
+        "token_stats": f"""
             SELECT d.doc_id,
                    CAST(coalesce(t.n, 0) AS INT) AS n_tokens,
-                   CAST(coalesce(t.u, 0) AS INT) AS n_unique_tokens
+                   CAST(coalesce(t.u, 0) AS INT) AS n_unique_tokens,
+                   CAST(length(list_filter(regexp_split_to_array(d.text, '\s+'),
+                        x -> x != '')) AS INT) AS n_ws_tokens,
+                   CAST(length(regexp_extract_all(lower(d.text),
+                        '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+')) AS INT)
+                        AS n_bpe_tokens
             FROM documents d LEFT JOIN (
               SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS u
-              FROM ({_TOKS}) GROUP BY doc_id) t USING (doc_id)
-            ORDER BY doc_id""",
+              FROM ({_TOKS}) GROUP BY doc_id) t USING (doc_id)""",
+        "multiterm_match": f"""
+            WITH toks AS ({_TOKS})
+            SELECT 'prefix' AS variant, doc_id FROM (
+              SELECT DISTINCT doc_id FROM toks WHERE tok LIKE 'va%')
+            UNION ALL
+            SELECT 'wildcard', doc_id FROM (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE regexp_matches(tok, '^.*or.*$'))
+            UNION ALL
+            SELECT 'regexp', doc_id FROM (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE regexp_matches(tok, '^(?:(sc|st|sp)[a-z]+)$'))
+            UNION ALL
+            SELECT 'fuzzy', doc_id FROM (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE levenshtein(tok, 'spark') <= 2)
+            UNION ALL
+            SELECT 'term_range', doc_id FROM (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE tok BETWEEN 'data' AND 'dz')
+            UNION ALL
+            SELECT 'term_set', doc_id FROM (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE tok IN ('data', 'join', 'vector'))""",
+        "range_filter": f"""
+            WITH toks AS ({_TOKS})
+            SELECT 'index' AS variant, doc_id FROM (
+              SELECT doc_id FROM toks GROUP BY doc_id
+              HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
+                 AND count(*) BETWEEN 60 AND 120)
+            UNION ALL
+            SELECT 'dv', doc_id FROM (
+              SELECT doc_id FROM toks GROUP BY doc_id
+              HAVING sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) > 0
+                 AND count(*) >= 20)""",
+        "multi_phrase": r"""
+            SELECT 'alt' AS variant, doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                  '(^|[^a-z0-9_])(data|big)[^a-z0-9_]+join($|[^a-z0-9_])')
+            UNION ALL
+            SELECT 'rpt', doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                  '(^|[^a-z0-9_])(data|join)[^a-z0-9_]+join($|[^a-z0-9_])')""",
+        "quality_stats": f"""
+            SELECT d.doc_id,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS INT) AS n_lines,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
+                   CAST(length(regexp_replace(text, '[^ \t]', '', 'g')) AS INT) AS n_space,
+                   CAST(coalesce(list_max(list_transform(string_split(text, chr(10)), l -> length(l))), 0) AS INT) AS max_line_len,
+                   CAST(length(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS INT) AS n_tokens,
+                   CAST(length(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS INT) AS n_unique_tokens,
+                   CAST(coalesce(s.h, 0) AS INT) AS stopword_hits,
+                   md5(array_to_string(list_sort(list_distinct(
+                       regexp_extract_all(lower(text), '[a-z0-9_]+'))), ' ')) AS fingerprint
+            FROM documents d LEFT JOIN (
+              SELECT doc_id,
+                     sum(CASE WHEN tok IN ('the','a','data','fast') THEN 1 ELSE 0 END) AS h
+              FROM ({_TOKS}) GROUP BY doc_id) s USING (doc_id)""",
         "term_freqs": f"""
             SELECT doc_id, tok AS term, CAST(count(*) AS INT) AS tf
             FROM ({_TOKS}) GROUP BY doc_id, tok HAVING count(*) >= 2""",
-        "std_term_freqs": f"""
-            SELECT doc_id, tok AS term, CAST(count(*) AS INT) AS tf
-            FROM ({_std_toks_sql()})
-            WHERE regexp_matches(tok, '[.,'']')
-            GROUP BY doc_id, tok""",
         "std_fingerprint": f"""
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(array_agg(tok))), ' '))
@@ -1044,10 +1237,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
                AND sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) = 0""",
-        "phrase_match": r"""
-            SELECT doc_id FROM documents
-            WHERE regexp_matches(lower(text),
-                  '(^|[^a-z0-9_])data[^a-z0-9_]+join($|[^a-z0-9_])')""",
         "phrase_slop": f"""
             SELECT DISTINCT a.doc_id FROM (
               SELECT doc_id,
@@ -1060,18 +1249,6 @@ def oracle_sql() -> dict[str, str]:
                      generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
               FROM documents) b USING (doc_id)
             WHERE a.tok = 'data' AND b.tok = 'join' AND abs(a.p - (b.p - 1)) <= 2""",
-        "multi_phrase": r"""
-            SELECT doc_id FROM documents
-            WHERE regexp_matches(lower(text),
-                  '(^|[^a-z0-9_])(data|big)[^a-z0-9_]+join($|[^a-z0-9_])')""",
-        "multi_phrase_rpt": r"""
-            SELECT doc_id FROM documents
-            WHERE regexp_matches(lower(text),
-                  '(^|[^a-z0-9_])(data|join)[^a-z0-9_]+join($|[^a-z0-9_])')""",
-        "range_filter": f"""
-            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
-            HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
-               AND count(*) BETWEEN 60 AND 120""",
         "parsed_query": f"""
             SELECT t.doc_id FROM ({_TOKS}) t
             JOIN documents d ON t.doc_id = d.doc_id
@@ -1097,17 +1274,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_bool_and": f"""
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2""",
-        "prefix_match": f"""
-            SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok LIKE 'va%'""",
-        "wildcard_match": f"""
-            SELECT DISTINCT doc_id FROM ({_TOKS})
-            WHERE regexp_matches(tok, '^.*or.*$')""",
-        "regexp_match": f"""
-            SELECT DISTINCT doc_id FROM ({_TOKS})
-            WHERE regexp_matches(tok, '^(?:(sc|st|sp)[a-z]+)$')""",
-        "fuzzy_match": f"""
-            SELECT DISTINCT doc_id FROM ({_TOKS})
-            WHERE levenshtein(tok, 'spark') <= 2""",
         "bm25_topk": _BM25_CTE.format(terms="'data','join','vector'")
         + """
             SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
@@ -1126,45 +1292,10 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, length
             FROM lens JOIN hits USING (doc_id)
             ORDER BY length DESC, doc_id LIMIT 15""",
-        "range_dv_filter": f"""
-            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
-            HAVING sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) > 0
-               AND count(*) >= 20""",
-        "term_range_match": f"""
-            SELECT DISTINCT doc_id FROM ({_TOKS})
-            WHERE tok BETWEEN 'data' AND 'dz'""",
-        "term_set_match": f"""
-            SELECT DISTINCT doc_id FROM ({_TOKS})
-            WHERE tok IN ('data', 'join', 'vector')""",
         "count_query": f"""
             SELECT CAST(count(*) AS BIGINT) AS total_hits FROM (
               SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
               HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2) z""",
-        "synonym_topk": f"""
-            WITH toks AS ({_TOKS}),
-            lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
-            cs AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM lens),
-            quant AS (
-              SELECT doc_id, len,
-                CASE WHEN len < 40 THEN len
-                     ELSE 24 + (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3))
-                                 << (CAST(floor(log2(len - 24)) AS INT) - 3))
-                END AS dlen
-              FROM lens),
-            tf AS (SELECT doc_id, count(*) AS freq FROM toks
-                   WHERE tok IN ('data','join') GROUP BY doc_id),
-            df AS (SELECT max(cnt) AS df FROM (
-                     SELECT tok, count(DISTINCT doc_id) AS cnt FROM toks
-                     WHERE tok IN ('data','join') GROUP BY tok) z),
-            scored AS (
-              SELECT tf.doc_id,
-                     ln(1 + (cs.doc_count - df.df + 0.5) / (df.df + 0.5))
-                     * (1 - 1 / (1 + tf.freq * (1 / (1.2 * (0.25 + 0.75 * q.dlen
-                         / (cs.sum_ttf / CAST(cs.doc_count AS DOUBLE))))))) AS score
-              FROM tf CROSS JOIN df JOIN quant q ON tf.doc_id = q.doc_id CROSS JOIN cs)
-            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
-                   doc_id
-            FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
         "parsed_synonym_topk": f"""
             WITH toks AS ({_TOKS}),
             lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
@@ -1311,38 +1442,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",
-        "stopword_stats": f"""
-            SELECT d.doc_id,
-                   CAST(coalesce(t.n, 0) AS INT) AS n_tokens,
-                   CAST(coalesce(t.h, 0) AS INT) AS stopword_hits
-            FROM documents d LEFT JOIN (
-              SELECT doc_id, count(*) AS n,
-                     sum(CASE WHEN tok IN ('the','a','data','fast') THEN 1 ELSE 0 END) AS h
-              FROM ({_TOKS}) GROUP BY doc_id) t USING (doc_id)""",
-        "bpe_token_counts": """
-            SELECT doc_id,
-                   CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
-                        x -> x != '')) AS INT) AS n_ws_tokens,
-                   CAST(length(regexp_extract_all(lower(text),
-                        '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+')) AS INT)
-                        AS n_bpe_tokens
-            FROM documents""",
-        "quality_stats": """
-            SELECT doc_id,
-                   CAST(length(text) AS INT) AS n_chars,
-                   CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS INT) AS n_lines,
-                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
-                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
-                   CAST(length(regexp_replace(text, '[^ \t]', '', 'g')) AS INT) AS n_space,
-                   CAST(coalesce(list_max(list_transform(string_split(text, chr(10)), l -> length(l))), 0) AS INT) AS max_line_len,
-                   CAST(length(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS INT) AS n_tokens,
-                   CAST(length(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS INT) AS n_unique_tokens
-            FROM documents""",
-        "fingerprint": """
-            SELECT doc_id,
-                   md5(array_to_string(list_sort(list_distinct(
-                       regexp_extract_all(lower(text), '[a-z0-9_]+'))), ' ')) AS fingerprint
-            FROM documents""",
         "term_vector": f"""
             SELECT tok AS term, CAST(count(*) AS INT) AS freq,
                    array_to_string(list_sort(array_agg(p)), ',') AS positions
@@ -1358,31 +1457,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS term,
                    CAST(NULL AS VARCHAR) AS detail
             WHERE 1 = 0""",
-        "span_near": f"""
-            WITH pos AS (
-              SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
-                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
-              FROM documents)
-            SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
-            WHERE a.tok = 'data' AND b.tok = 'join'
-              AND b.p > a.p AND b.p - a.p - 1 <= 3""",
-        "span_near_unordered": f"""
-            WITH pos AS (
-              SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
-                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
-              FROM documents)
-            SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
-            WHERE a.tok = 'data' AND b.tok = 'join'
-              AND abs(b.p - a.p) - 1 <= 3""",
-        "span_near_k3": f"""
-            WITH pos AS (
-              SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
-                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
-              FROM documents)
-            SELECT DISTINCT a.doc_id
-            FROM pos a JOIN pos b USING (doc_id) JOIN pos c USING (doc_id)
-            WHERE a.tok = 'data' AND b.tok = 'join' AND c.tok = 'table'
-              AND b.p > a.p AND c.p > b.p AND c.p - a.p - 2 <= 6""",
         "mlt_terms": f"""
             WITH toks AS ({_TOKS}),
             n AS (SELECT count(*) AS nd FROM documents),
@@ -1397,22 +1471,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, term) AS INT) AS rank,
                    term, tf, df, round(score, 6) AS score
             FROM sel ORDER BY round(score, 9) DESC, term LIMIT 25""",
-        "suggest_prefix": f"""
-            WITH td AS (SELECT tok AS term, count(DISTINCT doc_id) AS df
-                        FROM ({_TOKS}) GROUP BY tok)
-            SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS INT) AS rank,
-                   term, df
-            FROM td WHERE term LIKE 's%'
-            ORDER BY df DESC, term LIMIT 10""",
-        "suggest_fuzzy": f"""
-            WITH td AS (SELECT tok AS term, count(DISTINCT doc_id) AS df
-                        FROM ({_TOKS}) GROUP BY tok)
-            SELECT CAST(row_number() OVER (ORDER BY levenshtein(term, 'sta'), df DESC, term) AS INT) AS rank,
-                   term, df,
-                   CAST(levenshtein(term, 'sta') AS INT) AS dist
-            FROM td
-            WHERE term != 'sta' AND levenshtein(term, 'sta') <= 2
-            ORDER BY dist, df DESC, term LIMIT 10""",
         "group_topk": _BM25_CTE.format(terms="'data'")
         + """,
             gh AS (SELECT s.doc_id, d.lang, round(s.score, 4) AS r
@@ -1435,41 +1493,6 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT d2.lang
               FROM ({_TOKS}) t2 JOIN documents d2 ON t2.doc_id = d2.doc_id
               WHERE t2.tok = 'vector')""",
-        "highlight_topk": _BM25_CTE.format(terms="'data','join'")
-        + """,
-            top10 AS (
-              SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
-                     doc_id
-              FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10),
-            tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
-                   FROM documents JOIN top10 USING (doc_id)),
-            pos AS (SELECT doc_id, unnest(l) AS tok,
-                           generate_subscripts(l, 1) - 1 AS p
-                    FROM tl),
-            hitsp AS (SELECT doc_id, tok, p FROM pos WHERE tok IN ('data','join')),
-            cand AS (SELECT DISTINCT h.doc_id, greatest(h.p - t.off, 0) AS c
-                     FROM hitsp h, (SELECT unnest(generate_series(0, 7)) AS off) t),
-            sc AS (SELECT c.doc_id, c.c, count(*) AS m, count(DISTINCT h.tok) AS d
-                   FROM cand c JOIN hitsp h
-                     ON h.doc_id = c.doc_id AND h.p >= c.c AND h.p < c.c + 8
-                   GROUP BY 1, 2),
-            best AS (SELECT doc_id, c, m, d,
-                            row_number() OVER (PARTITION BY doc_id
-                                ORDER BY d DESC, m DESC, c ASC) AS rn
-                     FROM sc)
-            SELECT t10.rank, t10.doc_id,
-                   CAST(b.m AS INT) AS n_matches,
-                   CAST(b.d AS INT) AS n_distinct,
-                   CAST(b.c AS INT) AS window_start,
-                   array_to_string(list_transform(
-                       tl.l[b.c + 1:least(b.c + 8, len(tl.l))],
-                       x -> CASE WHEN x IN ('data','join')
-                                 THEN '<b>' || x || '</b>' ELSE x END), ' ')
-                     AS snippet
-            FROM top10 t10
-            JOIN best b ON b.doc_id = t10.doc_id AND b.rn = 1
-            JOIN tl ON tl.doc_id = t10.doc_id
-            ORDER BY t10.rank""",
         "winnow_fingerprint": """
             WITH t AS (SELECT doc_id, lower(text) AS s, length(text) AS n
                        FROM documents WHERE length(text) >= 5),

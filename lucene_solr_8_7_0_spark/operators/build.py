@@ -72,12 +72,30 @@ class BuildResult:
 
 
 def _flush_manifest(spark: SparkSession, index_dir: str, rows: list) -> None:
-    """One write for all stage records — per-stage appends would cost a
-    full Spark job each (measured: ~7s/stage of pure overhead)."""
+    """Driver-side parquet append for the few stage records — a tiny
+    bookkeeping table never justifies a Spark job (stage boundaries
+    are the build's measured scaling residual at small core counts)."""
     if not rows:
         return
-    df = spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
-    df.coalesce(1).write.mode("append").parquet(_path(index_dir, "manifest"))
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_path(index_dir, "manifest"), exist_ok=True)
+    table = pa.table(
+        {
+            "stage": [r[0] for r in rows],
+            "rows": pa.array([r[1] for r in rows], pa.int64()),
+            "wall_s": pa.array([r[2] for r in rows], pa.float64()),
+            "detail": [r[3] for r in rows],
+            "ts": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(
+        table,
+        os.path.join(_path(index_dir, "manifest"), f"part-{uuid.uuid4().hex}.parquet"),
+    )
 
 
 def build_index(
@@ -213,24 +231,41 @@ def build_index(
             f"lang string, sha256 string{extra_schema}, "
             "length bigint, norm int, segment_id int"
         )
-        _write(meta.mapInPandas(add_norm, schema=schema), index_dir, "docmeta",
-               sort_cols=["doc_id"])
-        record("docmeta", time.time() - t0, {})
-    docmeta = spark.read.parquet(_path(index_dir, "docmeta"))
+        # CollectionStatistics + the length histogram ride the docmeta
+        # WRITE as observed aggregates (Dataset.observe — computed by
+        # the same job, zero extra passes/stages); the resulting
+        # single-row stats and few-row colstats tables are then written
+        # driver-side.  This collapses what used to be four separate
+        # Spark jobs (stats agg, histogram min/max, histogram counts,
+        # and their writes) into the one docmeta action — stage
+        # boundaries are the measured scaling residual at small N.
+        from pyspark.sql import Observation
 
-    t0 = time.time()
-    if stage("stats"):
+        obs = Observation("docmeta_stats")
+        meta_df = meta.mapInPandas(add_norm, schema=schema).observe(
+            obs,
+            F.count(F.lit(1)).alias("num_docs"),
+            F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),
+            F.sum("length").alias("sum_ttf"),
+            *stats_ops.log_histogram_exprs("length"),
+        )
+        _write(meta_df, index_dir, "docmeta", sort_cols=["doc_id"])
+        vals = obs.get
+        stats_ops.write_stats_tables(index_dir, "length", vals)
+        run.extend(["stats", "colstats"])
+        record("docmeta", time.time() - t0, {"fused_stats": True})
+    elif not (_done(index_dir, "stats") and _done(index_dir, "colstats")):
+        # resumed from an older/partial layout: derive the two stat
+        # tables from the existing docmeta the unfused way
+        docmeta = spark.read.parquet(_path(index_dir, "docmeta"))
         _write(stats_ops.collection_stats(docmeta), index_dir, "stats")
-        record("stats", time.time() - t0, {})
-
-    # -- stage: colstats (numeric histograms; optimizer statistics) ---------
-    t0 = time.time()
-    if stage("colstats"):
         _write(
             stats_ops.column_histograms(docmeta, ["length"]),
             index_dir, "colstats",
         )
-        record("colstats", time.time() - t0, {})
+        run.extend(["stats", "colstats"])
+    else:
+        skipped.extend(["stats", "colstats"])
 
     # -- stage: termdict (salted global term stats) ------------------------
     t0 = time.time()
@@ -243,8 +278,11 @@ def build_index(
         record("termdict", time.time() - t0, {"salt_buckets": cfg.stats_salt_buckets})
 
     _flush_manifest(spark, index_dir, manifest_rows)
-    stats_row = spark.read.parquet(_path(index_dir, "stats")).collect()[0]
-    num_terms = spark.read.parquet(_path(index_dir, "termdict")).count()
+    # driver-side footer reads — the single-row stats table and the
+    # termdict ROW COUNT need no Spark job (parquet metadata carries
+    # exact counts); two fewer stage boundaries per build
+    stats_row = stats_ops.read_stats_row(_path(index_dir, "stats"))
+    num_terms = stats_ops.parquet_row_count(_path(index_dir, "termdict"))
     # persist the config used (query side must match analyzer etc.)
     with open(os.path.join(index_dir, "engine_config.json"), "w") as f:
         json.dump(

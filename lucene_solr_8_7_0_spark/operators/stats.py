@@ -10,6 +10,8 @@ Sums are associative, so the result is exact.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import EngineConfig
@@ -120,4 +122,108 @@ def collection_stats(docmeta: DataFrame) -> DataFrame:
         F.count("*").alias("num_docs"),
         F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),
         F.sum("length").alias("sum_ttf"),
+    )
+
+
+# ---- fused build-time statistics (observe() companions) -----------------
+# The docmeta write computes CollectionStatistics AND the length
+# histogram as OBSERVED aggregates of its own job (Dataset.observe) —
+# no extra pass over the data, no extra stage.  The histogram uses
+# fixed power-of-two buckets (log2 width) precisely because observe()
+# expressions must be data-independent; the searcher's
+# ``estimatePointCount`` proration consumes (lo, hi, count) rows the
+# same way it did for equi-width buckets.
+
+LOG_BUCKETS = 42  # lengths up to 2^41 tokens/doc — beyond any document
+
+
+def log_histogram_exprs(field: str) -> list:
+    """Aggregate expressions counting docs per power-of-two length
+    bucket: b0 = [0,1), b_i = [2^(i-1), 2^i) for i >= 1."""
+    c = F.col(field)
+    exprs = [F.sum(F.when(c <= 0, 1).otherwise(0)).alias("hb0")]
+    for i in range(1, LOG_BUCKETS):
+        lo, hi = 1 << (i - 1), 1 << i
+        exprs.append(
+            F.sum(F.when((c >= lo) & (c < hi), 1).otherwise(0)).alias(f"hb{i}")
+        )
+    return exprs
+
+
+def write_stats_tables(index_dir: str, field: str, vals: dict) -> None:
+    """Flush the observed aggregates as the ``stats`` (single row) and
+    ``colstats`` (histogram) parquet tables, driver-side — tiny tables
+    never justify their own Spark jobs.  ``_SUCCESS`` markers keep the
+    resume logic's stage contract."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sdir = os.path.join(index_dir, "stats")
+    os.makedirs(sdir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "num_docs": pa.array([int(vals["num_docs"])], pa.int64()),
+                "doc_count": pa.array(
+                    [int(vals["doc_count"] or 0)], pa.int64()
+                ),
+                "sum_ttf": pa.array([int(vals["sum_ttf"] or 0)], pa.int64()),
+            }
+        ),
+        os.path.join(sdir, "part-0.parquet"),
+    )
+    open(os.path.join(sdir, "_SUCCESS"), "w").close()
+
+    cdir = os.path.join(index_dir, "colstats")
+    os.makedirs(cdir, exist_ok=True)
+    fields, los, his, counts = [], [], [], []
+    for i in range(LOG_BUCKETS):
+        cnt = int(vals.get(f"hb{i}") or 0)
+        if cnt == 0:
+            continue
+        lo = 0.0 if i == 0 else float(1 << (i - 1))
+        hi = 1.0 if i == 0 else float(1 << i)
+        fields.append(field)
+        los.append(lo)
+        his.append(hi)
+        counts.append(cnt)
+    pq.write_table(
+        pa.table(
+            {
+                "field": pa.array(fields, pa.string()),
+                "lo": pa.array(los, pa.float64()),
+                "hi": pa.array(his, pa.float64()),
+                "count": pa.array(counts, pa.int64()),
+            }
+        ),
+        os.path.join(cdir, "part-0.parquet"),
+    )
+    open(os.path.join(cdir, "_SUCCESS"), "w").close()
+
+
+def read_stats_row(stats_dir: str) -> dict:
+    """The single CollectionStatistics row via a driver-side parquet
+    read (no Spark job)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f for f in glob.glob(os.path.join(stats_dir, "*.parquet"))
+    )
+    d = pq.read_table(files).to_pydict()
+    return {k: v[0] for k, v in d.items()}
+
+
+def parquet_row_count(table_dir: str) -> int:
+    """Exact row count from parquet footers (no Spark job)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(table_dir, "*.parquet"))
     )
