@@ -814,12 +814,21 @@ def _q_suggest(spark, sf_dir):
 
 
 def _q_tfidf_topk(spark, sf_dir):
-    """ClassicSimilarity (TF-IDF) ranking: sqrt(tf) x (ln((N+1)/(df+1))
-    + 1) x 1/sqrt(quantized_len), per-query similarity override."""
+    """Pluggable-Similarity ranking, tagged: "classic" =
+    ClassicSimilarity TF-IDF (sqrt(tf) x (ln((N+1)/(df+1)) + 1) x
+    1/sqrt(quantized_len)); "lmdirichlet" = LMDirichletSimilarity
+    (mu=2000, collection model P=(ttf+1)/(sum_ttf+1), clamped at 0) —
+    both per-query similarity overrides over the same BM25-built
+    index."""
     s = _searcher(spark, sf_dir)
-    return _ranked_topk(
-        spark, s, Q.term_or(["data", "join"], 1), similarity="classic"
+    q = Q.term_or(["data", "join"], 1)
+    cl = _ranked_topk(spark, s, q, similarity="classic").select(
+        F.lit("classic").alias("variant"), "rank", "doc_id"
     )
+    lm = _ranked_topk(spark, s, q, similarity="lmdirichlet").select(
+        F.lit("lmdirichlet").alias("variant"), "rank", "doc_id"
+    )
+    return cl.unionByName(lm)
 
 
 def _q_boosted_by_field_topk(spark, sf_dir):
@@ -1045,7 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": f"""
             WITH toks AS ({_TOKS}),
             lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
-            cs AS (SELECT count(*) AS doc_count FROM lens),
+            cs AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM lens),
             quant AS (
               SELECT doc_id, len,
                 CASE WHEN len < 40 THEN len
@@ -1057,17 +1066,33 @@ def oracle_sql() -> dict[str, str]:
                    WHERE tok IN ('data','join') GROUP BY doc_id, tok),
             df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
                    WHERE tok IN ('data','join') GROUP BY tok),
-            scored AS (
+            ttf AS (SELECT tok, count(*) AS ttf FROM toks
+                    WHERE tok IN ('data','join') GROUP BY tok),
+            cls AS (
               SELECT tf.doc_id,
                      sum(sqrt(tf.freq)
                          * (ln((cs.doc_count + 1.0) / (df.df + 1.0)) + 1.0)
                          * (1.0 / sqrt(q.dlen))) AS score
               FROM tf JOIN df USING (tok) JOIN quant q ON tf.doc_id = q.doc_id
                    CROSS JOIN cs
+              GROUP BY tf.doc_id),
+            lm AS (
+              SELECT tf.doc_id,
+                     sum(greatest(0.0,
+                         ln(1 + tf.freq / (2000.0 * ((ttf.ttf + 1.0) / (cs.sum_ttf + 1.0))))
+                         + ln(2000.0 / (q.dlen + 2000.0)))) AS score
+              FROM tf JOIN ttf USING (tok) JOIN quant q ON tf.doc_id = q.doc_id
+                   CROSS JOIN cs
               GROUP BY tf.doc_id)
-            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
-                   doc_id
-            FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
+            SELECT 'classic' AS variant, rank, doc_id FROM (
+              SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM cls ORDER BY round(score, 4) DESC, doc_id LIMIT 10)
+            UNION ALL
+            SELECT 'lmdirichlet', rank, doc_id FROM (
+              SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM lm ORDER BY round(score, 4) DESC, doc_id LIMIT 10)""",
         "boosted_by_field_topk": _BM25_CTE.format(terms="'data','join'")
         + """,
             exact AS (SELECT doc_id, count(*) AS elen FROM toks GROUP BY doc_id),

@@ -102,7 +102,7 @@ def cmd_search(args) -> None:
     s = IndexSearcher(spark, args.index)
     q = parse_query_string(args.query, analyzer=s.cfg.analyzer)
     t0 = time.time()
-    td = s.search(q, k=args.k)
+    td = s.search(q, k=args.k, similarity=args.similarity)
     out = {
         "query": str(q),
         "total_hits": td.total_hits,
@@ -233,6 +233,11 @@ def main(argv=None) -> None:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
+    s.add_argument(
+        "--similarity", default=None,
+        choices=["bm25", "classic", "lmdirichlet"],
+        help="override the index default scoring model for this search",
+    )
     s.set_defaults(fn=cmd_search)
 
     ck = sub.add_parser("check")

@@ -53,6 +53,7 @@ class OracleIndex:
     num_docs: int
     sum_ttf: int
     term_df: dict
+    term_ttf: dict
     cfg: EngineConfig
 
 
@@ -81,6 +82,7 @@ def build_oracle_index(docs_pdf: pd.DataFrame, cfg: EngineConfig | None = None) 
     lengths = tb.doc_lengths
     norms = int_to_byte4_np(lengths)
     term_df = tf.groupby("term")["doc_id"].nunique().to_dict()
+    term_ttf = tf.groupby("term")["freq"].sum().to_dict()
     return OracleIndex(
         doc_ids=doc_ids,
         norms=norms,
@@ -91,6 +93,7 @@ def build_oracle_index(docs_pdf: pd.DataFrame, cfg: EngineConfig | None = None) 
         num_docs=len(doc_ids),
         sum_ttf=int(lengths.sum()),
         term_df=term_df,
+        term_ttf=term_ttf,
         cfg=cfg,
     )
 
@@ -120,6 +123,34 @@ def _scorer(oi: OracleIndex, idf_val, boost: float):
     )
 
 
+def _term_scorer(oi: OracleIndex, boost: float, term: str):
+    """Per-term scorer under the configured similarity (mirrors
+    CollectionStats.term_scorer)."""
+    if oi.cfg.similarity == "lmdirichlet":
+        from .lm import LMDirichletScorer
+
+        return LMDirichletScorer.create(
+            boost, oi.term_ttf.get(term, 0), oi.sum_ttf
+        )
+    return _scorer(oi, _idf(oi, oi.term_df.get(term, 0)), boost)
+
+
+def _phrase_scorer(oi: OracleIndex, boost: float, terms):
+    """Phrase-clause scorer (mirrors CollectionStats.phrase_scorer):
+    idf-family sums idfs; LM sums per-term scorers (MultiSimScorer)."""
+    if oi.cfg.similarity == "lmdirichlet":
+        from .lm import LMDirichletScorer, SumScorer
+
+        return SumScorer(tuple(
+            LMDirichletScorer.create(boost, oi.term_ttf.get(t, 0), oi.sum_ttf)
+            for t in terms
+        ))
+    total = 0.0
+    for t in terms:
+        total += float(_idf(oi, oi.term_df.get(t, 0)))
+    return _scorer(oi, np.float32(total), boost)
+
+
 def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
     """-> (sorted docs int64, float32 scores)"""
     if isinstance(q, MatchNoDocsQuery):
@@ -147,7 +178,7 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
         docs = rows["doc_id"].to_numpy(dtype=np.int64)
         if not scoring:
             return docs, np.zeros(len(docs), np.float32)
-        sc = _scorer(oi, _idf(oi, oi.term_df.get(q.term, 0)), boost)
+        sc = _term_scorer(oi, boost, q.term)
         return docs, sc.score(rows["freq"].to_numpy(), _norm_of(oi, docs))
     if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
         from .sloppy import sloppy_phrase_freq
@@ -196,10 +227,7 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
         docs = np.asarray(out_d, dtype=np.int64)
         if not scoring:
             return docs, np.zeros(len(docs), np.float32)
-        total = 0.0
-        for t in all_terms:
-            total += float(_idf(oi, oi.term_df.get(t, 0)))
-        sc = _scorer(oi, np.float32(total), boost)
+        sc = _phrase_scorer(oi, boost, all_terms)
         return docs, sc.score(np.asarray(out_f, dtype=np.float32), _norm_of(oi, docs))
     if isinstance(q, (SpanOrQuery, SpanNotQuery)):
         q = SpanNearQuery((q,), slop=0, in_order=True)
@@ -288,8 +316,15 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
         docs = agg.index.to_numpy(dtype=np.int64)
         if not scoring:
             return docs, np.zeros(len(docs), np.float32)
-        df = max((oi.term_df.get(t, 0) for t in q.terms), default=0)
-        sc = _scorer(oi, _idf(oi, df), boost)
+        if oi.cfg.similarity == "lmdirichlet":
+            from .lm import LMDirichletScorer
+
+            sc = LMDirichletScorer.create(
+                boost, sum(oi.term_ttf.get(t, 0) for t in q.terms), oi.sum_ttf
+            )
+        else:
+            df = max((oi.term_df.get(t, 0) for t in q.terms), default=0)
+            sc = _scorer(oi, _idf(oi, df), boost)
         return docs, sc.score(agg.to_numpy(), _norm_of(oi, docs))
     if isinstance(q, DisjunctionMaxQuery):
         subs = [_eval(oi, x, boost, scoring) for x in q.queries]

@@ -67,7 +67,8 @@ class CollectionStats:
     def leaf_idf(self, df: int) -> np.float32:
         """Per-term idf under the bound similarity (BM25Similarity.idf
         vs ClassicSimilarity.idf); phrase/multiphrase idfs SUM these
-        per-term values in both models (idfExplain(termStats[]))."""
+        per-term values in both idf-based models
+        (idfExplain(termStats[]))."""
         if self.similarity == "classic":
             from ..functions.tfidf import classic_idf
 
@@ -75,13 +76,41 @@ class CollectionStats:
         return idf(df, self.doc_count)
 
     def scorer(self, boost: float, idf_value: np.float32):
-        """Bound SimScorer for one leaf (the similarity.scorer() call
-        in TermWeight/PhraseWeight)."""
+        """Bound SimScorer from a precomputed idf (the idf-family
+        models)."""
         if self.similarity == "classic":
             from ..functions.tfidf import TFIDFScorer
 
             return TFIDFScorer.create(boost, idf_value)
         return BM25Scorer.create(boost, self.k1, self.b, idf_value, self.avgdl)
+
+    def term_scorer(self, boost: float, df: int, ttf: int):
+        """Bound SimScorer for ONE term (similarity.scorer() in
+        TermWeight): BM25/classic consume (df -> idf); LMDirichlet
+        consumes the collection language model (ttf, sum_ttf)."""
+        if self.similarity == "lmdirichlet":
+            from ..functions.lm import LMDirichletScorer
+
+            return LMDirichletScorer.create(boost, ttf, self.sum_ttf)
+        return self.scorer(boost, self.leaf_idf(df))
+
+    def phrase_scorer(self, boost: float, stats_list: list):
+        """Bound SimScorer for a phrase/multi-term clause evaluated at
+        the PHRASE frequency.  idf-family models sum per-term idfs into
+        one scorer (BM25Similarity.idfExplain(termStats[]));
+        SimilarityBase models sum per-term scorers (MultiSimScorer,
+        SimilarityBase.java:209-232)."""
+        if self.similarity == "lmdirichlet":
+            from ..functions.lm import LMDirichletScorer, SumScorer
+
+            return SumScorer(tuple(
+                LMDirichletScorer.create(boost, ttf, self.sum_ttf)
+                for _, ttf in stats_list
+            ))
+        total = 0.0
+        for df, _ in stats_list:
+            total += float(self.leaf_idf(df))
+        return self.scorer(boost, np.float32(total))
 
 
 def collect_terms(q: Query) -> set[str]:
@@ -216,8 +245,8 @@ def _make_clause(
             return ScoringClause(
                 (q.term,), None, const_score=(boost if scoring else 0.0)
             )
-        df, _ = term_stats.get(q.term, (0, 0))
-        scorer = stats.scorer(boost, stats.leaf_idf(df))
+        df, ttf = term_stats.get(q.term, (0, 0))
+        scorer = stats.term_scorer(boost, df, ttf)
         return ScoringClause((q.term,), scorer)
     if isinstance(q, SynonymQuery):
         if constant or not scoring:
@@ -227,8 +256,11 @@ def _make_clause(
             )
         # blended pseudo-term stats: df = max sub df (ttf summed but
         # unused by idf) — SynonymQuery.java:233-247
+        # blended pseudo-term: df = max sub df, ttf = sum of sub ttfs
+        # (SynonymQuery.java:233-247)
         df = max((term_stats.get(t, (0, 0))[0] for t in q.terms), default=0)
-        scorer = stats.scorer(boost, stats.leaf_idf(df))
+        ttf = sum(term_stats.get(t, (0, 0))[1] for t in q.terms)
+        scorer = stats.term_scorer(boost, df, ttf)
         return ScoringClause(tuple(q.terms), scorer, kind="synonym")
     if isinstance(q, DisjunctionMaxQuery):
         sub = compile_query(q, stats, term_stats,
@@ -252,11 +284,9 @@ def _make_clause(
             )
         # idf sums over ALL terms of every position
         # (MultiPhraseQuery.java createWeight getStats)
-        total = 0.0
-        for t in all_terms:
-            df, _ = term_stats.get(t, (0, 0))
-            total += float(stats.leaf_idf(df))
-        scorer = stats.scorer(boost, np.float32(total))
+        scorer = stats.phrase_scorer(
+            boost, [term_stats.get(t, (0, 0)) for t in all_terms]
+        )
         return ScoringClause(
             all_terms, scorer, slop=q.slop, kind="multiphrase", alts=q.positions
         )
@@ -267,11 +297,9 @@ def _make_clause(
             )
         # phrase idf = float32 of the double sum of per-term float32 idfs
         # (BM25Similarity.idfExplain(CollectionStatistics, TermStatistics[]))
-        total = 0.0
-        for t in q.terms:
-            df, _ = term_stats.get(t, (0, 0))
-            total += float(stats.leaf_idf(df))
-        scorer = stats.scorer(boost, np.float32(total))
+        scorer = stats.phrase_scorer(
+            boost, [term_stats.get(t, (0, 0)) for t in q.terms]
+        )
         return ScoringClause(tuple(q.terms), scorer, slop=q.slop)
     if isinstance(q, (BooleanQuery, MatchAllDocsQuery)):
         # nested boolean clause: compiled recursively; evaluated as a

@@ -86,3 +86,43 @@ def test_norm_zero_degenerate():
     sc = _scorer()
     s = sc.score(np.array([1.0]), np.array([0]))
     assert np.isfinite(s[0]) and s[0] > 0
+
+
+def test_lmdirichlet_scorer_formula():
+    """LMDirichletScorer vs a literal transcription of
+    LMDirichletSimilarity.score (double math, clamp at 0, one float
+    cast)."""
+    import math
+
+    import numpy as np
+
+    from lucene_solr_8_7_0_spark.functions.lm import (
+        DEFAULT_MU,
+        LMDirichletScorer,
+        SumScorer,
+    )
+    from lucene_solr_8_7_0_spark.functions.smallfloat import LENGTH_TABLE
+
+    ttf, sum_ttf, boost = 37, 10_000, 1.3
+    sc = LMDirichletScorer.create(boost, ttf, sum_ttf)
+    freqs = np.array([1, 2, 5, 100], dtype=np.int64)
+    norms = np.array([10, 40, 200, 255], dtype=np.int64)
+    got = sc.score(freqs, norms)
+    p = (ttf + 1.0) / (sum_ttf + 1.0)
+    for i in range(len(freqs)):
+        dl = float(LENGTH_TABLE[norms[i]])
+        exp = boost * (
+            math.log(1 + freqs[i] / (DEFAULT_MU * p))
+            + math.log(DEFAULT_MU / (dl + DEFAULT_MU))
+        )
+        exp = max(exp, 0.0)
+        assert got[i] == np.float32(exp), i
+    # a rare term in a long doc can clamp to exactly 0 (still a match)
+    sc0 = LMDirichletScorer.create(1.0, 0, 10**9)
+    assert sc0.score(np.array([1]), np.array([255]))[0] == np.float32(0.0)
+    # SumScorer == sum of sub-scores in f64, cast once
+    two = SumScorer((sc, sc))
+    np.testing.assert_array_equal(
+        two.score(freqs, norms),
+        (got.astype(np.float64) * 2).astype(np.float32),
+    )

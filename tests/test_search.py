@@ -632,3 +632,35 @@ def test_multivalued_field_membership_and_facets(spark, tmp_path_factory):
     )
     got_counts = dict(zip(fc["tags"], fc["count"]))
     assert got_counts == dict(exp_counts)
+
+
+def test_lmdirichlet_similarity_rank_identity(engine):
+    """LMDirichletSimilarity: pruned engine == brute-force oracle
+    across term/OR/AND/phrase/synonym shapes (MultiSimScorer phrase
+    summing), bitwise float32."""
+    import dataclasses
+
+    searcher, oi = engine
+    oi_lm = dataclasses.replace(
+        oi, cfg=dataclasses.replace(oi.cfg, similarity="lmdirichlet")
+    )
+    queries = [
+        Q.TermQuery("public"),
+        Q.term_or(["public", "return", "import"], 1),
+        Q.term_and(["public", "return"]),
+        Q.PhraseQuery(("public", "return")),
+        Q.SynonymQuery(("public", "return")),
+        Q.BoostQuery(Q.TermQuery("public"), 2.0),
+    ]
+    for q in queries:
+        td = searcher.search(
+            q, k=10, total_hits_threshold=1, similarity="lmdirichlet"
+        )
+        exp = oracle_search(oi_lm, rewrite(q, searcher._term_lookup), k=10)
+        assert td.doc_ids.tolist() == exp.doc_ids.tolist(), str(q)
+        np.testing.assert_array_equal(td.scores, exp.scores, err_msg=str(q))
+        full = searcher.search(
+            q, k=10, score_mode="complete", similarity="lmdirichlet"
+        )
+        assert td.doc_ids.tolist() == full.doc_ids.tolist(), str(q)
+        np.testing.assert_array_equal(td.scores, full.scores, err_msg=str(q))
