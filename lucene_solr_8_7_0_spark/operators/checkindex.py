@@ -186,10 +186,117 @@ def check_index(spark: SparkSession, index_dir: str) -> DataFrame:
         else spark.createDataFrame([], schema=_REPORT_SCHEMA)
     )
 
+    # termvectors (offsets tier) vs postings — CheckIndex.testTermVectors:
+    # every stored vector must agree with the postings on freq AND the
+    # exact position list, offsets must be well-formed, and the two
+    # stores must cover the same (doc, term) pairs
+    tv_path = os.path.join(index_dir, "termvectors")
+    if os.path.exists(os.path.join(tv_path, "_SUCCESS")):
+        reports.append(
+            _check_termvectors(
+                spark.read.parquet(tv_path), segments, cfg
+            )
+        )
+
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _check_termvectors(tv: DataFrame, segments: DataFrame, cfg) -> DataFrame:
+    """Cross-check the doc-major offsets store against the postings
+    (CheckIndex.java testTermVectors: 'term vectors must agree with the
+    inverted index').  Postings re-derive per-(doc, term) freq +
+    positions via the same decode walk _check_postings runs; the
+    comparison is a full outer join on (doc_id, term) — an audit job,
+    shuffle-parallel on the join key."""
+    from ..functions.codec import decode_term_postings
+    from .search import rows_to_posting_map
+    from .segments import SENTINEL_TERM
+
+    seg_size = cfg.segment_size
+
+    def explode_postings(batches):
+        for pdf in batches:
+            post = pdf[pdf["term"] != SENTINEL_TERM]
+            out = []
+            # group per segment: a batch may span segments and the
+            # posting map keys by term alone
+            for seg, grp in post.groupby("segment_id"):
+                seg = int(seg)
+                for term, tp in rows_to_posting_map(grp).items():
+                    docs, freqs, pos = decode_term_postings(
+                        tp, with_positions=True
+                    )
+                    starts = np.concatenate(([0], np.cumsum(freqs)))
+                    for j in range(len(docs)):
+                        pl = (
+                            pos[starts[j] : starts[j + 1]]
+                            if pos is not None
+                            else np.empty(0, np.int64)
+                        )
+                        out.append(
+                            (
+                                int(docs[j]) + seg * seg_size,
+                                term,
+                                int(freqs[j]),
+                                ",".join(str(int(x)) for x in pl),
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "term", "p_freq", "p_pos"]
+            )
+
+    post_rows = segments.mapInPandas(
+        explode_postings,
+        schema="doc_id bigint, term string, p_freq int, p_pos string",
+    )
+
+    def tv_norm(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pos = list(r.positions)
+                st, en = list(r.starts), list(r.ends)
+                bad = ""
+                if len(pos) != int(r.freq) or len(st) != int(r.freq) or len(en) != int(r.freq):
+                    bad = "offset/position arity != freq"
+                elif r.offsets_valid and any(e <= s for s, e in zip(st, en)):
+                    bad = "end <= start"
+                elif r.offsets_valid and any(
+                    st[i + 1] <= st[i] for i in range(len(st) - 1)
+                ):
+                    bad = "starts not increasing"
+                rows.append(
+                    (
+                        int(r.doc_id), r.term, int(r.freq),
+                        ",".join(str(int(x)) for x in sorted(pos)), bad,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "term", "t_freq", "t_pos", "bad"]
+            )
+
+    tv_rows = tv.mapInPandas(
+        tv_norm,
+        schema="doc_id bigint, term string, t_freq int, t_pos string, bad string",
+    )
+    joined = post_rows.join(tv_rows, ["doc_id", "term"], "full")
+    return joined.filter(
+        F.col("p_freq").isNull() | F.col("t_freq").isNull()
+        | (F.col("p_freq") != F.col("t_freq"))
+        | (F.col("p_pos") != F.col("t_pos"))
+        | (F.col("bad") != "")
+    ).select(
+        F.lit("termvector_mismatch").alias("check"),
+        (F.col("doc_id") / F.lit(seg_size)).cast("int").alias("segment_id"),
+        F.concat_ws("/", F.col("term"), F.col("doc_id").cast("string")).alias("term"),
+        F.concat_ws(
+            " ", F.lit("postings"), F.col("p_freq"), F.col("p_pos"),
+            F.lit("tv"), F.col("t_freq"), F.col("t_pos"), F.col("bad"),
+        ).alias("detail"),
+    )
 
 
 def assert_healthy(spark: SparkSession, index_dir: str) -> None:

@@ -145,3 +145,29 @@ def test_highlight_offsets_exact_substrings(spark, tmp_path_factory):
         for mtok in _re.findall(r"<b>(.*?)</b>", snip):
             assert mtok.lower() in terms
         assert snip.count("<b>") == row["n_matches_o"]
+
+
+def test_checkindex_verifies_termvectors(spark, tmp_path_factory):
+    """CheckIndex testTermVectors analog: a healthy offsets index has
+    an empty report; a forged term-vector row (no matching posting) is
+    detected."""
+    from lucene_solr_8_7_0_spark.config import EngineConfig
+    from lucene_solr_8_7_0_spark.operators.build import build_index
+    from lucene_solr_8_7_0_spark.operators.checkindex import check_index
+    from lucene_solr_8_7_0_spark.sources.corpus import corpus_df
+
+    d = str(tmp_path_factory.mktemp("cktv"))
+    build_index(
+        spark, corpus_df(spark, 60, seed=13), d,
+        EngineConfig(segment_size=64, index_offsets=True),
+    )
+    assert check_index(spark, d).count() == 0
+    bogus = spark.createDataFrame(
+        [(0, "zzz_not_in_postings", 1, [0], [0], [3], True)],
+        "doc_id bigint, term string, freq int, positions array<int>, "
+        "starts array<int>, ends array<int>, offsets_valid boolean",
+    )
+    bogus.write.mode("append").parquet(f"{d}/termvectors")
+    rep = check_index(spark, d).toPandas()
+    assert (rep["check"] == "termvector_mismatch").any()
+    assert rep["term"].str.contains("zzz_not_in_postings").any()
