@@ -413,13 +413,6 @@ def _q_sort_by_field(spark, sf_dir):
     return _orig_ids(s, out).select("rank", "doc_id", "length")
 
 
-def _q_count_query(spark, sf_dir):
-    """TotalHitCountCollector: exact hit count of a conjunction."""
-    s = _searcher(spark, sf_dir)
-    n = s.count(Q.term_and(["data", "join"]))
-    return spark.createDataFrame([(n,)], "total_hits bigint")
-
-
 def _q_parsed_synonym_topk(spark, sf_dir):
     """Query-time synonyms through the PARSER (SynonymGraphFilter
     surface): 'data' with synonym 'join' parses to the blended-stats
@@ -857,6 +850,21 @@ def _q_facet_tags(spark, sf_dir):
     )
 
 
+def _q_intervals_topk(spark, sf_dir):
+    """Minimal-interval family (queries/intervals): top-10 for
+    IntervalQuery(maxgaps(3, ordered(data, join))) — saturation score
+    over the sloppy frequency of MINIMAL ordered intervals.  The SQL
+    oracle reconstructs the minimal set exactly: candidate (p, next
+    join-position after p), keep per distinct end the largest start
+    (the containment filter for 2-term ordered chains), filter gaps <=
+    3, freq = sum 1/(width - 1), score = 1 - 1/(1 + freq)."""
+    from lucene_solr_8_7_0_spark.plans.queries import IMaxGaps, IOrdered
+
+    s = _searcher(spark, sf_dir)
+    q = Q.IntervalQuery(IMaxGaps(3, IOrdered(("data", "join"))))
+    return _ranked_topk(spark, s, q)
+
+
 def _q_token_stats(spark, sf_dir):
     """Per-doc token statistics: analyzer token counts + whitespace/
     BPE-ish tokenizer counts, one row per doc."""
@@ -894,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_by_field_topk": _q_boosted_by_field_topk,
         "facet_tags": _q_facet_tags,
         "highlight_topk": _q_highlight_topk,
+        "intervals_topk": _q_intervals_topk,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -921,7 +930,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_phrase": _q_multi_phrase,
         "multiterm_match": _q_multiterm_match,
         "sort_by_field": _q_sort_by_field,
-        "count_query": _q_count_query,
         "facet_lang": _q_facet_lang,
         "bm25_topk": _q_bm25_topk,
         "bm25_and_topk": _q_bm25_and_topk,
@@ -1002,6 +1010,30 @@ scored_t AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "intervals_topk": """
+            WITH pos AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p
+              FROM documents),
+            cand AS (
+              SELECT a.doc_id, a.p AS s, min(b.p) AS e
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.tok = 'join' AND b.p > a.p
+              WHERE a.tok = 'data'
+              GROUP BY a.doc_id, a.p),
+            mini AS (
+              SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
+            kept AS (
+              SELECT doc_id, s, e FROM mini WHERE (e - s + 1) - 2 <= 3),
+            freqs AS (
+              SELECT doc_id,
+                     sum(1.0 / greatest((e - s + 1) - 2 + 1, 1)) AS freq
+              FROM kept GROUP BY doc_id),
+            scored AS (
+              SELECT doc_id, 1.0 - 1.0 / (1.0 + freq) AS score FROM freqs)
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                   doc_id
+            FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
         "span_family": """WITH pos AS (
               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
                      generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p
@@ -1317,10 +1349,6 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, length
             FROM lens JOIN hits USING (doc_id)
             ORDER BY length DESC, doc_id LIMIT 15""",
-        "count_query": f"""
-            SELECT CAST(count(*) AS BIGINT) AS total_hits FROM (
-              SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
-              HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2) z""",
         "parsed_synonym_topk": f"""
             WITH toks AS ({_TOKS}),
             lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),

@@ -1,0 +1,277 @@
+"""Minimal-interval algebra — the queries/intervals family.
+
+Reference: lucene/queries/src/java/org/apache/lucene/queries/intervals/
+— TermIntervalsSource (term positions as width-1 intervals),
+OrderedIntervalsSource.java:29 (in-order, non-overlapping chains, with
+consecutive duplicate sources collapsed into RepeatingIntervalsSource
+per :53-71), UnorderedIntervalsSource.java:31 (minimal covering
+windows, overlaps between DISTINCT subs allowed),
+DisjunctionIntervalsSource (union), BlockIntervalsSource (consecutive),
+FilteredIntervalsSource (maxgaps/maxwidth), IntervalScorer.java:65-70
+(sloppy freq) and IntervalScoreFunction.java:70-75 (saturation).
+
+The defining property is MINIMALITY: an interval that properly
+contains another matching interval is never emitted.  This module
+computes, per document, the full minimal-interval list of a source
+tree over {term -> sorted positions} — a direct set-algebra
+implementation of the iterator semantics, validated against the
+reference's own golden vectors (TestIntervals.java, ported in
+tests/test_intervals.py).
+
+Each interval is a tuple ``(start, end, occupied)`` where ``occupied``
+counts leaf positions covered — ``gaps = width - occupied``
+(IntervalIterator.gaps(); e.g. RepeatingIntervalsSource's
+``end - start + 1 - childCount``).
+
+Complexity: per document the work is bounded by products of per-term
+occurrence counts (documents are a few hundred tokens); this is the
+same per-doc matcher-walk regime as the reference's iterators, run
+inside the per-segment kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..plans.queries import (
+    IBlock,
+    IMaxGaps,
+    IMaxWidth,
+    IOr,
+    IOrdered,
+    ITerm,
+    IUnordered,
+)
+
+__all__ = [
+    "minimal_intervals",
+    "min_extent",
+    "required_terms",
+    "all_terms",
+    "interval_freq",
+    "saturation_score",
+]
+
+def _norm(src):
+    return ITerm(src) if isinstance(src, str) else src
+
+
+def min_extent(src) -> int:
+    src = _norm(src)
+    if isinstance(src, ITerm):
+        return 1
+    if isinstance(src, (IOrdered, IUnordered, IBlock)):
+        return sum(min_extent(s) for s in src.sources)
+    if isinstance(src, IOr):
+        return min(min_extent(s) for s in src.sources)
+    if isinstance(src, (IMaxGaps, IMaxWidth)):
+        return min_extent(src.source)
+    raise TypeError(type(src))
+
+
+def all_terms(src) -> set[str]:
+    src = _norm(src)
+    if isinstance(src, ITerm):
+        return {src.term}
+    if isinstance(src, (IOrdered, IUnordered, IBlock, IOr)):
+        out: set[str] = set()
+        for s in src.sources:
+            out |= all_terms(s)
+        return out
+    if isinstance(src, (IMaxGaps, IMaxWidth)):
+        return all_terms(src.source)
+    raise TypeError(type(src))
+
+
+def required_terms(src) -> set[str]:
+    """Terms that MUST occur for the source to match (conjunctive
+    pre-filter for candidate docs; or-branches intersect)."""
+    src = _norm(src)
+    if isinstance(src, ITerm):
+        return {src.term}
+    if isinstance(src, (IOrdered, IUnordered, IBlock)):
+        out: set[str] = set()
+        for s in src.sources:
+            out |= required_terms(s)
+        return out
+    if isinstance(src, IOr):
+        reqs = [required_terms(s) for s in src.sources]
+        return set.intersection(*reqs) if reqs else set()
+    if isinstance(src, (IMaxGaps, IMaxWidth)):
+        return required_terms(src.source)
+    raise TypeError(type(src))
+
+
+def _minimalize(ivs: list) -> list:
+    """Drop intervals that PROPERLY contain another; dedupe; sort by
+    (start, end).  Process in (end asc, start desc) order: X contains
+    an earlier-kept Y iff X.start <= max(start of kept)."""
+    uniq = sorted(set((s, e) for s, e, _ in ivs), key=lambda x: (x[1], -x[0]))
+    occ = {}
+    for s, e, o in ivs:  # smallest occupied per (start,end) — same width
+        occ[(s, e)] = min(o, occ.get((s, e), o))
+    kept = []
+    max_start = -1
+    for s, e in uniq:
+        if s > max_start:
+            kept.append((s, e, occ[(s, e)]))
+            max_start = s
+    kept.sort(key=lambda x: (x[0], x[1]))
+    return kept
+
+
+def _dedup_runs(sources) -> list[tuple[object, int]]:
+    """Consecutive equal sub-sources -> (source, repeat_count) runs
+    (OrderedIntervalsSource.deduplicate:53-71)."""
+    runs: list[list] = []
+    for s in sources:
+        s = _norm(s)
+        if runs and runs[-1][0] == s:
+            runs[-1][1] += 1
+        else:
+            runs.append([s, 1])
+    return [(s, k) for s, k in runs]
+
+
+def _repeat(ivs: list, k: int) -> list:
+    """RepeatingIntervalsSource: k successive NON-OVERLAPPING
+    occurrences of the inner source -> one interval spanning them.
+    For width-1 terms this is the classic window over k consecutive
+    positions; for wider inners, chain greedily like ordered."""
+    if k == 1:
+        return ivs
+    return _chain_ordered([ivs] * k)
+
+
+def _chain_ordered(sub_lists: list[list]) -> list:
+    """Minimal in-order non-overlapping chains across sub interval
+    lists (OrderedIntervalIterator semantics): for each first-slot
+    interval, greedily extend with the earliest-ending later interval,
+    then minimalize."""
+    if any(len(sl) == 0 for sl in sub_lists):
+        return []
+    out = []
+    for f in sub_lists[0]:
+        prev_end = f[1]
+        occupied = f[2]
+        ok = True
+        for sl in sub_lists[1:]:
+            cands = [iv for iv in sl if iv[0] > prev_end]
+            if not cands:
+                ok = False
+                break
+            nxt = min(cands, key=lambda iv: (iv[1], iv[0]))
+            prev_end = nxt[1]
+            occupied += nxt[2]
+        if ok:
+            out.append((f[0], prev_end, occupied))
+    return _minimalize(out)
+
+
+def minimal_intervals(src, pos: dict[str, np.ndarray]) -> list:
+    """All minimal intervals of ``src`` in one document, as sorted
+    (start, end, occupied) tuples.  ``pos``: term -> sorted positions
+    present in the doc."""
+    src = _norm(src)
+    if isinstance(src, ITerm):
+        pp = pos.get(src.term)
+        if pp is None or len(pp) == 0:
+            return []
+        return [(int(p), int(p), 1) for p in pp]
+    if isinstance(src, (IOrdered, IBlock)):
+        runs = [
+            _repeat(minimal_intervals(s, pos), k)
+            for s, k in _dedup_runs(src.sources)
+        ]
+        if isinstance(src, IOrdered):
+            return _chain_ordered(runs)
+        # block: consecutive chaining (next.start == prev.end + 1)
+        if any(len(r) == 0 for r in runs):
+            return []
+        out = []
+        for f in runs[0]:
+            prev_end, occupied, ok = f[1], f[2], True
+            for sl in runs[1:]:
+                nxt = next((iv for iv in sl if iv[0] == prev_end + 1), None)
+                if nxt is None:
+                    ok = False
+                    break
+                prev_end = nxt[1]
+                occupied += nxt[2]
+            if ok:
+                out.append((f[0], prev_end, occupied))
+        return _minimalize(out)
+    if isinstance(src, IUnordered):
+        # duplicates group by EQUALITY (order is immaterial here)
+        groups: list[tuple[object, int]] = []
+        for s in src.sources:
+            s = _norm(s)
+            for i, (g, k) in enumerate(groups):
+                if g == s:
+                    groups[i] = (g, k + 1)
+                    break
+            else:
+                groups.append((s, 1))
+        subs = [
+            _repeat(minimal_intervals(s, pos), k) for s, k in groups
+        ]
+        if any(len(sl) == 0 for sl in subs):
+            return []
+        # queue-style minimal-window sweep (UnorderedIntervalIterator's
+        # priority queue, comparator start asc / end desc,
+        # UnorderedIntervalsSource.java:115-148): record the current
+        # covering window, advance the earliest-starting sub, repeat —
+        # O(total intervals) candidates, then minimalize
+        nsub = len(subs)
+        ptrs = [0] * nsub
+        out = []
+        while True:
+            cur = [subs[i][ptrs[i]] for i in range(nsub)]
+            out.append((
+                min(iv[0] for iv in cur),
+                max(iv[1] for iv in cur),
+                sum(iv[2] for iv in cur),
+            ))
+            adv = min(
+                range(nsub), key=lambda j: (cur[j][0], -cur[j][1])
+            )
+            ptrs[adv] += 1
+            if ptrs[adv] >= len(subs[adv]):
+                break
+        return _minimalize(out)
+    if isinstance(src, IOr):
+        out = []
+        for s in src.sources:
+            out.extend(minimal_intervals(s, pos))
+        return _minimalize(out)
+    if isinstance(src, IMaxGaps):
+        return [
+            iv for iv in minimal_intervals(src.source, pos)
+            if (iv[1] - iv[0] + 1) - iv[2] <= src.gaps
+        ]
+    if isinstance(src, IMaxWidth):
+        return [
+            iv for iv in minimal_intervals(src.source, pos)
+            if iv[1] - iv[0] + 1 <= src.width
+        ]
+    raise TypeError(type(src))
+
+
+def interval_freq(ivs: list, m_extent: int) -> np.float32:
+    """Sloppy interval frequency (IntervalScorer.java:65-70):
+    ``freq += 1/max(width - minExtent + 1, 1)`` accumulated in the
+    reference's float32 (`private float freq`)."""
+    freq = np.float32(0.0)
+    for s, e, _ in ivs:
+        # Java: float freq += (double)1.0/max(...) — double add, one cast
+        freq = np.float32(float(freq) + 1.0 / max((e - s + 1) - m_extent + 1, 1))
+    return freq
+
+
+def saturation_score(freq: np.float32, pivot: float, boost: float) -> np.float32:
+    """``weight * (1 - pivot / (pivot + freq))`` in float32
+    (IntervalScoreFunction.java:70-75)."""
+    p = np.float32(pivot)
+    return np.float32(
+        np.float32(boost) * (np.float32(1.0) - p / (p + np.float32(freq)))
+    )

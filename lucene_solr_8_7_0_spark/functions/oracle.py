@@ -24,6 +24,7 @@ from ..plans.rewrite import expand_terms
 from ..plans.queries import (
     BooleanQuery,
     DisjunctionMaxQuery,
+    IntervalQuery,
     MultiPhraseQuery,
     MultiTermUnionQuery,
     SpanNearQuery,
@@ -229,6 +230,8 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
             return docs, np.zeros(len(docs), np.float32)
         sc = _phrase_scorer(oi, boost, all_terms)
         return docs, sc.score(np.asarray(out_f, dtype=np.float32), _norm_of(oi, docs))
+    if isinstance(q, IntervalQuery):
+        return _eval_intervals(oi, q, boost, scoring)
     if isinstance(q, (SpanOrQuery, SpanNotQuery)):
         q = SpanNearQuery((q,), slop=0, in_order=True)
     if isinstance(q, SpanNearQuery):
@@ -344,6 +347,151 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
     if isinstance(q, BooleanQuery):
         return _eval_bool(oi, q, boost, scoring)
     raise NotImplementedError(type(q))
+
+
+def _brute_all_intervals(src, pos: dict) -> set:
+    """EVERY matching combination at THIS combinator level, built over
+    the MINIMAL interval sets of the sub-sources (the reference's
+    combinators consume sub-iterators that emit minimal intervals
+    only) — an independent second implementation: exhaustive
+    enumeration at each level instead of the kernel's greedy chains /
+    window sweeps.  The minimal elements of this set are the
+    emitted intervals."""
+    import itertools
+
+    from ..plans.queries import (
+        IBlock, IMaxGaps, IMaxWidth, IOr, IOrdered, ITerm, IUnordered,
+    )
+    from .intervals import _dedup_runs, min_extent
+
+    if isinstance(src, str):
+        src = ITerm(src)
+    if isinstance(src, ITerm):
+        return {(int(p), int(p), 1) for p in pos.get(src.term, ())}
+    if isinstance(src, (IOrdered, IBlock, IUnordered)):
+        if isinstance(src, IUnordered):
+            groups: list = []
+            for s in src.sources:
+                s = ITerm(s) if isinstance(s, str) else s
+                for i, (g, k) in enumerate(groups):
+                    if g == s:
+                        groups[i] = (g, k + 1)
+                        break
+                else:
+                    groups.append((s, 1))
+        else:
+            groups = _dedup_runs(src.sources)
+        subs = []
+        for s, k in groups:
+            base = set(brute_minimal_intervals(s, pos))
+            if k > 1:
+                # repeat: k non-overlapping in-order occurrences
+                reps = set()
+                for combo in itertools.permutations(sorted(base), k):
+                    if all(combo[i + 1][0] > combo[i][1] for i in range(k - 1)):
+                        reps.add((combo[0][0], combo[-1][1],
+                                  sum(c[2] for c in combo)))
+                base = reps
+            subs.append(sorted(base))
+        if any(not s for s in subs):
+            return set()
+        out = set()
+        for combo in itertools.product(*subs):
+            if isinstance(src, IOrdered):
+                if not all(combo[i + 1][0] > combo[i][1]
+                           for i in range(len(combo) - 1)):
+                    continue
+            if isinstance(src, IBlock):
+                if not all(combo[i + 1][0] == combo[i][1] + 1
+                           for i in range(len(combo) - 1)):
+                    continue
+            s0 = min(c[0] for c in combo)
+            e0 = max(c[1] for c in combo)
+            out.add((s0, e0, sum(c[2] for c in combo)))
+        return out
+    if isinstance(src, IOr):
+        out = set()
+        for s in src.sources:
+            out |= set(brute_minimal_intervals(s, pos))
+        return out
+    if isinstance(src, IMaxGaps):
+        return {
+            iv for iv in brute_minimal_intervals(src.source, pos)
+            if (iv[1] - iv[0] + 1) - iv[2] <= src.gaps
+        }
+    if isinstance(src, IMaxWidth):
+        return {
+            iv for iv in brute_minimal_intervals(src.source, pos)
+            if iv[1] - iv[0] + 1 <= src.width
+        }
+    raise TypeError(type(src))
+
+
+def brute_minimal_intervals(src, pos: dict) -> list:
+    """Minimal elements of the exhaustive interval set."""
+    allv = _brute_all_intervals(src, pos)
+    spans = {(s, e) for s, e, _ in allv}
+    out = [
+        iv for iv in allv
+        if not any(
+            (s2, e2) != (iv[0], iv[1]) and s2 >= iv[0] and e2 <= iv[1]
+            for (s2, e2) in spans
+        )
+    ]
+    # smallest occupied per span (mirrors the kernel's tie rule)
+    best = {}
+    for s, e, o in out:
+        best[(s, e)] = min(o, best.get((s, e), o))
+    return sorted((s, e, o) for (s, e), o in best.items())
+
+
+def _eval_intervals(oi: OracleIndex, q, boost: float, scoring: bool):
+    """IntervalQuery via the exhaustive brute set + saturation score."""
+    from .intervals import interval_freq, min_extent, saturation_score
+
+    terms = set()
+
+    def walk(s):
+        from ..plans.queries import (
+            IBlock, IMaxGaps, IMaxWidth, IOr, IOrdered, ITerm, IUnordered,
+        )
+
+        if isinstance(s, str):
+            terms.add(s)
+        elif isinstance(s, ITerm):
+            terms.add(s.term)
+        elif isinstance(s, (IOrdered, IBlock, IUnordered, IOr)):
+            for x in s.sources:
+                walk(x)
+        else:
+            walk(s.source)
+
+    walk(q.source)
+    cand = sorted({
+        d for t in terms for d in oi.positions.get(t, {})
+    })
+    m_ext = min_extent(q.source)
+    out_d, out_s = [], []
+    for d in cand:
+        pos = {
+            t: oi.positions[t][d]
+            for t in terms
+            if t in oi.positions and d in oi.positions[t]
+        }
+        ivs = brute_minimal_intervals(q.source, pos)
+        if not ivs:
+            continue
+        out_d.append(d)
+        if scoring:
+            out_s.append(
+                saturation_score(interval_freq(ivs, m_ext), q.pivot, boost)
+            )
+        else:
+            out_s.append(np.float32(0.0))
+    return (
+        np.asarray(out_d, dtype=np.int64),
+        np.asarray(out_s, dtype=np.float32),
+    )
 
 
 def _eval_bool(oi: OracleIndex, q: BooleanQuery, boost: float, scoring: bool):

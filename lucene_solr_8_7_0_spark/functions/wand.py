@@ -81,6 +81,9 @@ class ScoringClause:
     # SpanNotQuery per slot); ``terms`` holds the FLAT term list for
     # stats/scan purposes
     span_specs: tuple | None = None
+    # intervals: (source tree, pivot, boost) — per-doc saturation
+    # scoring over minimal intervals (kind == "intervals")
+    interval_q: tuple | None = None
 
     @property
     def is_phrase(self) -> bool:
@@ -399,9 +402,74 @@ def _span_near_docs_scores(
     return docs, np.full(len(docs), score)
 
 
+def _intervals_docs_scores(
+    posting_map: dict, norms: np.ndarray, clause: ScoringClause
+) -> tuple[np.ndarray, np.ndarray]:
+    """IntervalQuery clause: per candidate doc, compute the minimal
+    intervals of the source tree and score the saturation of the
+    sloppy interval frequency (functions/intervals; IntervalScorer)."""
+    from .intervals import (
+        all_terms,
+        interval_freq,
+        min_extent,
+        minimal_intervals,
+        required_terms,
+        saturation_score,
+    )
+
+    src, pivot, boost = clause.interval_q
+    decoded = {}
+    for t in sorted(all_terms(src)):
+        tp = posting_map.get(t)
+        if tp is None:
+            continue
+        d, f, p = decode_term_postings(tp, with_positions=True)
+        if p is None:
+            raise ValueError("interval query requires positions in the index")
+        decoded[t] = (d, f, p, np.concatenate(([0], np.cumsum(f))))
+    req = required_terms(src)
+    if any(t not in decoded for t in req):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    if req:
+        cand = None
+        for t in req:
+            d = decoded[t][0]
+            cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
+    else:
+        if not decoded:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        cand = np.unique(np.concatenate([v[0] for v in decoded.values()]))
+    if len(cand) == 0:
+        return cand, np.empty(0, np.float32)
+    m_ext = min_extent(src)
+    out_docs, out_scores = [], []
+    for doc in cand:
+        pm = {}
+        for t, (d, f, p, bounds) in decoded.items():
+            j = np.searchsorted(d, doc)
+            if j < len(d) and d[j] == doc:
+                pm[t] = p[bounds[j] : bounds[j + 1]]
+        ivs = minimal_intervals(src, pm)
+        if not ivs:
+            continue
+        out_docs.append(int(doc))
+        if clause.const_score is not None:
+            out_scores.append(np.float32(clause.const_score))
+        else:
+            out_scores.append(
+                saturation_score(interval_freq(ivs, m_ext), pivot, boost)
+            )
+    return (
+        np.asarray(out_docs, dtype=np.int64),
+        np.asarray(out_scores, dtype=np.float32),
+    )
+
+
 def _eval_clause(
     posting_map: dict[str, TermPostings], norms: np.ndarray, clause: ScoringClause
 ) -> tuple[np.ndarray, np.ndarray]:
+    if clause.kind == "intervals":
+        return _intervals_docs_scores(posting_map, norms, clause)
     if clause.kind == "synonym":
         return _synonym_docs_scores(
             [posting_map.get(t) for t in clause.terms], norms, clause

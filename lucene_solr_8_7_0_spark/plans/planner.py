@@ -17,6 +17,7 @@ from .queries import (
     BooleanQuery,
     DisjunctionMaxQuery,
     FieldTermQuery,
+    IntervalQuery,
     MultiPhraseQuery,
     MultiTermUnionQuery,
     SpanNearQuery,
@@ -116,6 +117,10 @@ class CollectionStats:
 def collect_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
+    if isinstance(q, IntervalQuery):
+        from ..functions.intervals import all_terms
+
+        return all_terms(q.source)
     if isinstance(q, SpanNearQuery):
         return set(q.flat_terms())
     if isinstance(q, SpanOrQuery):
@@ -187,7 +192,7 @@ def collect_point_queries(q: Query) -> set:
 
 def has_phrase(q: Query) -> bool:
     if isinstance(q, (PhraseQuery, MultiPhraseQuery, SpanNearQuery,
-                      SpanOrQuery, SpanNotQuery)):
+                      SpanOrQuery, SpanNotQuery, IntervalQuery)):
         return True
     if isinstance(q, DisjunctionMaxQuery):
         return any(has_phrase(sub) for sub in q.queries)
@@ -210,6 +215,19 @@ def _make_clause(
         return _make_clause(q.query, stats, term_stats, boost * q.boost, constant, scoring)
     if isinstance(q, ConstantScoreQuery):
         return _make_clause(q.query, stats, term_stats, boost, True, scoring)
+    if isinstance(q, IntervalQuery):
+        # per-doc saturation-scored clause (IntervalQuery.java:74;
+        # filter/constant modes keep the fixed-score contract)
+        from ..functions.intervals import all_terms
+
+        return ScoringClause(
+            tuple(sorted(all_terms(q.source))), None,
+            const_score=(
+                (boost if scoring else 0.0) if (constant or not scoring)
+                else None
+            ),
+            kind="intervals", interval_q=(q.source, q.pivot, boost),
+        )
     if isinstance(q, (SpanOrQuery, SpanNotQuery)):
         # standalone or/not span == a 1-clause SpanNear (matches any
         # doc where the clause has at least one surviving occurrence)
@@ -351,7 +369,7 @@ def compile_query(
             [], [], 1, combine="dismax", tie=q.tie_breaker,
         )
     if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery,
-                      SpanNearQuery, SpanOrQuery, SpanNotQuery,
+                      SpanNearQuery, SpanOrQuery, SpanNotQuery, IntervalQuery,
                       PointRangeQuery, FieldTermQuery,
                       BoostQuery, ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)

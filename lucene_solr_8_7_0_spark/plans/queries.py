@@ -129,6 +129,86 @@ class SpanNearQuery(Query):
         return f"spanNear([{clauses}], {self.slop}, {order})"
 
 
+# ---- minimal-interval family (lucene/queries/.../intervals) ----
+# Sources form a tree; a plain ``str`` is shorthand for ITerm.  The
+# engine evaluates MINIMAL intervals per document (an interval is
+# dropped when it properly contains another match) — the semantics of
+# Intervals.term/ordered/unordered/or/phrase/maxgaps/maxwidth
+# (Intervals.java; iterator classes cited on functions/intervals.py).
+
+
+@dataclass(frozen=True)
+class ITerm:
+    term: str
+
+
+@dataclass(frozen=True)
+class IOrdered:
+    """Intervals.ordered (OrderedIntervalsSource.java:29): sub-spans in
+    strict order, non-overlapping; consecutive duplicate sub-sources
+    collapse to repeats (:53-71) like the reference's builder."""
+
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IUnordered:
+    """Intervals.unordered (UnorderedIntervalsSource.java:31): minimal
+    windows holding every sub-span, any order; duplicate sub-sources
+    require distinct occurrences (RepeatingIntervalsSource)."""
+
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IOr:
+    """Intervals.or (DisjunctionIntervalsSource): union of sub-spans,
+    minimalized."""
+
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IBlock:
+    """Intervals.phrase (BlockIntervalsSource): sub-spans exactly
+    consecutive."""
+
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IMaxGaps:
+    """Intervals.maxgaps (FilteredIntervalsSource.maxGaps): keep inner
+    intervals whose total internal gap count <= gaps."""
+
+    gaps: int
+    source: object
+
+
+@dataclass(frozen=True)
+class IMaxWidth:
+    """Intervals.maxwidth: keep inner intervals with width <= width."""
+
+    width: int
+    source: object
+
+
+@dataclass(frozen=True)
+class IntervalQuery(Query):
+    """IntervalQuery (lucene/queries/.../intervals/IntervalQuery.java:74):
+    matches docs where ``source`` has at least one interval; scores
+    with the saturation function over the sloppy interval frequency —
+    ``freq = sum over minimal intervals of 1/max(width - minExtent + 1,
+    1)`` (IntervalScorer.java:65-70), ``score = boost * (1 - pivot /
+    (pivot + freq))`` (IntervalScoreFunction.java:70-75)."""
+
+    source: object  # ITerm | IOrdered | ... | str
+    pivot: float = 1.0
+
+    def __str__(self) -> str:
+        return f"IntervalQuery({self.source})"
+
+
 @dataclass(frozen=True)
 class SynonymQuery(Query):
     """Terms scored as one pseudo-term: blended stats (df = max sub df,

@@ -1,0 +1,223 @@
+"""Minimal-interval algebra vs the reference's own golden vectors.
+
+Docs and expected interval sets ported from
+lucene/queries/src/test/org/apache/lucene/queries/intervals/
+TestIntervals.java (field1_docs:62-70, field2_docs:76-84 and the
+checkIntervals expectations of the cited test methods).  These pin the
+behavior of Intervals.term / ordered (incl. duplicate collapsing) /
+unordered (incl. repeats) / or / phrase / maxgaps and the gaps()
+accounting — no Spark involved.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_solr_8_7_0_spark.functions.analysis import analyze_batch
+from lucene_solr_8_7_0_spark.functions.intervals import (
+    interval_freq,
+    min_extent,
+    minimal_intervals,
+    saturation_score,
+)
+from lucene_solr_8_7_0_spark.plans.queries import (
+    IBlock,
+    IMaxGaps,
+    IMaxWidth,
+    IOr,
+    IOrdered,
+    IUnordered,
+)
+
+FIELD1 = [
+    "Nothing of interest to anyone here",
+    "Pease porridge hot, pease porridge cold, pease porridge in the pot nine days old.  Some like it hot, some like it cold, some like it in the pot nine days old",
+    "Pease porridge cold, pease porridge hot, pease porridge in the pot twelve days old.  Some like it cold, some like it hot, some like it in the fraggle",
+    "Nor here, nowt hot going on in pease this one",
+    "Pease porridge hot, pease porridge cold, pease porridge in the pot nine years old.  Some like it hot, some like it twelve",
+    "Porridge is great",
+]
+FIELD2 = [
+    "In Xanadu did Kubla Khan a stately pleasure dome decree",
+    "Where Alph the sacred river ran through caverns measureless to man",
+]
+
+
+def pos_maps(docs):
+    import pandas as pd
+
+    out = []
+    for text in docs:
+        tb = analyze_batch(pd.Series([text]), "standard")
+        pm = {}
+        for t, p in zip(tb.terms, tb.positions):
+            pm.setdefault(t, []).append(int(p))
+        out.append({t: np.asarray(v, np.int64) for t, v in pm.items()})
+    return out
+
+
+F1 = pos_maps(FIELD1)
+F2 = pos_maps(FIELD2)
+
+
+def ivs(src, pm):
+    return [(s, e) for s, e, _ in minimal_intervals(src, pm)]
+
+
+def pairs(flat):
+    return [(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)]
+
+
+def check(src, maps, expected_per_doc):
+    for d, exp in enumerate(expected_per_doc):
+        assert ivs(src, maps[d]) == pairs(exp), f"doc {d}"
+
+
+def test_term_intervals():
+    # TestIntervals.testTermQueryIntervals
+    check("porridge", F1, [
+        [], [1, 1, 4, 4, 7, 7], [1, 1, 4, 4, 7, 7], [], [1, 1, 4, 4, 7, 7],
+        [0, 0],
+    ])
+
+
+def test_ordered_near_intervals():
+    # testOrderedNearIntervals
+    src = IOrdered(("pease", "hot"))
+    check(src, F1, [
+        [], [0, 2, 6, 17], [3, 5, 6, 21], [], [0, 2, 6, 17], [],
+    ])
+    assert min_extent(src) == 2
+
+
+def test_ordered_with_duplicates_and_gaps():
+    # testOrderedNearWithDuplicates (consecutive duplicate sources
+    # collapse to a repeat; gaps() counts uncovered positions)
+    src = IOrdered(("pease", "pease", "porridge"))
+    check(src, F1, [[], [0, 4, 3, 7], [0, 4, 3, 7], [], [0, 4, 3, 7], []])
+    gaps = [
+        (e - s + 1) - occ for s, e, occ in minimal_intervals(src, F1[1])
+    ]
+    assert gaps == [2, 2]  # assertGaps(source, 1, field1, {2, 2})
+
+
+def test_phrase_intervals():
+    # testPhraseIntervals
+    src = IBlock(("pease", "porridge"))
+    check(src, F1, [
+        [], [0, 1, 3, 4, 6, 7], [0, 1, 3, 4, 6, 7], [],
+        [0, 1, 3, 4, 6, 7], [],
+    ])
+
+
+def test_unordered_near_intervals():
+    # testUnorderedNearIntervals (+ gaps {1, 0, 10} on doc 1)
+    src = IUnordered(("pease", "hot"))
+    check(src, F1, [
+        [], [0, 2, 2, 3, 6, 17], [3, 5, 5, 6, 6, 21], [3, 7],
+        [0, 2, 2, 3, 6, 17], [],
+    ])
+    gaps = [
+        (e - s + 1) - occ for s, e, occ in minimal_intervals(src, F1[1])
+    ]
+    assert gaps == [1, 0, 10]
+
+
+def test_unordered_with_repeats():
+    # testUnorderedWithRepeats: duplicates need DISTINCT occurrences
+    src = IUnordered(("pease", "pease", "hot"))
+    check(src, F1, [
+        [], [0, 3, 2, 6, 3, 17], [0, 5, 3, 6], [], [0, 3, 2, 6, 3, 17], [],
+    ])
+
+
+def test_unordered_with_repeats_and_maxgaps():
+    # testUnorderedWithRepeatsAndMaxGaps
+    src = IMaxGaps(2, IUnordered(("pease", "pease", "hot")))
+    check(src, F1, [[], [0, 3, 2, 6], [3, 6], [], [0, 3, 2, 6], []])
+
+
+def test_interval_disjunction():
+    # testIntervalDisjunction
+    src = IOr(("pease", "hot", "notmatching"))
+    check(src, F1, [
+        [], [0, 0, 2, 2, 3, 3, 6, 6, 17, 17],
+        [0, 0, 3, 3, 5, 5, 6, 6, 21, 21], [3, 3, 7, 7],
+        [0, 0, 2, 2, 3, 3, 6, 6, 17, 17], [],
+    ])
+    assert min_extent(src) == 1
+
+
+def test_combination_disjunction_minimality():
+    # testCombinationDisjunction: the (alph .. measureless) chain is
+    # dropped because it properly contains (sacred .. measureless)
+    src = IOrdered((IOr(("alph", "sacred")), "measureless"))
+    check(src, F2, [[], [3, 8]])
+    assert min_extent(src) == 2
+
+
+def test_nesting():
+    # testNesting: unordered with a nested or
+    src = IUnordered(("pease", "porridge", IOr(("hot", "cold"))))
+    exp = [0, 2, 1, 3, 2, 4, 3, 5, 4, 6, 5, 7, 6, 17]
+    check(src, F1, [[], exp, exp, [], exp, []])
+    assert min_extent(src) == 3
+    gaps = [
+        (e - s + 1) - occ for s, e, occ in minimal_intervals(src, F1[1])
+    ]
+    assert gaps == [0, 0, 0, 0, 0, 0, 9]
+
+
+def test_interval_freq_and_saturation():
+    # IntervalScorer: freq = sum 1/max(width - minExtent + 1, 1);
+    # score = boost * (1 - pivot/(pivot + freq))
+    src = IOrdered(("pease", "hot"))
+    m = min_extent(src)
+    iv = minimal_intervals(src, F1[1])  # widths 3 and 12
+    freq = interval_freq(iv, m)
+    exp = np.float32(np.float32(1.0 / 2.0) + 1.0 / 11.0)
+    assert freq == exp
+    s = saturation_score(freq, pivot=1.0, boost=2.0)
+    assert s == np.float32(2.0 * (1.0 - 1.0 / (1.0 + float(freq))))
+
+
+def test_randomized_kernel_vs_exhaustive_brute():
+    """The iterator-style minimal-interval algorithms vs an independent
+    exhaustive-combination implementation (oracle), on random docs and
+    random source trees."""
+    import random
+
+    from lucene_solr_8_7_0_spark.functions.oracle import (
+        brute_minimal_intervals,
+    )
+
+    rng = random.Random(23)
+    vocab = ["a", "b", "c", "d"]
+    for trial in range(250):
+        doc = [rng.choice(vocab) for _ in range(rng.randint(4, 14))]
+        pm = {}
+        for i, t in enumerate(doc):
+            pm.setdefault(t, []).append(i)
+        pm = {t: np.asarray(v, np.int64) for t, v in pm.items()}
+
+        def rand_term():
+            return rng.choice(vocab)
+
+        def rand_src(depth):
+            kinds = ["term", "ordered", "unordered", "or", "block",
+                     "maxgaps", "maxwidth"]
+            k = rng.choice(kinds if depth < 2 else ["term"])
+            if k == "term":
+                return rand_term()
+            if k in ("ordered", "unordered", "or", "block"):
+                n = rng.randint(2, 3)
+                subs = tuple(rand_src(depth + 1) for _ in range(n))
+                return {"ordered": IOrdered, "unordered": IUnordered,
+                        "or": IOr, "block": IBlock}[k](subs)
+            if k == "maxgaps":
+                return IMaxGaps(rng.randint(0, 3), rand_src(depth + 1))
+            return IMaxWidth(rng.randint(1, 6), rand_src(depth + 1))
+
+        src = rand_src(0)
+        got = minimal_intervals(src, pm)
+        exp = brute_minimal_intervals(src, pm)
+        assert got == exp, (doc, src, got, exp)

@@ -664,3 +664,36 @@ def test_lmdirichlet_similarity_rank_identity(engine):
         )
         assert td.doc_ids.tolist() == full.doc_ids.tolist(), str(q)
         np.testing.assert_array_equal(td.scores, full.scores, err_msg=str(q))
+
+
+def test_interval_query_engine_vs_oracle(engine):
+    """IntervalQuery end-to-end: saturation-scored minimal intervals
+    through the distributed kernels == the exhaustive-combination
+    oracle, bitwise float32; composes inside BooleanQuery."""
+    from lucene_solr_8_7_0_spark.plans.queries import (
+        IMaxGaps,
+        IOr,
+        IOrdered,
+        IUnordered,
+    )
+
+    searcher, oi = engine
+    queries = [
+        Q.IntervalQuery(IOrdered(("public", "return"))),
+        Q.IntervalQuery(IUnordered(("public", "static", "return"))),
+        Q.IntervalQuery(IMaxGaps(3, IOrdered(("public", "return")))),
+        Q.IntervalQuery(IOrdered((IOr(("public", "static")), "return"))),
+        Q.IntervalQuery("import", pivot=2.0),
+    ]
+    for q in queries:
+        assert_identical(searcher, oi, q)
+        full = searcher.search(q, k=10, score_mode="complete")
+        td = searcher.search(q, k=10, total_hits_threshold=1)
+        assert td.doc_ids.tolist() == full.doc_ids.tolist(), str(q)
+        np.testing.assert_array_equal(td.scores, full.scores, err_msg=str(q))
+        # inside a boolean with a scored term + an exclusion
+        b = Q.Builder()
+        b.add(q, Q.Occur.SHOULD)
+        b.add(Q.TermQuery("import"), Q.Occur.SHOULD)
+        b.add(Q.TermQuery("zzz_nope"), Q.Occur.MUST_NOT)
+        assert_identical(searcher, oi, b.set_minimum_number_should_match(1).build())
