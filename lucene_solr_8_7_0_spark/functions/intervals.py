@@ -35,13 +35,19 @@ import numpy as np
 
 from ..plans.queries import (
     IBlock,
+    IContainedBy,
+    IContaining,
     IMaxGaps,
     IMaxWidth,
+    INotContainedBy,
+    INotContaining,
     IOr,
     IOrdered,
     ITerm,
     IUnordered,
 )
+
+_CONTAIN = (IContaining, IContainedBy, INotContaining, INotContainedBy)
 
 __all__ = [
     "minimal_intervals",
@@ -66,6 +72,10 @@ def min_extent(src) -> int:
         return min(min_extent(s) for s in src.sources)
     if isinstance(src, (IMaxGaps, IMaxWidth)):
         return min_extent(src.source)
+    if isinstance(src, (IContaining, INotContaining)):
+        return min_extent(src.big)
+    if isinstance(src, (IContainedBy, INotContainedBy)):
+        return min_extent(src.small)
     raise TypeError(type(src))
 
 
@@ -80,6 +90,8 @@ def all_terms(src) -> set[str]:
         return out
     if isinstance(src, (IMaxGaps, IMaxWidth)):
         return all_terms(src.source)
+    if isinstance(src, _CONTAIN):
+        return all_terms(src.big) | all_terms(src.small)
     raise TypeError(type(src))
 
 
@@ -99,6 +111,13 @@ def required_terms(src) -> set[str]:
         return set.intersection(*reqs) if reqs else set()
     if isinstance(src, (IMaxGaps, IMaxWidth)):
         return required_terms(src.source)
+    if isinstance(src, (IContaining, IContainedBy)):
+        # both sides must match for anything to be emitted
+        return required_terms(src.big) | required_terms(src.small)
+    if isinstance(src, INotContaining):
+        return required_terms(src.big)
+    if isinstance(src, INotContainedBy):
+        return required_terms(src.small)
     raise TypeError(type(src))
 
 
@@ -253,6 +272,31 @@ def minimal_intervals(src, pos: dict[str, np.ndarray]) -> list:
         return [
             iv for iv in minimal_intervals(src.source, pos)
             if iv[1] - iv[0] + 1 <= src.width
+        ]
+    if isinstance(src, _CONTAIN):
+        # containment filters over the two sides' minimal sets
+        # (Containing/ContainedBy/NotContaining/NotContainedBy
+        # IntervalsSource) — the emitted side's set stays minimal, so
+        # no re-minimalization is needed
+        if isinstance(src, (IContaining, INotContaining)):
+            emit, other, want = (
+                minimal_intervals(src.big, pos),
+                minimal_intervals(src.small, pos),
+                isinstance(src, IContaining),
+            )
+            def hit(b, s):  # big contains small
+                return b[0] <= s[0] and s[1] <= b[1]
+        else:
+            emit, other, want = (
+                minimal_intervals(src.small, pos),
+                minimal_intervals(src.big, pos),
+                isinstance(src, IContainedBy),
+            )
+            def hit(s, b):  # small inside big
+                return b[0] <= s[0] and s[1] <= b[1]
+        return [
+            iv for iv in emit
+            if any(hit(iv, o) for o in other) == want
         ]
     raise TypeError(type(src))
 

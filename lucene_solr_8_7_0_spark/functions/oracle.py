@@ -360,7 +360,8 @@ def _brute_all_intervals(src, pos: dict) -> set:
     import itertools
 
     from ..plans.queries import (
-        IBlock, IMaxGaps, IMaxWidth, IOr, IOrdered, ITerm, IUnordered,
+        IBlock, IContainedBy, IContaining, IMaxGaps, IMaxWidth,
+        INotContainedBy, INotContaining, IOr, IOrdered, ITerm, IUnordered,
     )
     from .intervals import _dedup_runs, min_extent
 
@@ -424,6 +425,22 @@ def _brute_all_intervals(src, pos: dict) -> set:
             iv for iv in brute_minimal_intervals(src.source, pos)
             if iv[1] - iv[0] + 1 <= src.width
         }
+    if isinstance(src, (IContaining, INotContaining)):
+        big = brute_minimal_intervals(src.big, pos)
+        small = brute_minimal_intervals(src.small, pos)
+        want = isinstance(src, IContaining)
+        return {
+            b for b in big
+            if any(b[0] <= s[0] and s[1] <= b[1] for s in small) == want
+        }
+    if isinstance(src, (IContainedBy, INotContainedBy)):
+        big = brute_minimal_intervals(src.big, pos)
+        small = brute_minimal_intervals(src.small, pos)
+        want = isinstance(src, IContainedBy)
+        return {
+            s for s in small
+            if any(b[0] <= s[0] and s[1] <= b[1] for b in big) == want
+        }
     raise TypeError(type(src))
 
 
@@ -449,24 +466,9 @@ def _eval_intervals(oi: OracleIndex, q, boost: float, scoring: bool):
     """IntervalQuery via the exhaustive brute set + saturation score."""
     from .intervals import interval_freq, min_extent, saturation_score
 
-    terms = set()
+    from .intervals import all_terms
 
-    def walk(s):
-        from ..plans.queries import (
-            IBlock, IMaxGaps, IMaxWidth, IOr, IOrdered, ITerm, IUnordered,
-        )
-
-        if isinstance(s, str):
-            terms.add(s)
-        elif isinstance(s, ITerm):
-            terms.add(s.term)
-        elif isinstance(s, (IOrdered, IBlock, IUnordered, IOr)):
-            for x in s.sources:
-                walk(x)
-        else:
-            walk(s.source)
-
-    walk(q.source)
+    terms = all_terms(q.source)
     cand = sorted({
         d for t in terms for d in oi.positions.get(t, {})
     })

@@ -177,6 +177,42 @@ class IBlock:
 
 
 @dataclass(frozen=True)
+class IContaining:
+    """Intervals.containing (ContainingIntervalsSource): intervals of
+    ``big`` that contain at least one interval of ``small``."""
+
+    big: object
+    small: object
+
+
+@dataclass(frozen=True)
+class IContainedBy:
+    """Intervals.containedBy (ContainedByIntervalsSource): intervals of
+    ``small`` lying inside some interval of ``big``."""
+
+    small: object
+    big: object
+
+
+@dataclass(frozen=True)
+class INotContaining:
+    """Intervals.notContaining: intervals of ``big`` containing NO
+    interval of ``small`` (NotContainingIntervalsSource)."""
+
+    big: object
+    small: object
+
+
+@dataclass(frozen=True)
+class INotContainedBy:
+    """Intervals.notContainedBy: intervals of ``small`` inside NO
+    interval of ``big`` (NotContainedByIntervalsSource)."""
+
+    small: object
+    big: object
+
+
+@dataclass(frozen=True)
 class IMaxGaps:
     """Intervals.maxgaps (FilteredIntervalsSource.maxGaps): keep inner
     intervals whose total internal gap count <= gaps."""

@@ -202,9 +202,14 @@ def test_randomized_kernel_vs_exhaustive_brute():
         def rand_term():
             return rng.choice(vocab)
 
+        from lucene_solr_8_7_0_spark.plans.queries import (
+            IContainedBy, IContaining, INotContainedBy, INotContaining,
+        )
+
         def rand_src(depth):
             kinds = ["term", "ordered", "unordered", "or", "block",
-                     "maxgaps", "maxwidth"]
+                     "maxgaps", "maxwidth", "containing", "contained_by",
+                     "not_containing", "not_contained_by"]
             k = rng.choice(kinds if depth < 2 else ["term"])
             if k == "term":
                 return rand_term()
@@ -215,9 +220,37 @@ def test_randomized_kernel_vs_exhaustive_brute():
                         "or": IOr, "block": IBlock}[k](subs)
             if k == "maxgaps":
                 return IMaxGaps(rng.randint(0, 3), rand_src(depth + 1))
-            return IMaxWidth(rng.randint(1, 6), rand_src(depth + 1))
+            if k == "maxwidth":
+                return IMaxWidth(rng.randint(1, 6), rand_src(depth + 1))
+            a, b = rand_src(depth + 1), rand_src(depth + 1)
+            return {"containing": lambda: IContaining(a, b),
+                    "contained_by": lambda: IContainedBy(a, b),
+                    "not_containing": lambda: INotContaining(a, b),
+                    "not_contained_by": lambda: INotContainedBy(a, b)}[k]()
 
         src = rand_src(0)
         got = minimal_intervals(src, pm)
         exp = brute_minimal_intervals(src, pm)
         assert got == exp, (doc, src, got, exp)
+
+
+def test_containment_filters():
+    # testContainedBy / testContaining / testNotContaining
+    from lucene_solr_8_7_0_spark.plans.queries import (
+        IContainedBy,
+        IContaining,
+        INotContaining,
+    )
+
+    src = IContainedBy("porridge", IOrdered(("pease", "cold")))
+    check(src, F1, [
+        [], [4, 4, 7, 7], [1, 1, 7, 7], [], [4, 4], [],
+    ])
+    src = IContaining(IOrdered(("pease", "cold")), "porridge")
+    check(src, F1, [
+        [], [3, 5, 6, 21], [0, 2, 6, 17], [], [3, 5], [],
+    ])
+    src = INotContaining(IOrdered(("porridge", "pease")), "hot")
+    check(src, F1, [
+        [], [4, 6], [1, 3], [], [4, 6], [],
+    ])
