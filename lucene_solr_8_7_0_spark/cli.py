@@ -235,7 +235,7 @@ def main(argv=None) -> None:
     s.add_argument("--k", type=int, default=10)
     s.add_argument(
         "--similarity", default=None,
-        choices=["bm25", "classic", "lmdirichlet"],
+        choices=["bm25", "classic", "lmdirichlet", "boolean"],
         help="override the index default scoring model for this search",
     )
     s.set_defaults(fn=cmd_search)

@@ -90,6 +90,25 @@ class BM25Scorer:
         return np.float32(s.max())
 
 
+@dataclass
+class BooleanSimScorer:
+    """BooleanSimilarity (L/search/similarities/BooleanSimilarity.java:
+    35-47): every match scores exactly the query boost — no tf, no
+    idf, no length normalization."""
+
+    weight: np.float32
+
+    @classmethod
+    def create(cls, boost: float) -> "BooleanSimScorer":
+        return cls(weight=np.float32(boost))
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        return np.full(len(np.asarray(freqs)), self.weight, dtype=np.float32)
+
+    def max_score(self, impacts: np.ndarray) -> np.float32:
+        return self.weight
+
+
 def sum_scores_f32(per_clause: list[np.ndarray]) -> np.ndarray:
     """Sum aligned per-clause float32 score arrays the way Lucene does:
     accumulate in float64, cast the result to float32."""

@@ -127,6 +127,10 @@ def _scorer(oi: OracleIndex, idf_val, boost: float):
 def _term_scorer(oi: OracleIndex, boost: float, term: str):
     """Per-term scorer under the configured similarity (mirrors
     CollectionStats.term_scorer)."""
+    if oi.cfg.similarity == "boolean":
+        from .bm25 import BooleanSimScorer
+
+        return BooleanSimScorer.create(boost)
     if oi.cfg.similarity == "lmdirichlet":
         from .lm import LMDirichletScorer
 
@@ -139,6 +143,10 @@ def _term_scorer(oi: OracleIndex, boost: float, term: str):
 def _phrase_scorer(oi: OracleIndex, boost: float, terms):
     """Phrase-clause scorer (mirrors CollectionStats.phrase_scorer):
     idf-family sums idfs; LM sums per-term scorers (MultiSimScorer)."""
+    if oi.cfg.similarity == "boolean":
+        from .bm25 import BooleanSimScorer
+
+        return BooleanSimScorer.create(boost)
     if oi.cfg.similarity == "lmdirichlet":
         from .lm import LMDirichletScorer, SumScorer
 
@@ -319,7 +327,11 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
         docs = agg.index.to_numpy(dtype=np.int64)
         if not scoring:
             return docs, np.zeros(len(docs), np.float32)
-        if oi.cfg.similarity == "lmdirichlet":
+        if oi.cfg.similarity == "boolean":
+            from .bm25 import BooleanSimScorer
+
+            sc = BooleanSimScorer.create(boost)
+        elif oi.cfg.similarity == "lmdirichlet":
             from .lm import LMDirichletScorer
 
             sc = LMDirichletScorer.create(

@@ -88,7 +88,12 @@ class CollectionStats:
     def term_scorer(self, boost: float, df: int, ttf: int):
         """Bound SimScorer for ONE term (similarity.scorer() in
         TermWeight): BM25/classic consume (df -> idf); LMDirichlet
-        consumes the collection language model (ttf, sum_ttf)."""
+        consumes the collection language model (ttf, sum_ttf);
+        "boolean" scores the bare boost (BooleanSimilarity)."""
+        if self.similarity == "boolean":
+            from ..functions.bm25 import BooleanSimScorer
+
+            return BooleanSimScorer.create(boost)
         if self.similarity == "lmdirichlet":
             from ..functions.lm import LMDirichletScorer
 
@@ -101,6 +106,10 @@ class CollectionStats:
         one scorer (BM25Similarity.idfExplain(termStats[]));
         SimilarityBase models sum per-term scorers (MultiSimScorer,
         SimilarityBase.java:209-232)."""
+        if self.similarity == "boolean":
+            from ..functions.bm25 import BooleanSimScorer
+
+            return BooleanSimScorer.create(boost)
         if self.similarity == "lmdirichlet":
             from ..functions.lm import LMDirichletScorer, SumScorer
 

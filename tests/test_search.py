@@ -697,3 +697,31 @@ def test_interval_query_engine_vs_oracle(engine):
         b.add(Q.TermQuery("import"), Q.Occur.SHOULD)
         b.add(Q.TermQuery("zzz_nope"), Q.Occur.MUST_NOT)
         assert_identical(searcher, oi, b.set_minimum_number_should_match(1).build())
+
+
+def test_boolean_similarity(engine):
+    """BooleanSimilarity: every match scores the bare boost; ties break
+    by doc id; engine == oracle bitwise incl. a boosted clause sum."""
+    import dataclasses
+
+    searcher, oi = engine
+    oi_b = dataclasses.replace(
+        oi, cfg=dataclasses.replace(oi.cfg, similarity="boolean")
+    )
+    for q in [
+        Q.TermQuery("public"),
+        Q.BoostQuery(Q.TermQuery("public"), 2.5),
+        Q.term_or(["public", "return"], 1),
+        Q.PhraseQuery(("public", "return")),
+    ]:
+        td = searcher.search(
+            q, k=10, total_hits_threshold=1, similarity="boolean"
+        )
+        exp = oracle_search(oi_b, rewrite(q, searcher._term_lookup), k=10)
+        assert td.doc_ids.tolist() == exp.doc_ids.tolist(), str(q)
+        np.testing.assert_array_equal(td.scores, exp.scores, err_msg=str(q))
+    one = searcher.search(
+        Q.TermQuery("public"), k=5, similarity="boolean"
+    )
+    assert set(one.scores.tolist()) == {1.0}
+    assert one.doc_ids.tolist() == sorted(one.doc_ids.tolist())
