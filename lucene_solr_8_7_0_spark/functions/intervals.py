@@ -39,6 +39,7 @@ from ..plans.queries import (
     IContaining,
     IMaxGaps,
     IMaxWidth,
+    IMultiTerm,
     INotContainedBy,
     INotContaining,
     IOr,
@@ -50,6 +51,7 @@ from ..plans.queries import (
 _CONTAIN = (IContaining, IContainedBy, INotContaining, INotContainedBy)
 
 __all__ = [
+    "resolve_multiterm",
     "minimal_intervals",
     "min_extent",
     "required_terms",
@@ -64,8 +66,8 @@ def _norm(src):
 
 def min_extent(src) -> int:
     src = _norm(src)
-    if isinstance(src, ITerm):
-        return 1
+    if isinstance(src, (ITerm, IMultiTerm)):
+        return 1  # MultiTermIntervalsSource.minExtent() == 1
     if isinstance(src, (IOrdered, IUnordered, IBlock)):
         return sum(min_extent(s) for s in src.sources)
     if isinstance(src, IOr):
@@ -92,6 +94,8 @@ def all_terms(src) -> set[str]:
         return all_terms(src.source)
     if isinstance(src, _CONTAIN):
         return all_terms(src.big) | all_terms(src.small)
+    if isinstance(src, IMultiTerm):
+        return set()  # dynamic: expands per segment (resolve_multiterm)
     raise TypeError(type(src))
 
 
@@ -118,7 +122,57 @@ def required_terms(src) -> set[str]:
         return required_terms(src.big)
     if isinstance(src, INotContainedBy):
         return required_terms(src.small)
+    if isinstance(src, IMultiTerm):
+        return set()
     raise TypeError(type(src))
+
+
+_NO_MATCH = "\x00__interval_no_match__"
+
+
+def resolve_multiterm(src, available_terms) -> object:
+    """Replace every IMultiTerm with the IOr of its matching terms
+    among ``available_terms`` (the segment-local term dictionary) —
+    the per-leaf automaton expansion of MultiTermIntervalsSource.
+    Raises like the reference when the cap is exceeded; an expansion
+    with no matches becomes a never-matching term."""
+    src = _norm(src)
+    if isinstance(src, IMultiTerm):
+        from ..plans.rewrite import term_predicate
+
+        pred = term_predicate(src.query)
+        matches = sorted(t for t in available_terms if pred(t))
+        if len(matches) > src.max_expansions:
+            raise ValueError(
+                f"Automaton [{src.query}] expanded to too many terms "
+                f"(limit {src.max_expansions})"
+            )
+        if not matches:
+            return ITerm(_NO_MATCH)
+        if len(matches) == 1:
+            return ITerm(matches[0])
+        return IOr(tuple(ITerm(t) for t in matches))
+    if isinstance(src, (IOrdered, IUnordered, IBlock, IOr)):
+        return type(src)(tuple(
+            resolve_multiterm(s, available_terms) for s in src.sources
+        ))
+    if isinstance(src, (IMaxGaps, IMaxWidth)):
+        return type(src)(
+            src.gaps if isinstance(src, IMaxGaps) else src.width,
+            resolve_multiterm(src.source, available_terms),
+        )
+    if isinstance(src, _CONTAIN):
+        return type(src)(
+            resolve_multiterm(
+                src.big if isinstance(src, (IContaining, INotContaining))
+                else src.small, available_terms,
+            ),
+            resolve_multiterm(
+                src.small if isinstance(src, (IContaining, INotContaining))
+                else src.big, available_terms,
+            ),
+        )
+    return src
 
 
 def _minimalize(ivs: list) -> list:

@@ -478,13 +478,14 @@ def _eval_intervals(oi: OracleIndex, q, boost: float, scoring: bool):
     """IntervalQuery via the exhaustive brute set + saturation score."""
     from .intervals import interval_freq, min_extent, saturation_score
 
-    from .intervals import all_terms
+    from .intervals import all_terms, resolve_multiterm
 
-    terms = all_terms(q.source)
+    source = resolve_multiterm(q.source, sorted(oi.positions))
+    terms = all_terms(source)
     cand = sorted({
         d for t in terms for d in oi.positions.get(t, {})
     })
-    m_ext = min_extent(q.source)
+    m_ext = min_extent(source)
     out_d, out_s = [], []
     for d in cand:
         pos = {
@@ -492,7 +493,7 @@ def _eval_intervals(oi: OracleIndex, q, boost: float, scoring: bool):
             for t in terms
             if t in oi.positions and d in oi.positions[t]
         }
-        ivs = brute_minimal_intervals(q.source, pos)
+        ivs = brute_minimal_intervals(source, pos)
         if not ivs:
             continue
         out_d.append(d)

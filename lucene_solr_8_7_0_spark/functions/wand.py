@@ -414,10 +414,18 @@ def _intervals_docs_scores(
         min_extent,
         minimal_intervals,
         required_terms,
+        resolve_multiterm,
         saturation_score,
     )
 
     src, pivot, boost = clause.interval_q
+    # expand any multi-term sources against this segment's local terms
+    # (MultiTermIntervalsSource per-leaf expansion; reserved tokens are
+    # never candidates)
+    src = resolve_multiterm(
+        src,
+        [t for t in posting_map if not t.startswith(("\x00", "\x01"))],
+    )
     decoded = {}
     for t in sorted(all_terms(src)):
         tp = posting_map.get(t)

@@ -159,9 +159,30 @@ def collect_multi_term_preds(q: Query) -> list[MultiTermUnionQuery]:
     """All MultiTermUnionQuery leaves, in deterministic order — the
     searcher ORs their JVM term conditions into the postings scan so
     the matching rows reach the kernels without a driver-side term
-    list."""
+    list.  IMultiTerm interval sources contribute their inner
+    multi-term queries the same way (their expansion is likewise
+    segment-local)."""
     if isinstance(q, MultiTermUnionQuery):
         return [q]
+    if isinstance(q, IntervalQuery):
+        from ..plans.queries import IMultiTerm
+
+        out: list[MultiTermUnionQuery] = []
+
+        def walk_src(s):
+            if isinstance(s, IMultiTerm):
+                out.append(MultiTermUnionQuery(s.query))
+            elif hasattr(s, "sources"):
+                for x in s.sources:
+                    walk_src(x)
+            elif hasattr(s, "source"):
+                walk_src(s.source)
+            elif hasattr(s, "big"):
+                walk_src(s.big)
+                walk_src(s.small)
+
+        walk_src(q.source)
+        return out
     if isinstance(q, DisjunctionMaxQuery):
         out: list[MultiTermUnionQuery] = []
         for sub in q.queries:

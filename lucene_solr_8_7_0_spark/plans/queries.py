@@ -213,6 +213,21 @@ class INotContainedBy:
 
 
 @dataclass(frozen=True)
+class IMultiTerm:
+    """Intervals.prefix / Intervals.wildcard (MultiTermIntervalsSource
+    .java:41-67): the automaton's matching terms expand to an interval
+    disjunction, capped at ``max_expansions`` PER SEGMENT (the
+    reference counts per leaf and throws IllegalStateException beyond
+    the cap).  ``query`` is any multi-term Query (PrefixQuery,
+    WildcardQuery, RegexpQuery, TermRangeQuery, ...) — its exact match
+    predicate expands against segment-local terms at evaluation time,
+    with the scan predicate pushed down like MultiTermUnionQuery."""
+
+    query: object
+    max_expansions: int = 128
+
+
+@dataclass(frozen=True)
 class IMaxGaps:
     """Intervals.maxgaps (FilteredIntervalsSource.maxGaps): keep inner
     intervals whose total internal gap count <= gaps."""

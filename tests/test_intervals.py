@@ -254,3 +254,52 @@ def test_containment_filters():
     check(src, F1, [
         [], [4, 6], [1, 3], [], [4, 6], [],
     ])
+
+
+def test_multiterm_prefix_and_wildcard():
+    # testPrefix / testWildcard: automaton expansion over the doc's
+    # vocabulary (resolution is per available-term set)
+    from lucene_solr_8_7_0_spark.functions.intervals import (
+        resolve_multiterm,
+    )
+    from lucene_solr_8_7_0_spark.plans.queries import (
+        IMultiTerm,
+        PrefixQuery,
+        WildcardQuery,
+    )
+
+    def mt_ivs(node, pm):
+        return [
+            (s, e)
+            for s, e, _ in minimal_intervals(
+                resolve_multiterm(node, sorted(pm)), pm
+            )
+        ]
+
+    pre = IMultiTerm(PrefixQuery("p"))
+    exp = [
+        [],
+        [0, 0, 1, 1, 3, 3, 4, 4, 6, 6, 7, 7, 10, 10, 27, 27],
+        [0, 0, 1, 1, 3, 3, 4, 4, 6, 6, 7, 7, 10, 10],
+        [7, 7],
+        [0, 0, 1, 1, 3, 3, 4, 4, 6, 6, 7, 7, 10, 10],
+        [0, 0],
+    ]
+    for d in range(6):
+        assert mt_ivs(pre, F1[d]) == pairs(exp[d]), d
+    wc = IMultiTerm(WildcardQuery("?ot"))
+    exp = [
+        [], [2, 2, 10, 10, 17, 17, 27, 27], [5, 5, 10, 10, 21, 21],
+        [3, 3], [2, 2, 10, 10, 17, 17], [],
+    ]
+    for d in range(6):
+        assert mt_ivs(wc, F1[d]) == pairs(exp[d]), d
+    # expansion cap: the reference throws beyond maxExpansions
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="too many terms"):
+        resolve_multiterm(
+            IMultiTerm(PrefixQuery("p"), max_expansions=2), sorted(F1[1])
+        )
+    # no matching terms -> never matches
+    assert mt_ivs(IMultiTerm(PrefixQuery("qqq")), F1[1]) == []

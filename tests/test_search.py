@@ -725,3 +725,25 @@ def test_boolean_similarity(engine):
     )
     assert set(one.scores.tolist()) == {1.0}
     assert one.doc_ids.tolist() == sorted(one.doc_ids.tolist())
+
+
+def test_interval_multiterm_engine(engine):
+    """Intervals.prefix/wildcard inside IntervalQuery: segment-local
+    automaton expansion rides the multi-term scan pushdown; engine ==
+    exhaustive oracle bitwise."""
+    from lucene_solr_8_7_0_spark.plans.queries import (
+        IMultiTerm,
+        IOrdered,
+    )
+
+    searcher, oi = engine
+    queries = [
+        Q.IntervalQuery(IOrdered((IMultiTerm(Q.PrefixQuery("pub")), "return"))),
+        Q.IntervalQuery(IMultiTerm(Q.WildcardQuery("*lic"))),
+    ]
+    for q in queries:
+        assert_identical(searcher, oi, q)
+        full = searcher.search(q, k=10, score_mode="complete")
+        td = searcher.search(q, k=10, total_hits_threshold=1)
+        assert td.doc_ids.tolist() == full.doc_ids.tolist(), str(q)
+        np.testing.assert_array_equal(td.scores, full.scores, err_msg=str(q))
