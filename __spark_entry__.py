@@ -851,18 +851,40 @@ def _q_facet_tags(spark, sf_dir):
 
 
 def _q_intervals_topk(spark, sf_dir):
-    """Minimal-interval family (queries/intervals): top-10 for
-    IntervalQuery(maxgaps(3, ordered(data, join))) — saturation score
-    over the sloppy frequency of MINIMAL ordered intervals.  The SQL
-    oracle reconstructs the minimal set exactly: candidate (p, next
-    join-position after p), keep per distinct end the largest start
-    (the containment filter for 2-term ordered chains), filter gaps <=
-    3, freq = sum 1/(width - 1), score = 1 - 1/(1 + freq)."""
-    from lucene_solr_8_7_0_spark.plans.queries import IMaxGaps, IOrdered
+    """Minimal-interval family (queries/intervals), three tagged
+    variants, each a top-10 by saturation score over the sloppy
+    frequency of MINIMAL intervals:
+
+    - ``maxgaps``: maxgaps(3, ordered(data, join)) — the oracle
+      reconstructs the minimal 2-term ordered set (per distinct end,
+      the largest start), filters gaps <= 3, freq = sum 1/(w - 1).
+    - ``before``: Intervals.before(data, join) == containedBy(data,
+      extend(PRECEDING(join), MAX, 0)) — a data position matches iff
+      it lies strictly before the LAST join position; freq = count.
+    - ``atleast``: Intervals.atLeast(2, data, join, table)
+      (MinimumShouldMatchIntervalsSource) — the oracle enumerates all
+      cross-term pair windows, minimalizes (no proper superset kept),
+      freq = sum 1/max(w - 1, 1)."""
+    from lucene_solr_8_7_0_spark.plans.queries import (
+        IAtLeast,
+        IMaxGaps,
+        IOrdered,
+        intervals_before,
+    )
 
     s = _searcher(spark, sf_dir)
-    q = Q.IntervalQuery(IMaxGaps(3, IOrdered(("data", "join"))))
-    return _ranked_topk(spark, s, q)
+    variants = [
+        ("maxgaps", Q.IntervalQuery(IMaxGaps(3, IOrdered(("data", "join"))))),
+        ("before", Q.IntervalQuery(intervals_before("data", "join"))),
+        ("atleast", Q.IntervalQuery(IAtLeast(2, ("data", "join", "table")))),
+    ]
+    out = None
+    for tag, q in variants:
+        df = _ranked_topk(spark, s, q).select(
+            F.lit(tag).alias("variant"), "rank", "doc_id"
+        )
+        out = df if out is None else out.unionAll(df)
+    return out
 
 
 def _q_token_stats(spark, sf_dir):
@@ -1025,15 +1047,49 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
             kept AS (
               SELECT doc_id, s, e FROM mini WHERE (e - s + 1) - 2 <= 3),
-            freqs AS (
+            mg_scored AS (
               SELECT doc_id,
-                     sum(1.0 / greatest((e - s + 1) - 2 + 1, 1)) AS freq
+                     1.0 - 1.0 / (1.0 + sum(1.0 / greatest((e - s + 1) - 2 + 1, 1))) AS score
               FROM kept GROUP BY doc_id),
-            scored AS (
-              SELECT doc_id, 1.0 - 1.0 / (1.0 + freq) AS score FROM freqs)
-            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
-                   doc_id
-            FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
+            jmax AS (
+              SELECT doc_id, max(p) AS mx FROM pos WHERE tok = 'join'
+              GROUP BY doc_id),
+            bf_scored AS (
+              SELECT a.doc_id, 1.0 - 1.0 / (1.0 + count(*)) AS score
+              FROM pos a JOIN jmax USING (doc_id)
+              WHERE a.tok = 'data' AND a.p < mx
+              GROUP BY a.doc_id),
+            pcand AS (
+              SELECT DISTINCT a.doc_id, least(a.p, b.p) AS s,
+                     greatest(a.p, b.p) AS e
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND a.tok < b.tok
+              WHERE a.tok IN ('data', 'join', 'table')
+                AND b.tok IN ('data', 'join', 'table')),
+            pmini AS (
+              SELECT doc_id, s, e FROM pcand c
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pcand c2
+                WHERE c2.doc_id = c.doc_id AND c2.s >= c.s AND c2.e <= c.e
+                  AND (c2.s > c.s OR c2.e < c.e))),
+            al_scored AS (
+              SELECT doc_id,
+                     1.0 - 1.0 / (1.0 + sum(1.0 / greatest((e - s + 1) - 1, 1))) AS score
+              FROM pmini GROUP BY doc_id)
+            SELECT 'maxgaps' AS variant, rank, doc_id FROM (
+              SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM mg_scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10)
+            UNION ALL
+            SELECT 'before', rank, doc_id FROM (
+              SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM bf_scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10)
+            UNION ALL
+            SELECT 'atleast', rank, doc_id FROM (
+              SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM al_scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10)""",
         "span_family": """WITH pos AS (
               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
                      generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p

@@ -235,7 +235,9 @@ def main(argv=None) -> None:
     s.add_argument("--k", type=int, default=10)
     s.add_argument(
         "--similarity", default=None,
-        choices=["bm25", "classic", "lmdirichlet", "boolean"],
+        # bm25 | classic | lmdirichlet | lmjelinekmercer | boolean |
+        # dfr[:basic:ae:norm] | ib[:dist:lambda:norm] | dfi[:indep]
+        # (spec strings parsed by functions/dfr.make_sb_scorer)
         help="override the index default scoring model for this search",
     )
     s.set_defaults(fn=cmd_search)

@@ -34,21 +34,28 @@ from __future__ import annotations
 import numpy as np
 
 from ..plans.queries import (
+    IAtLeast,
     IBlock,
     IContainedBy,
     IContaining,
+    IExtend,
     IMaxGaps,
     IMaxWidth,
     IMultiTerm,
+    INonOverlapping,
     INotContainedBy,
     INotContaining,
+    IOffset,
     IOr,
     IOrdered,
+    IOverlapping,
     ITerm,
     IUnordered,
+    _I32MAX,
 )
 
 _CONTAIN = (IContaining, IContainedBy, INotContaining, INotContainedBy)
+_WRAP = (IMaxGaps, IMaxWidth, IExtend, IOffset)  # single-child filters
 
 __all__ = [
     "resolve_multiterm",
@@ -74,6 +81,19 @@ def min_extent(src) -> int:
         return min(min_extent(s) for s in src.sources)
     if isinstance(src, (IMaxGaps, IMaxWidth)):
         return min_extent(src.source)
+    if isinstance(src, IExtend):
+        # ExtendedIntervalsSource.minExtent saturates on i32 overflow
+        # (testDefinedGaps expects MAX for 1 + 5 + MAX)
+        return min(min_extent(src.source) + src.before + src.after, _I32MAX)
+    if isinstance(src, IOffset):
+        return 1  # OffsetIntervalsSource.minExtent() == 1
+    if isinstance(src, IOverlapping):
+        return min_extent(src.source)
+    if isinstance(src, INonOverlapping):
+        return min_extent(src.minuend)
+    if isinstance(src, IAtLeast):
+        exts = sorted(min_extent(s) for s in src.sources)
+        return sum(exts[: src.min_should_match])
     if isinstance(src, (IContaining, INotContaining)):
         return min_extent(src.big)
     if isinstance(src, (IContainedBy, INotContainedBy)):
@@ -85,13 +105,17 @@ def all_terms(src) -> set[str]:
     src = _norm(src)
     if isinstance(src, ITerm):
         return {src.term}
-    if isinstance(src, (IOrdered, IUnordered, IBlock, IOr)):
+    if isinstance(src, (IOrdered, IUnordered, IBlock, IOr, IAtLeast)):
         out: set[str] = set()
         for s in src.sources:
             out |= all_terms(s)
         return out
-    if isinstance(src, (IMaxGaps, IMaxWidth)):
+    if isinstance(src, _WRAP):
         return all_terms(src.source)
+    if isinstance(src, IOverlapping):
+        return all_terms(src.source) | all_terms(src.reference)
+    if isinstance(src, INonOverlapping):
+        return all_terms(src.minuend) | all_terms(src.subtrahend)
     if isinstance(src, _CONTAIN):
         return all_terms(src.big) | all_terms(src.small)
     if isinstance(src, IMultiTerm):
@@ -113,8 +137,24 @@ def required_terms(src) -> set[str]:
     if isinstance(src, IOr):
         reqs = [required_terms(s) for s in src.sources]
         return set.intersection(*reqs) if reqs else set()
-    if isinstance(src, (IMaxGaps, IMaxWidth)):
+    if isinstance(src, _WRAP):
         return required_terms(src.source)
+    if isinstance(src, IOverlapping):
+        # conjunction: both sides must be present in the doc
+        return required_terms(src.source) | required_terms(src.reference)
+    if isinstance(src, INonOverlapping):
+        # difference: only the minuend is required
+        return required_terms(src.minuend)
+    if isinstance(src, IAtLeast):
+        # a term is required iff its absence alone can break every
+        # m-subset: it must be required by > n - m of the sources
+        n, m = len(src.sources), src.min_should_match
+        reqs = [required_terms(s) for s in src.sources]
+        counts: dict[str, int] = {}
+        for r in reqs:
+            for t in r:
+                counts[t] = counts.get(t, 0) + 1
+        return {t for t, c in counts.items() if c > n - m}
     if isinstance(src, (IContaining, IContainedBy)):
         # both sides must match for anything to be emitted
         return required_terms(src.big) | required_terms(src.small)
@@ -156,10 +196,33 @@ def resolve_multiterm(src, available_terms) -> object:
         return type(src)(tuple(
             resolve_multiterm(s, available_terms) for s in src.sources
         ))
+    if isinstance(src, IAtLeast):
+        return IAtLeast(src.min_should_match, tuple(
+            resolve_multiterm(s, available_terms) for s in src.sources
+        ))
     if isinstance(src, (IMaxGaps, IMaxWidth)):
         return type(src)(
             src.gaps if isinstance(src, IMaxGaps) else src.width,
             resolve_multiterm(src.source, available_terms),
+        )
+    if isinstance(src, IExtend):
+        return IExtend(
+            resolve_multiterm(src.source, available_terms),
+            src.before, src.after,
+        )
+    if isinstance(src, IOffset):
+        return IOffset(
+            resolve_multiterm(src.source, available_terms), src.preceding
+        )
+    if isinstance(src, IOverlapping):
+        return IOverlapping(
+            resolve_multiterm(src.source, available_terms),
+            resolve_multiterm(src.reference, available_terms),
+        )
+    if isinstance(src, INonOverlapping):
+        return INonOverlapping(
+            resolve_multiterm(src.minuend, available_terms),
+            resolve_multiterm(src.subtrahend, available_terms),
         )
     if isinstance(src, _CONTAIN):
         return type(src)(
@@ -241,6 +304,32 @@ def _chain_ordered(sub_lists: list[list]) -> list:
     return _minimalize(out)
 
 
+def _sweep_cover(subs: list[list]) -> list:
+    """Candidate covering windows — one interval from each list, any
+    order, overlaps allowed (UnorderedIntervalIterator's priority
+    queue, comparator start asc / end desc, UnorderedIntervalsSource
+    .java:115-148): record the current covering window, advance the
+    earliest-starting sub, repeat — O(total intervals) candidates,
+    NOT minimalized."""
+    if any(len(sl) == 0 for sl in subs):
+        return []
+    nsub = len(subs)
+    ptrs = [0] * nsub
+    out = []
+    while True:
+        cur = [subs[i][ptrs[i]] for i in range(nsub)]
+        out.append((
+            min(iv[0] for iv in cur),
+            max(iv[1] for iv in cur),
+            sum(iv[2] for iv in cur),
+        ))
+        adv = min(range(nsub), key=lambda j: (cur[j][0], -cur[j][1]))
+        ptrs[adv] += 1
+        if ptrs[adv] >= len(subs[adv]):
+            break
+    return out
+
+
 def minimal_intervals(src, pos: dict[str, np.ndarray]) -> list:
     """All minimal intervals of ``src`` in one document, as sorted
     (start, end, occupied) tuples.  ``pos``: term -> sorted positions
@@ -288,30 +377,7 @@ def minimal_intervals(src, pos: dict[str, np.ndarray]) -> list:
         subs = [
             _repeat(minimal_intervals(s, pos), k) for s, k in groups
         ]
-        if any(len(sl) == 0 for sl in subs):
-            return []
-        # queue-style minimal-window sweep (UnorderedIntervalIterator's
-        # priority queue, comparator start asc / end desc,
-        # UnorderedIntervalsSource.java:115-148): record the current
-        # covering window, advance the earliest-starting sub, repeat —
-        # O(total intervals) candidates, then minimalize
-        nsub = len(subs)
-        ptrs = [0] * nsub
-        out = []
-        while True:
-            cur = [subs[i][ptrs[i]] for i in range(nsub)]
-            out.append((
-                min(iv[0] for iv in cur),
-                max(iv[1] for iv in cur),
-                sum(iv[2] for iv in cur),
-            ))
-            adv = min(
-                range(nsub), key=lambda j: (cur[j][0], -cur[j][1])
-            )
-            ptrs[adv] += 1
-            if ptrs[adv] >= len(subs[adv]):
-                break
-        return _minimalize(out)
+        return _minimalize(_sweep_cover(subs))
     if isinstance(src, IOr):
         out = []
         for s in src.sources:
@@ -327,6 +393,61 @@ def minimal_intervals(src, pos: dict[str, np.ndarray]) -> list:
             iv for iv in minimal_intervals(src.source, pos)
             if iv[1] - iv[0] + 1 <= src.width
         ]
+    if isinstance(src, IExtend):
+        # ExtendedIntervalIterator: stretch bounds, clamp start at 0,
+        # saturate end below NO_MORE_INTERVALS; no re-minimalization
+        # (testDefinedGaps keeps the contained (5,MAX-1) AND both
+        # (0,MAX-1)s).  gaps() delegates to the inner iterator, so
+        # occupied grows by exactly the applied extension.
+        out = []
+        for s, e, o in minimal_intervals(src.source, pos):
+            ns = max(0, s - src.before)
+            ne = min(e + src.after, _I32MAX - 1)
+            out.append((ns, ne, o + (s - ns) + (ne - e)))
+        return out
+    if isinstance(src, IOffset):
+        # OffsetIntervalIterator: width-1 markers, duplicates kept
+        # (testOffsetIntervals expects {0,0} twice on doc 1)
+        if src.preceding:
+            return [
+                (max(0, s - 1), max(0, s - 1), 1)
+                for s, _e, _o in minimal_intervals(src.source, pos)
+            ]
+        return [
+            (min(e + 1, _I32MAX - 1), min(e + 1, _I32MAX - 1), 1)
+            for _s, e, _o in minimal_intervals(src.source, pos)
+        ]
+    if isinstance(src, (IOverlapping, INonOverlapping)):
+        if isinstance(src, IOverlapping):
+            emit = minimal_intervals(src.source, pos)
+            other = minimal_intervals(src.reference, pos)
+            want = True
+        else:
+            emit = minimal_intervals(src.minuend, pos)
+            other = minimal_intervals(src.subtrahend, pos)
+            want = False
+        return [
+            iv for iv in emit
+            if any(o[0] <= iv[1] and iv[0] <= o[1] for o in other) == want
+        ]
+    if isinstance(src, IAtLeast):
+        # MinimumShouldMatchIntervalIterator == unordered-style covers
+        # over every size-m choice of sources with intervals in the
+        # doc, then global minimalization (no distinct-occurrence rule:
+        # equal sources may share a position).  Verified against
+        # testMinimumShouldMatch's vectors and gaps.
+        from itertools import combinations
+
+        live = [
+            sl for sl in (minimal_intervals(s, pos) for s in src.sources)
+            if sl
+        ]
+        if len(live) < src.min_should_match:
+            return []
+        out = []
+        for combo in combinations(live, src.min_should_match):
+            out.extend(_sweep_cover(list(combo)))
+        return _minimalize(out)
     if isinstance(src, _CONTAIN):
         # containment filters over the two sides' minimal sets
         # (Containing/ContainedBy/NotContaining/NotContainedBy

@@ -131,11 +131,18 @@ def _term_scorer(oi: OracleIndex, boost: float, term: str):
         from .bm25 import BooleanSimScorer
 
         return BooleanSimScorer.create(boost)
-    if oi.cfg.similarity == "lmdirichlet":
-        from .lm import LMDirichletScorer
+    if oi.cfg.similarity in ("lmdirichlet", "lmjelinekmercer"):
+        from .lm import make_lm_scorer
 
-        return LMDirichletScorer.create(
-            boost, oi.term_ttf.get(term, 0), oi.sum_ttf
+        return make_lm_scorer(
+            oi.cfg.similarity, boost, oi.term_ttf.get(term, 0), oi.sum_ttf
+        )
+    from .dfr import is_similarity_base, make_sb_scorer
+
+    if is_similarity_base(oi.cfg.similarity):
+        return make_sb_scorer(
+            oi.cfg.similarity, boost, oi.term_df.get(term, 0),
+            oi.term_ttf.get(term, 0), oi.doc_count, oi.sum_ttf,
         )
     return _scorer(oi, _idf(oi, oi.term_df.get(term, 0)), boost)
 
@@ -147,11 +154,25 @@ def _phrase_scorer(oi: OracleIndex, boost: float, terms):
         from .bm25 import BooleanSimScorer
 
         return BooleanSimScorer.create(boost)
-    if oi.cfg.similarity == "lmdirichlet":
-        from .lm import LMDirichletScorer, SumScorer
+    if oi.cfg.similarity in ("lmdirichlet", "lmjelinekmercer"):
+        from .lm import SumScorer, make_lm_scorer
 
         return SumScorer(tuple(
-            LMDirichletScorer.create(boost, oi.term_ttf.get(t, 0), oi.sum_ttf)
+            make_lm_scorer(
+                oi.cfg.similarity, boost, oi.term_ttf.get(t, 0), oi.sum_ttf
+            )
+            for t in terms
+        ))
+    from .dfr import is_similarity_base, make_sb_scorer
+
+    if is_similarity_base(oi.cfg.similarity):
+        from .lm import SumScorer
+
+        return SumScorer(tuple(
+            make_sb_scorer(
+                oi.cfg.similarity, boost, oi.term_df.get(t, 0),
+                oi.term_ttf.get(t, 0), oi.doc_count, oi.sum_ttf,
+            )
             for t in terms
         ))
     total = 0.0
@@ -322,6 +343,8 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
             len(docs), np.float32(boost if scoring else 0.0)
         )
     if isinstance(q, SynonymQuery):
+        from .dfr import is_similarity_base
+
         rows = oi.tf[oi.tf["term"].isin(q.terms)]
         agg = rows.groupby("doc_id")["freq"].sum().sort_index()
         docs = agg.index.to_numpy(dtype=np.int64)
@@ -331,11 +354,23 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
             from .bm25 import BooleanSimScorer
 
             sc = BooleanSimScorer.create(boost)
-        elif oi.cfg.similarity == "lmdirichlet":
-            from .lm import LMDirichletScorer
+        elif oi.cfg.similarity in ("lmdirichlet", "lmjelinekmercer"):
+            from .lm import make_lm_scorer
 
-            sc = LMDirichletScorer.create(
-                boost, sum(oi.term_ttf.get(t, 0) for t in q.terms), oi.sum_ttf
+            sc = make_lm_scorer(
+                oi.cfg.similarity, boost,
+                sum(oi.term_ttf.get(t, 0) for t in q.terms), oi.sum_ttf,
+            )
+        elif is_similarity_base(oi.cfg.similarity):
+            from .dfr import make_sb_scorer
+
+            # blended pseudo-term: df = max sub df, ttf = sum
+            # (SynonymQuery.java:233-247), like the engine's term_scorer
+            sc = make_sb_scorer(
+                oi.cfg.similarity, boost,
+                max((oi.term_df.get(t, 0) for t in q.terms), default=0),
+                sum(oi.term_ttf.get(t, 0) for t in q.terms),
+                oi.doc_count, oi.sum_ttf,
             )
         else:
             df = max((oi.term_df.get(t, 0) for t in q.terms), default=0)
@@ -372,8 +407,10 @@ def _brute_all_intervals(src, pos: dict) -> set:
     import itertools
 
     from ..plans.queries import (
-        IBlock, IContainedBy, IContaining, IMaxGaps, IMaxWidth,
-        INotContainedBy, INotContaining, IOr, IOrdered, ITerm, IUnordered,
+        _I32MAX, IAtLeast, IBlock, IContainedBy, IContaining, IExtend,
+        IMaxGaps, IMaxWidth, INonOverlapping, INotContainedBy,
+        INotContaining, IOffset, IOr, IOrdered, IOverlapping, ITerm,
+        IUnordered,
     )
     from .intervals import _dedup_runs, min_extent
 
@@ -453,12 +490,65 @@ def _brute_all_intervals(src, pos: dict) -> set:
             s for s in small
             if any(b[0] <= s[0] and s[1] <= b[1] for b in big) == want
         }
+    if isinstance(src, IExtend):
+        out = set()
+        for s, e, o in brute_minimal_intervals(src.source, pos):
+            ns = max(0, s - src.before)
+            ne = min(e + src.after, _I32MAX - 1)
+            out.add((ns, ne, o + (s - ns) + (ne - e)))
+        return out
+    if isinstance(src, IOffset):
+        base = brute_minimal_intervals(src.source, pos)
+        if src.preceding:
+            return {(max(0, s - 1), max(0, s - 1), 1) for s, _e, _o in base}
+        return {
+            (min(e + 1, _I32MAX - 1), min(e + 1, _I32MAX - 1), 1)
+            for _s, e, _o in base
+        }
+    if isinstance(src, (IOverlapping, INonOverlapping)):
+        if isinstance(src, IOverlapping):
+            emit = brute_minimal_intervals(src.source, pos)
+            other = brute_minimal_intervals(src.reference, pos)
+            want = True
+        else:
+            emit = brute_minimal_intervals(src.minuend, pos)
+            other = brute_minimal_intervals(src.subtrahend, pos)
+            want = False
+        return {
+            a for a in emit
+            if any(o[0] <= a[1] and a[0] <= o[1] for o in other) == want
+        }
+    if isinstance(src, IAtLeast):
+        live = [
+            sl for sl in (
+                brute_minimal_intervals(s, pos) for s in src.sources
+            ) if sl
+        ]
+        if len(live) < src.min_should_match:
+            return set()
+        out = set()
+        for lists in itertools.combinations(live, src.min_should_match):
+            for combo in itertools.product(*lists):
+                out.add((
+                    min(c[0] for c in combo),
+                    max(c[1] for c in combo),
+                    sum(c[2] for c in combo),
+                ))
+        return out
     raise TypeError(type(src))
 
 
 def brute_minimal_intervals(src, pos: dict) -> list:
     """Minimal elements of the exhaustive interval set."""
+    from ..plans.queries import IExtend, IOffset
+
     allv = _brute_all_intervals(src, pos)
+    if isinstance(src, (IExtend, IOffset)):
+        # the reference's Extended/Offset wrappers do NOT re-minimalize
+        # (testDefinedGaps keeps the contained (5, MAX-1)) — pass the
+        # mapped set through so containment filters built on them see
+        # the full extended windows
+        return sorted(allv)
     spans = {(s, e) for s, e, _ in allv}
     out = [
         iv for iv in allv

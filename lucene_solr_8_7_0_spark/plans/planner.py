@@ -94,10 +94,16 @@ class CollectionStats:
             from ..functions.bm25 import BooleanSimScorer
 
             return BooleanSimScorer.create(boost)
-        if self.similarity == "lmdirichlet":
-            from ..functions.lm import LMDirichletScorer
+        if self.similarity in ("lmdirichlet", "lmjelinekmercer"):
+            from ..functions.lm import make_lm_scorer
 
-            return LMDirichletScorer.create(boost, ttf, self.sum_ttf)
+            return make_lm_scorer(self.similarity, boost, ttf, self.sum_ttf)
+        from ..functions.dfr import is_similarity_base, make_sb_scorer
+
+        if is_similarity_base(self.similarity):
+            return make_sb_scorer(
+                self.similarity, boost, df, ttf, self.doc_count, self.sum_ttf
+            )
         return self.scorer(boost, self.leaf_idf(df))
 
     def phrase_scorer(self, boost: float, stats_list: list):
@@ -110,12 +116,25 @@ class CollectionStats:
             from ..functions.bm25 import BooleanSimScorer
 
             return BooleanSimScorer.create(boost)
-        if self.similarity == "lmdirichlet":
-            from ..functions.lm import LMDirichletScorer, SumScorer
+        if self.similarity in ("lmdirichlet", "lmjelinekmercer"):
+            from ..functions.lm import SumScorer, make_lm_scorer
 
             return SumScorer(tuple(
-                LMDirichletScorer.create(boost, ttf, self.sum_ttf)
+                make_lm_scorer(self.similarity, boost, ttf, self.sum_ttf)
                 for _, ttf in stats_list
+            ))
+        from ..functions.dfr import is_similarity_base
+
+        if is_similarity_base(self.similarity):
+            # SimilarityBase models sum per-term scorers at the phrase
+            # frequency (MultiSimScorer, SimilarityBase.java:209-232)
+            from ..functions.dfr import make_sb_scorer
+            from ..functions.lm import SumScorer
+
+            return SumScorer(tuple(
+                make_sb_scorer(self.similarity, boost, df, ttf,
+                               self.doc_count, self.sum_ttf)
+                for df, ttf in stats_list
             ))
         total = 0.0
         for df, _ in stats_list:
@@ -172,14 +191,16 @@ def collect_multi_term_preds(q: Query) -> list[MultiTermUnionQuery]:
         def walk_src(s):
             if isinstance(s, IMultiTerm):
                 out.append(MultiTermUnionQuery(s.query))
-            elif hasattr(s, "sources"):
+                return
+            if hasattr(s, "sources"):
                 for x in s.sources:
                     walk_src(x)
-            elif hasattr(s, "source"):
-                walk_src(s.source)
-            elif hasattr(s, "big"):
-                walk_src(s.big)
-                walk_src(s.small)
+                return
+            # two-child filters name their children per role; walk all
+            for attr in ("source", "reference", "minuend", "subtrahend",
+                         "big", "small"):
+                if hasattr(s, attr):
+                    walk_src(getattr(s, attr))
 
         walk_src(q.source)
         return out

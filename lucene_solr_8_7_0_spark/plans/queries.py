@@ -245,6 +245,100 @@ class IMaxWidth:
 
 
 @dataclass(frozen=True)
+class IExtend:
+    """Intervals.extend (ExtendedIntervalsSource / ExtendedIntervalIterator):
+    every inner interval's bounds stretch ``before`` positions left
+    (clamped at 0) and ``after`` right (saturated below the i32
+    NO_MORE_INTERVALS sentinel).  The reference's wrapper does NOT
+    re-minimalize and gaps() delegates to the inner iterator."""
+
+    source: object
+    before: int
+    after: int
+
+
+@dataclass(frozen=True)
+class IOffset:
+    """OffsetIntervalsSource: a width-1 marker interval per inner
+    interval — at ``max(0, start-1)`` when ``preceding`` (PRECEDING),
+    at ``end+1`` otherwise (FOLLOWING).  Duplicates are emitted as-is
+    (OffsetIntervalIterator has no dedup); building block for
+    Intervals.before/after."""
+
+    source: object
+    preceding: bool
+
+
+@dataclass(frozen=True)
+class IOverlapping:
+    """Intervals.overlapping (OverlappingIntervalsSource): intervals of
+    ``source`` that overlap at least one interval of ``reference``.
+    A conjunction — docs where the reference is absent never match."""
+
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class INonOverlapping:
+    """Intervals.nonOverlapping (NonOverlappingIntervalsSource):
+    intervals of ``minuend`` overlapping NO interval of ``subtrahend``
+    (a difference — the subtrahend being absent keeps everything)."""
+
+    minuend: object
+    subtrahend: object
+
+
+@dataclass(frozen=True)
+class IAtLeast:
+    """Intervals.atLeast (MinimumShouldMatchIntervalsSource): minimal
+    windows spanning one interval from each of any ``min_should_match``
+    of the sources (unordered, overlaps allowed, no distinct-occurrence
+    rule — repeated equal sources may sit on the same position)."""
+
+    min_should_match: int
+    sources: tuple
+
+
+_I32MAX = 2**31 - 1  # Integer.MAX_VALUE == IntervalIterator.NO_MORE_INTERVALS
+
+
+def intervals_before(source, reference) -> IContainedBy:
+    """Intervals.before (Intervals.java:451-455): intervals of
+    ``source`` entirely before some interval of ``reference`` —
+    containedBy(source, extend(PRECEDING(reference), MAX, 0))."""
+    return IContainedBy(
+        source, IExtend(IOffset(reference, True), _I32MAX, 0)
+    )
+
+
+def intervals_after(source, reference) -> IContainedBy:
+    """Intervals.after (Intervals.java:459-463): intervals of
+    ``source`` entirely after some interval of ``reference``."""
+    return IContainedBy(
+        source, IExtend(IOffset(reference, False), 0, _I32MAX)
+    )
+
+
+def intervals_within(source, positions: int, reference) -> IContainedBy:
+    """Intervals.within (Intervals.java:387-389): intervals of
+    ``source`` within ``positions`` of some ``reference`` interval."""
+    return IContainedBy(source, IExtend(reference, positions, positions))
+
+
+def intervals_not_within(minuend, positions: int, subtrahend) -> INonOverlapping:
+    """Intervals.notWithin (Intervals.java:375-377): intervals of the
+    minuend at least ``positions`` away from every subtrahend one."""
+    return INonOverlapping(minuend, IExtend(subtrahend, positions, positions))
+
+
+def intervals_unordered_no_overlaps(a, b) -> IOr:
+    """Intervals.unorderedNoOverlaps (Intervals.java:328-330):
+    or(ordered(a, b), ordered(b, a))."""
+    return IOr((IOrdered((a, b)), IOrdered((b, a))))
+
+
+@dataclass(frozen=True)
 class IntervalQuery(Query):
     """IntervalQuery (lucene/queries/.../intervals/IntervalQuery.java:74):
     matches docs where ``source`` has at least one interval; scores

@@ -126,3 +126,128 @@ def test_lmdirichlet_scorer_formula():
         two.score(freqs, norms),
         (got.astype(np.float64) * 2).astype(np.float32),
     )
+
+
+def test_lmjelinekmercer_scorer_formula():
+    """LMJelinekMercerScorer vs a literal transcription of
+    LMJelinekMercerSimilarity.score (double math, one float cast;
+    no clamp — log1p of a positive quantity)."""
+    import math
+
+    import numpy as np
+
+    from lucene_solr_8_7_0_spark.functions.lm import (
+        DEFAULT_LAMBDA,
+        LMJelinekMercerScorer,
+        make_lm_scorer,
+    )
+    from lucene_solr_8_7_0_spark.functions.smallfloat import LENGTH_TABLE
+
+    ttf, sum_ttf, boost = 37, 10_000, 1.3
+    sc = LMJelinekMercerScorer.create(boost, ttf, sum_ttf)
+    freqs = np.array([1, 2, 5, 100], dtype=np.int64)
+    norms = np.array([10, 40, 200, 255], dtype=np.int64)
+    got = sc.score(freqs, norms)
+    p = (ttf + 1.0) / (sum_ttf + 1.0)
+    lam = DEFAULT_LAMBDA
+    for i in range(len(freqs)):
+        dl = float(LENGTH_TABLE[norms[i]])
+        exp = boost * math.log(
+            1 + ((1 - lam) * freqs[i] / dl) / (lam * p)
+        )
+        assert got[i] == np.float32(exp), i
+        assert got[i] >= 0.0
+    # factory dispatch
+    assert isinstance(
+        make_lm_scorer("lmjelinekmercer", 1.0, 1, 10),
+        LMJelinekMercerScorer,
+    )
+    # block-max bound: max_score over the impact frontier dominates
+    # every (freq<=f, norm>=n) combination
+    imp = np.stack([freqs, norms], axis=1)
+    assert sc.max_score(imp) >= got.max()
+
+
+def test_similarity_base_formulas():
+    """SimilarityBaseScorer vs inline transcriptions of DFRSimilarity /
+    IBSimilarity / DFISimilarity component math (double, one f32 cast)."""
+    import math
+
+    import numpy as np
+
+    from lucene_solr_8_7_0_spark.functions.dfr import (
+        is_similarity_base,
+        make_sb_scorer,
+    )
+    from lucene_solr_8_7_0_spark.functions.smallfloat import LENGTH_TABLE
+
+    assert is_similarity_base("dfr") and is_similarity_base("ib:ll:df:h1")
+    assert not is_similarity_base("bm25")
+
+    N, T, df, ttf, boost = 1000, 50_000, 5, 37, 1.3
+    avgfl = T / N
+    freqs = np.array([1, 2, 5, 100], dtype=np.int64)
+    norms = np.array([10, 40, 200, 255], dtype=np.int64)
+    log2 = lambda x: math.log(x) / math.log(2.0)
+
+    # DFR G:B:H2 (the "dfr" default)
+    got = make_sb_scorer("dfr", boost, df, ttf, N, T).score(freqs, norms)
+    for i in range(4):
+        dl = float(LENGTH_TABLE[norms[i]])
+        tfn = freqs[i] * log2(1 + avgfl / dl)           # NormalizationH2
+        ae = (ttf + 2.0) / (df + 1.0)                   # AfterEffectB
+        F = ttf + 1.0
+        lam = F / (N + F)                               # BasicModelG
+        A, B = log2(lam + 1), log2((1 + lam) / lam)
+        exp = boost * ((B - (B - A) / (1 + tfn)) * ae)
+        assert got[i] == np.float32(exp), i
+
+    # DFR IN:L:H1
+    got = make_sb_scorer("dfr:in:l:h1", boost, df, ttf, N, T).score(
+        freqs, norms
+    )
+    for i in range(4):
+        dl = float(LENGTH_TABLE[norms[i]])
+        tfn = freqs[i] * 1.0 * (avgfl / dl)             # NormalizationH1
+        A = log2((N + 1) / (df + 0.5))                  # BasicModelIn
+        exp = boost * (A * 1.0 * (1 - 1 / (1 + tfn)))
+        assert got[i] == np.float32(exp), i
+
+    # IB LL:DF:H2
+    got = make_sb_scorer("ib:ll:df:h2", boost, df, ttf, N, T).score(
+        freqs, norms
+    )
+    lam = float(np.float32((df + 1.0) / (N + 1.0)))     # LambdaDF (float)
+    for i in range(4):
+        dl = float(LENGTH_TABLE[norms[i]])
+        tfn = freqs[i] * log2(1 + avgfl / dl)
+        exp = boost * (-math.log(lam / (tfn + lam)))    # DistributionLL
+        assert got[i] == np.float32(exp), i
+
+    # DFI chi-squared: zero at/below the expected frequency
+    sc = make_sb_scorer("dfi", boost, df, ttf, N, T)
+    got = sc.score(freqs, norms)
+    for i in range(4):
+        dl = float(LENGTH_TABLE[norms[i]])
+        expected = (ttf + 1.0) * dl / (T + 1.0)
+        if freqs[i] <= expected:
+            exp = 0.0
+        else:
+            m = (freqs[i] - expected) ** 2 / expected
+            exp = boost * log2(m + 1)
+        assert got[i] == np.float32(exp), i
+    # a very long doc pushes expected above freq -> exact 0, still a match
+    assert sc.score(np.array([1]), np.array([255]))[0] >= 0.0
+
+    # every spec family: finite, nondecreasing in freq (block-max safety)
+    for spec in ["dfr:if:b:h3", "dfr:ine:b:z", "dfr:g:b:none",
+                 "ib:spl:ttf:h1", "dfi:saturated", "dfi:standardized"]:
+        sc = make_sb_scorer(spec, 1.0, df, ttf, N, T)
+        f = sc.score(np.arange(1, 30), np.full(29, 100))
+        assert np.all(np.isfinite(f)) and np.all(np.diff(f) >= -0.0), spec
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_sb_scorer("dfr:nope:b:h2", 1.0, df, ttf, N, T)
+    with _pytest.raises(ValueError):
+        make_sb_scorer("ib:ll:df", 1.0, df, ttf, N, T)

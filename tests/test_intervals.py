@@ -39,6 +39,10 @@ FIELD1 = [
 FIELD2 = [
     "In Xanadu did Kubla Khan a stately pleasure dome decree",
     "Where Alph the sacred river ran through caverns measureless to man",
+    "a b a c b a b c",
+    "So thrice five miles of fertile ground",
+    "Pease hot porridge porridge",
+    "w1 w2 w3 w4 w1 w6 w3 w8 w4 w7 w1 w6",
 ]
 
 
@@ -203,16 +207,38 @@ def test_randomized_kernel_vs_exhaustive_brute():
             return rng.choice(vocab)
 
         from lucene_solr_8_7_0_spark.plans.queries import (
-            IContainedBy, IContaining, INotContainedBy, INotContaining,
+            IAtLeast, IContainedBy, IContaining, INonOverlapping,
+            INotContainedBy, INotContaining, IOverlapping,
+            intervals_after, intervals_before, intervals_not_within,
+            intervals_within,
         )
 
         def rand_src(depth):
             kinds = ["term", "ordered", "unordered", "or", "block",
                      "maxgaps", "maxwidth", "containing", "contained_by",
-                     "not_containing", "not_contained_by"]
+                     "not_containing", "not_contained_by", "overlapping",
+                     "non_overlapping", "at_least", "within", "not_within",
+                     "before", "after"]
             k = rng.choice(kinds if depth < 2 else ["term"])
             if k == "term":
                 return rand_term()
+            if k == "at_least":
+                n = rng.randint(2, 4)
+                subs = tuple(rand_src(depth + 1) for _ in range(n))
+                return IAtLeast(rng.randint(1, n), subs)
+            if k in ("within", "not_within"):
+                a, b = rand_src(depth + 1), rand_src(depth + 1)
+                p = rng.randint(0, 3)
+                return (intervals_within(a, p, b) if k == "within"
+                        else intervals_not_within(a, p, b))
+            if k in ("before", "after"):
+                a, b = rand_src(depth + 1), rand_src(depth + 1)
+                return (intervals_before(a, b) if k == "before"
+                        else intervals_after(a, b))
+            if k in ("overlapping", "non_overlapping"):
+                a, b = rand_src(depth + 1), rand_src(depth + 1)
+                return (IOverlapping(a, b) if k == "overlapping"
+                        else INonOverlapping(a, b))
             if k in ("ordered", "unordered", "or", "block"):
                 n = rng.randint(2, 3)
                 subs = tuple(rand_src(depth + 1) for _ in range(n))
@@ -303,3 +329,117 @@ def test_multiterm_prefix_and_wildcard():
         )
     # no matching terms -> never matches
     assert mt_ivs(IMultiTerm(PrefixQuery("qqq")), F1[1]) == []
+
+
+def test_offset_intervals():
+    # testOffsetIntervals: PRECEDING/FOLLOWING emit one width-1 marker
+    # per inner interval, duplicates kept ({0,0} appears twice)
+    from lucene_solr_8_7_0_spark.plans.queries import IOffset
+
+    src = IUnordered(("pease", "porridge", IOr(("hot", "cold"))))
+    exp1 = [0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+    check(IOffset(src, True), F1, [[], exp1, exp1, [], exp1, []])
+    exp2 = [3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 18, 18]
+    check(IOffset(src, False), F1, [[], exp2, exp2, [], exp2, []])
+
+
+def test_minimum_should_match():
+    # testMinimumShouldMatch: atLeast(3, porridge hot twelve nine pease)
+    from lucene_solr_8_7_0_spark.plans.queries import IAtLeast
+
+    src = IAtLeast(3, ("porridge", "hot", "twelve", "nine", "pease"))
+    check(src, F1, [
+        [],
+        [0, 2, 1, 3, 2, 4, 6, 11, 7, 17],
+        [3, 5, 4, 6, 5, 7, 6, 11, 7, 21],
+        [],
+        [0, 2, 1, 3, 2, 4, 6, 11, 7, 17, 11, 21],
+        [],
+    ])
+    # assertGaps(source, 1, "field1", {0, 0, 0, 3, 8})
+    got = minimal_intervals(src, F1[1])
+    assert [(e - s + 1) - o for s, e, o in got] == [0, 0, 0, 3, 8]
+    assert min_extent(src) == 3
+
+
+def test_defined_gaps_extend():
+    # testDefinedGaps: phrase(pease, extend(cold,1,1), porridge), and
+    # extend(w1, 5, MAX) saturating without minimalization
+    from lucene_solr_8_7_0_spark.plans.queries import IExtend
+
+    src = IBlock(("pease", IExtend("cold", 1, 1), "porridge"))
+    check(src, F1, [[], [3, 7], [0, 4], [], [3, 7], []])
+    assert min_extent(src) == 5
+
+    MAX = 2**31 - 1
+    src = IExtend("w1", 5, MAX)
+    check(src, F2, [
+        [], [], [], [], [],
+        [0, MAX - 1, 0, MAX - 1, 5, MAX - 1],
+    ])
+    assert min_extent(src) == MAX
+
+
+def test_before_after_within():
+    # testAfter / testBefore / testWithin
+    from lucene_solr_8_7_0_spark.plans.queries import (
+        intervals_after,
+        intervals_before,
+        intervals_within,
+    )
+
+    src = intervals_after("porridge", IOrdered(("pease", "cold")))
+    check(src, F1, [[], [7, 7], [4, 4, 7, 7], [], [7, 7], []])
+    assert min_extent(src) == 1
+
+    src = intervals_before("cold", "twelve")
+    check(src, F1, [[], [], [2, 2], [], [5, 5], []])
+    assert min_extent(src) == 1
+
+    src = intervals_within("hot", 6, IOr(("porridge", "fraggle")))
+    check(src, F1, [[], [2, 2], [5, 5, 21, 21], [], [2, 2], []])
+    assert min_extent(src) == 1
+
+
+def test_overlapping_and_non_overlapping():
+    # testOverlapping (+ its gaps vector); nonOverlapping == complement
+    from lucene_solr_8_7_0_spark.plans.queries import (
+        INonOverlapping,
+        IOverlapping,
+    )
+
+    a = IUnordered(("hot", "porridge"))
+    b = IUnordered(("cold", "pease"))
+    src = IOverlapping(a, b)
+    check(src, F1, [[], [2, 4, 7, 17], [5, 7, 7, 21], [], [2, 4], []])
+    # assertGaps(source, 2, "field1", {1, 13})
+    got = minimal_intervals(src, F1[2])
+    assert [(e - s + 1) - o for s, e, o in got] == [1, 13]
+    assert min_extent(src) == 2
+
+    # the two filters partition the source's intervals per doc
+    # overlapping/nonOverlapping partition the source's intervals
+    # (when the reference is absent, overlapping=[] and neg=all)
+    neg = INonOverlapping(a, b)
+    for pm in F1:
+        both = sorted(minimal_intervals(src, pm) + minimal_intervals(neg, pm))
+        assert both == minimal_intervals(a, pm)
+
+
+def test_unordered_no_overlaps_and_not_within():
+    from lucene_solr_8_7_0_spark.plans.queries import (
+        intervals_not_within,
+        intervals_unordered_no_overlaps,
+    )
+
+    # or(ordered(a,b), ordered(b,a)): pease/hot on doc 1 — ordered
+    # hits (0,2),(6,17); reversed hits (2,3)? hot@2 -> pease@3 = (2,3)
+    src = intervals_unordered_no_overlaps("pease", "hot")
+    got = ivs(src, F1[1])
+    assert (2, 3) in got and got == sorted(got)
+
+    # notWithin: hot at least 2 positions from every pease
+    src = intervals_not_within("hot", 2, "pease")
+    # doc1: pease@0,3,6 hot@2,17 -> hot@2 is within 2 of pease@0/3;
+    # hot@17 is clear
+    assert ivs(src, F1[1]) == [(17, 17)]

@@ -634,15 +634,19 @@ def test_multivalued_field_membership_and_facets(spark, tmp_path_factory):
     assert got_counts == dict(exp_counts)
 
 
-def test_lmdirichlet_similarity_rank_identity(engine):
-    """LMDirichletSimilarity: pruned engine == brute-force oracle
-    across term/OR/AND/phrase/synonym shapes (MultiSimScorer phrase
-    summing), bitwise float32."""
+@pytest.mark.parametrize("sim", [
+    "lmdirichlet", "lmjelinekmercer",
+    "dfr", "dfr:in:l:h1", "ib", "ib:ll:ttf:h1", "dfi",
+])
+def test_lm_similarity_rank_identity(engine, sim):
+    """LM (Dirichlet/JelinekMercer), DFR, IB, and DFI similarities:
+    pruned engine == brute-force oracle across term/OR/AND/phrase/
+    synonym shapes (MultiSimScorer phrase summing), bitwise float32."""
     import dataclasses
 
     searcher, oi = engine
     oi_lm = dataclasses.replace(
-        oi, cfg=dataclasses.replace(oi.cfg, similarity="lmdirichlet")
+        oi, cfg=dataclasses.replace(oi.cfg, similarity=sim)
     )
     queries = [
         Q.TermQuery("public"),
@@ -653,15 +657,11 @@ def test_lmdirichlet_similarity_rank_identity(engine):
         Q.BoostQuery(Q.TermQuery("public"), 2.0),
     ]
     for q in queries:
-        td = searcher.search(
-            q, k=10, total_hits_threshold=1, similarity="lmdirichlet"
-        )
+        td = searcher.search(q, k=10, total_hits_threshold=1, similarity=sim)
         exp = oracle_search(oi_lm, rewrite(q, searcher._term_lookup), k=10)
         assert td.doc_ids.tolist() == exp.doc_ids.tolist(), str(q)
         np.testing.assert_array_equal(td.scores, exp.scores, err_msg=str(q))
-        full = searcher.search(
-            q, k=10, score_mode="complete", similarity="lmdirichlet"
-        )
+        full = searcher.search(q, k=10, score_mode="complete", similarity=sim)
         assert td.doc_ids.tolist() == full.doc_ids.tolist(), str(q)
         np.testing.assert_array_equal(td.scores, full.scores, err_msg=str(q))
 
@@ -671,10 +671,16 @@ def test_interval_query_engine_vs_oracle(engine):
     through the distributed kernels == the exhaustive-combination
     oracle, bitwise float32; composes inside BooleanQuery."""
     from lucene_solr_8_7_0_spark.plans.queries import (
+        IAtLeast,
         IMaxGaps,
+        INonOverlapping,
         IOr,
         IOrdered,
+        IOverlapping,
         IUnordered,
+        intervals_after,
+        intervals_before,
+        intervals_within,
     )
 
     searcher, oi = engine
@@ -684,6 +690,16 @@ def test_interval_query_engine_vs_oracle(engine):
         Q.IntervalQuery(IMaxGaps(3, IOrdered(("public", "return")))),
         Q.IntervalQuery(IOrdered((IOr(("public", "static")), "return"))),
         Q.IntervalQuery("import", pivot=2.0),
+        Q.IntervalQuery(IAtLeast(2, ("public", "static", "return"))),
+        Q.IntervalQuery(intervals_before("public", "return")),
+        Q.IntervalQuery(intervals_after("return", "public")),
+        Q.IntervalQuery(intervals_within("public", 5, "return")),
+        Q.IntervalQuery(IOverlapping(
+            IUnordered(("public", "return")), IUnordered(("static", "import"))
+        )),
+        Q.IntervalQuery(INonOverlapping(
+            IUnordered(("public", "return")), "static"
+        )),
     ]
     for q in queries:
         assert_identical(searcher, oi, q)
