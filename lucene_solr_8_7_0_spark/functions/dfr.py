@@ -24,6 +24,8 @@ The engine selects a model with a similarity STRING spec:
   "ib:LL:TTF:H1"        -> any {LL,SPL} : {DF,TTF} : normalization
   "dfi"                 -> ChiSquared
   "dfi:saturated" / "dfi:standardized"
+  "ax"                  -> F2EXP     (Axiomatic.java defaults
+  "ax:f1exp|f1log|f2exp|f2log|f3exp|f3log"  s=0.25, queryLen=1, k=0.35)
 
 Block-max safety: every component keeps the score nondecreasing in
 freq (the reference rewrites each basic model to guarantee exactly
@@ -132,6 +134,43 @@ def _distribution(name: str, tfn, lam: float):
     raise ValueError(f"unknown distribution {name!r}")
 
 
+# ---- Axiomatic family (Axiomatic.java:104-113: score = max(0,
+# boost * (tf * ln * tfln * idf - gamma)); defaults s=0.25f,
+# queryLen=1, k=0.35f from the no-arg constructors) ----
+
+_AX_S = 0.25
+_AX_K = 0.3499999940395355  # 0.35f
+_AX_QLEN = 1.0
+
+
+def _axiomatic(variant: str, f, dl, avgfl: float, N: int, df: int):
+    one = np.ones_like(f)
+    if variant in ("f1exp", "f1log", "f3exp", "f3log"):
+        tf = 1.0 + np.log(1.0 + np.log(f))  # AxiomaticF1EXP.tf:55-58
+    else:
+        tf = one
+    if variant in ("f1exp", "f1log"):
+        # AxiomaticF1EXP.ln: (avgfl + s) / (avgfl + dl * s)
+        ln_ = (avgfl + _AX_S) / (avgfl + dl * _AX_S)
+    else:
+        ln_ = one
+    if variant in ("f2exp", "f2log"):
+        # AxiomaticF2EXP.tfln: freq / (freq + s + s * dl / avgfl)
+        tfln = f / (f + _AX_S + _AX_S * dl / avgfl)
+    else:
+        tfln = one
+    if variant.endswith("exp"):
+        idf_ = math.pow((N + 1.0) / df, _AX_K) if df > 0 else math.inf
+    else:
+        idf_ = math.log((N + 1.0) / df) if df > 0 else math.inf
+    if variant in ("f3exp", "f3log"):
+        # AxiomaticF3EXP.gamma: (dl - queryLen) * s * queryLen / avgfl
+        gamma = (dl - _AX_QLEN) * _AX_S * _AX_QLEN / avgfl
+    else:
+        gamma = 0.0
+    return tf * ln_ * tfln * idf_ - gamma
+
+
 def _independence(name: str, freq, expected):
     if name == "chisquared":
         return (freq - expected) * (freq - expected) / expected
@@ -172,6 +211,11 @@ class SimilarityBaseScorer:
             tfn = _tfn(norm, f, dl, self.avgfl, self.ttf, self.sum_ttf)
             lam = _ib_lambda(lam_name, self.n_docs, self.df, self.ttf)
             val = self.boost * _distribution(dist, tfn, lam)
+        elif self.family == "ax":
+            (variant,) = self.parts
+            raw = _axiomatic(variant, f, dl, self.avgfl, self.n_docs, self.df)
+            # boost multiplies BEFORE the clamp (Axiomatic.java:110-112)
+            val = np.maximum(0.0, raw * self.boost)
         else:  # dfi
             (indep,) = self.parts
             expected = (self.ttf + 1.0) * dl / (self.sum_ttf + 1.0)
@@ -194,7 +238,10 @@ _DEFAULTS = {
     "dfr": ("g", "b", "h2"),
     "ib": ("spl", "df", "h2"),
     "dfi": ("chisquared",),
+    "ax": ("f2exp",),
 }
+
+_AX_VARIANTS = ("f1exp", "f1log", "f2exp", "f2log", "f3exp", "f3log")
 
 
 def is_similarity_base(spec: str) -> bool:
@@ -211,6 +258,8 @@ def make_sb_scorer(spec: str, boost: float, df: int, ttf: int,
     parts = rest or _DEFAULTS[family]
     if len(parts) != len(_DEFAULTS[family]):
         raise ValueError(f"bad similarity spec {spec!r}")
+    if family == "ax" and parts[0] not in _AX_VARIANTS:
+        raise ValueError(f"unknown axiomatic variant {parts[0]!r}")
     n = max(doc_count, 1)
     scorer = SimilarityBaseScorer(
         boost=float(boost), family=family, parts=parts,

@@ -251,3 +251,53 @@ def test_similarity_base_formulas():
         make_sb_scorer("dfr:nope:b:h2", 1.0, df, ttf, N, T)
     with _pytest.raises(ValueError):
         make_sb_scorer("ib:ll:df", 1.0, df, ttf, N, T)
+
+
+def test_axiomatic_formulas():
+    """Axiomatic F1/F2/F3 EXP/LOG vs inline transcriptions
+    (Axiomatic.java:104-113: boost multiplies before the 0-clamp)."""
+    import math
+
+    import numpy as np
+
+    from lucene_solr_8_7_0_spark.functions.dfr import make_sb_scorer
+    from lucene_solr_8_7_0_spark.functions.smallfloat import LENGTH_TABLE
+
+    N, T, df, ttf, boost = 1000, 50_000, 5, 37, 1.3
+    avgfl = T / N
+    s, k, qlen = 0.25, 0.3499999940395355, 1.0
+    freqs = np.array([1, 2, 5, 100], dtype=np.int64)
+    norms = np.array([10, 40, 200, 255], dtype=np.int64)
+
+    def expect(variant, f, dl):
+        tf = (1 + math.log(1 + math.log(f))
+              if variant in ("f1exp", "f1log", "f3exp", "f3log") else 1.0)
+        ln_ = ((avgfl + s) / (avgfl + dl * s)
+               if variant in ("f1exp", "f1log") else 1.0)
+        tfln = (f / (f + s + s * dl / avgfl)
+                if variant in ("f2exp", "f2log") else 1.0)
+        idf = (math.pow((N + 1.0) / df, k) if variant.endswith("exp")
+               else math.log((N + 1.0) / df))
+        gamma = ((dl - qlen) * s * qlen / avgfl
+                 if variant in ("f3exp", "f3log") else 0.0)
+        return max(0.0, boost * (tf * ln_ * tfln * idf - gamma))
+
+    for variant in ["f1exp", "f1log", "f2exp", "f2log", "f3exp", "f3log"]:
+        got = make_sb_scorer(f"ax:{variant}", boost, df, ttf, N, T).score(
+            freqs, norms
+        )
+        for i in range(4):
+            dl = float(LENGTH_TABLE[norms[i]])
+            assert got[i] == np.float32(expect(variant, freqs[i], dl)), (
+                variant, i,
+            )
+    # default spec is F2EXP; F3 clamps long docs to exactly 0
+    d = make_sb_scorer("ax", boost, df, ttf, N, T).score(freqs, norms)
+    e = make_sb_scorer("ax:f2exp", boost, df, ttf, N, T).score(freqs, norms)
+    np.testing.assert_array_equal(d, e)
+    f3 = make_sb_scorer("ax:f3log", boost, df, ttf, N, T)
+    assert f3.score(np.array([1]), np.array([255]))[0] == np.float32(0.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_sb_scorer("ax:nope", 1.0, df, ttf, N, T)

@@ -636,7 +636,7 @@ def test_multivalued_field_membership_and_facets(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("sim", [
     "lmdirichlet", "lmjelinekmercer",
-    "dfr", "dfr:in:l:h1", "ib", "ib:ll:ttf:h1", "dfi",
+    "dfr", "dfr:in:l:h1", "ib", "ib:ll:ttf:h1", "dfi", "ax", "ax:f3log",
 ])
 def test_lm_similarity_rank_identity(engine, sim):
     """LM (Dirichlet/JelinekMercer), DFR, IB, and DFI similarities:
