@@ -30,6 +30,7 @@ from ..plans.queries import (
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanPositionRangeQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -263,6 +264,12 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
         return _eval_intervals(oi, q, boost, scoring)
     if isinstance(q, (SpanOrQuery, SpanNotQuery)):
         q = SpanNearQuery((q,), slop=0, in_order=True)
+    span_range = None
+    if isinstance(q, SpanPositionRangeQuery):
+        # acceptPosition: start >= range start AND exclusive end <=
+        # range end — every covered position inside [start, end)
+        span_range = (q.start, q.end)
+        q = q.near()
     if isinstance(q, SpanNearQuery):
         # brute force: enumerate all position combinations per doc;
         # clause position sets expand per spec (term / or-union /
@@ -321,6 +328,10 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
                 # (kernel and oracle agree on this by construction)
                 if q.in_order and not all(
                     c[i] < c[i + 1] for i in range(k - 1)
+                ):
+                    continue
+                if span_range is not None and (
+                    min(c) < span_range[0] or max(c) >= span_range[1]
                 ):
                     continue
                 if max(c) - min(c) - (k - 1) <= q.slop:

@@ -81,6 +81,10 @@ class ScoringClause:
     # SpanNotQuery per slot); ``terms`` holds the FLAT term list for
     # stats/scan purposes
     span_specs: tuple | None = None
+    # span_near: (start, end) position window — every span position
+    # must lie in [start, end) (SpanPositionRangeQuery/SpanFirstQuery
+    # acceptPosition; None = unbounded)
+    span_range: tuple | None = None
     # intervals: (source tree, pivot, boost) — per-doc saturation
     # scoring over minimal intervals (kind == "intervals")
     interval_q: tuple | None = None
@@ -395,6 +399,14 @@ def _span_near_docs_scores(
             poss[bounds[idx[ci]] : bounds[idx[ci] + 1]]
             for bounds, idx, poss in slices
         ]
+        if clause.span_range is not None:
+            # a span is inside [start, end) iff EVERY covered position
+            # is (positions of a span are bracketed by its first/last),
+            # so clipping the per-slot streams is exact
+            lo, hi = clause.span_range
+            pls = [pl[(pl >= lo) & (pl < hi)] for pl in pls]
+            if any(len(pl) == 0 for pl in pls):
+                continue
         if check(pls, clause.slop):
             out.append(int(cand[ci]))
     docs = np.asarray(out, dtype=np.int64)

@@ -23,6 +23,7 @@ from .queries import (
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanPositionRangeQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -151,6 +152,8 @@ def collect_terms(q: Query) -> set[str]:
         return all_terms(q.source)
     if isinstance(q, SpanNearQuery):
         return set(q.flat_terms())
+    if isinstance(q, SpanPositionRangeQuery):
+        return set(q.near().flat_terms())
     if isinstance(q, SpanOrQuery):
         return set(q.terms)
     if isinstance(q, SpanNotQuery):
@@ -243,7 +246,8 @@ def collect_point_queries(q: Query) -> set:
 
 def has_phrase(q: Query) -> bool:
     if isinstance(q, (PhraseQuery, MultiPhraseQuery, SpanNearQuery,
-                      SpanOrQuery, SpanNotQuery, IntervalQuery)):
+                      SpanOrQuery, SpanNotQuery, SpanPositionRangeQuery,
+                      IntervalQuery)):
         return True
     if isinstance(q, DisjunctionMaxQuery):
         return any(has_phrase(sub) for sub in q.queries)
@@ -283,13 +287,17 @@ def _make_clause(
         # standalone or/not span == a 1-clause SpanNear (matches any
         # doc where the clause has at least one surviving occurrence)
         q = SpanNearQuery((q,), slop=0, in_order=True)
+    span_range = None
+    if isinstance(q, SpanPositionRangeQuery):
+        span_range = (q.start, q.end)
+        q = q.near()
     if isinstance(q, SpanNearQuery):
         # constant-score span clause (spans are filter-shaped here;
         # see SpanNearQuery docstring for the scoring scope note)
         return ScoringClause(
             q.flat_terms(), None, const_score=(boost if scoring else 0.0),
             slop=q.slop, kind="span_near", in_order=q.in_order,
-            span_specs=tuple(q.terms),
+            span_specs=tuple(q.terms), span_range=span_range,
         )
     if isinstance(q, (PointRangeQuery, FieldTermQuery)):
         # constant-score doc-value clause: PointRangeQuery's weight is
@@ -420,7 +428,8 @@ def compile_query(
             [], [], 1, combine="dismax", tie=q.tie_breaker,
         )
     if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery,
-                      SpanNearQuery, SpanOrQuery, SpanNotQuery, IntervalQuery,
+                      SpanNearQuery, SpanOrQuery, SpanNotQuery,
+                      SpanPositionRangeQuery, IntervalQuery,
                       PointRangeQuery, FieldTermQuery,
                       BoostQuery, ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)

@@ -129,6 +129,35 @@ class SpanNearQuery(Query):
         return f"spanNear([{clauses}], {self.slop}, {order})"
 
 
+@dataclass(frozen=True)
+class SpanPositionRangeQuery(Query):
+    """SpanPositionRangeQuery (L/search/spans/SpanPositionRangeQuery
+    .java acceptPosition): keep spans of ``match`` whose startPosition
+    >= start and whose EXCLUSIVE endPosition <= end — i.e. every
+    covered position lies in [start, end).  ``span_first(match, n)``
+    builds the SpanFirstQuery special case (range [0, n),
+    SpanFirstQuery.java acceptPosition)."""
+
+    match: object  # SpanNearQuery | str | SpanOrQuery | SpanNotQuery
+    start: int
+    end: int
+
+    def near(self) -> "SpanNearQuery":
+        m = self.match
+        if isinstance(m, SpanNearQuery):
+            return m
+        return SpanNearQuery((m,), slop=0, in_order=True)
+
+    def __str__(self) -> str:
+        return f"spanPosRange({self.match}, {self.start}, {self.end})"
+
+
+def span_first(match, end: int) -> SpanPositionRangeQuery:
+    """SpanFirstQuery(match, end): spans lying within the first ``end``
+    positions of the field."""
+    return SpanPositionRangeQuery(match, 0, end)
+
+
 # ---- minimal-interval family (lucene/queries/.../intervals) ----
 # Sources form a tree; a plain ``str`` is shorthand for ITerm.  The
 # engine evaluates MINIMAL intervals per document (an interval is

@@ -435,6 +435,39 @@ def test_span_near_in_boolean(engine):
         assert_identical(searcher, oi, b.build())
 
 
+def test_span_first_and_position_range(engine):
+    """SpanFirstQuery / SpanPositionRangeQuery: spans accepted only
+    when every covered position lies in [start, end); engine ==
+    brute-force oracle, and the windows strictly narrow the hit set."""
+    searcher, oi = engine
+    inner = Q.SpanNearQuery(("public", "return"), slop=6)
+    unbounded = searcher.count(inner)
+    for q in [
+        Q.span_first("import", 5),
+        Q.span_first(inner, 30),
+        Q.SpanPositionRangeQuery(inner, 10, 60),
+        Q.SpanPositionRangeQuery("public", 3, 12),
+        Q.span_first(Q.SpanOrQuery(("public", "static")), 8),
+    ]:
+        assert_identical(searcher, oi, q)
+        b = Q.Builder()
+        b.add(q, Q.Occur.MUST)
+        b.add(Q.TermQuery("class"), Q.Occur.MUST_NOT)
+        assert_identical(searcher, oi, b.build())
+    # windowing can only shrink the span's hit set, never grow it
+    n30 = searcher.count(Q.span_first(inner, 30))
+    n300 = searcher.count(Q.span_first(inner, 300))
+    assert n30 <= n300 <= unbounded and n300 > 0
+    # hand-check: first-1 accepts exactly the docs whose position 0
+    # holds the term
+    some_term = sorted(oi.positions)[0]
+    docs_at_0 = [d for d, pp in oi.positions[some_term].items() if pp[0] == 0]
+    got = searcher.search(
+        Q.span_first(some_term, 1), k=len(oi.doc_ids), score_mode="complete"
+    )
+    assert sorted(got.doc_ids.tolist()) == sorted(docs_at_0)
+
+
 def test_classic_similarity_rank_identity(engine):
     """ClassicSimilarity (TF-IDF, sqrt-tf * idf^cls / sqrt(len)):
     pruned engine == brute-force oracle, bitwise float32, across the
