@@ -629,18 +629,22 @@ class IndexSearcher:
             .orderBy("rank")
         )
 
-    def explain(self, query: Query, doc_id: int) -> dict:
+    def explain(self, query: Query, doc_id: int,
+                similarity: str | None = None) -> dict:
         """IndexSearcher.explain analog: per-clause score breakdown for
         one document.  Pulls only the doc's segment (pushdown on
         segment_id + term) and recomputes each leaf contribution with
-        the same float32 kernels."""
+        the same float32 kernels.  ``similarity`` overrides the scoring
+        model exactly like search(similarity=...)."""
         import numpy as np
 
         from ..functions.codec import decode_term_postings
 
         q = rw.rewrite(query, self._term_lookup)
         terms = planner.collect_terms(q)
-        cq = planner.compile_query(q, self.stats, self._term_stats(terms))
+        cq = planner.compile_query(
+            q, self.stats.with_similarity(similarity), self._term_stats(terms)
+        )
         if cq is None:
             return {"doc_id": doc_id, "matches": False, "description": str(q)}
         seg_id = doc_id // self.cfg.segment_size

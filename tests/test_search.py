@@ -226,6 +226,11 @@ def test_explain(engine):
     assert any(d["matches"] and d["freq"] for d in ex["details"])
     miss = searcher.explain(Q.term_and(["public", "zzzz_missing"]), int(td.doc_ids[0]))
     assert not miss["matches"]
+    # the similarity override explains the same score search() gives
+    for sim in ["classic", "lmdirichlet", "dfr", "ax:f2exp"]:
+        td_s = searcher.search(q, k=1, similarity=sim)
+        ex_s = searcher.explain(q, int(td_s.doc_ids[0]), similarity=sim)
+        assert np.float32(ex_s["score"]) == td_s.scores[0], sim
 
 
 def test_synonym_and_dismax(engine):
