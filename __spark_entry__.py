@@ -592,30 +592,60 @@ def _q_ann_cosine_topk(spark, sf_dir):
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (scale path) — rows-only check; recall vs the
-    brute-force baseline is asserted in tests/."""
+    """LSH-bucketed ANN (scale path) under a FULL SQL oracle: the
+    contract run uses ``deterministic_planes`` (integer hyperplanes
+    from a Knuth mod-mul hash) with floor(x*2^20) quantized
+    projections, so every signature bit is an exact-integer comparison
+    that DuckDB replays bit-for-bit — the oracle recomputes the
+    signatures, the multiprobe bucket expansion, the candidate join,
+    and the exact cosine re-rank.  A recall regression (changed
+    bucketing, probe set, or re-rank) trips the hash.  Gaussian-plane
+    recall quality stays pytest-asserted separately."""
+    import numpy as np
+
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_pdf = (
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
         .toPandas()
     )
-    return ann.lsh_topk(emb, queries_pdf, k=5, multiprobe=2).select(
-        "query_id", "rank", "neighbor_id"
-    )
+    planes = ann.deterministic_planes(n_tables=8, n_planes=8, dim=64)
+    return ann.lsh_topk(
+        emb, queries_pdf, k=5, n_planes=8, dim=64, multiprobe=1,
+        n_tables=8, planes=planes, quantize=True,
+    ).select("query_id", "rank", "neighbor_id")
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantized ANN (scale path) — rows-only check;
-    full-probe-equals-exact and recall are asserted in tests/."""
+    """IVF partial-probe ANN (scale path) under a FULL SQL oracle: the
+    contract run uses a fixed data-sampled codebook (the normalized
+    embeddings of vec_ids 100..131 — IVF-flat with k-medoid-style
+    seed centroids), so assignment, probe selection (top-8 of 32
+    clusters), the cluster-key shuffle join, and the exact re-rank are
+    all deterministic and replayed exactly by DuckDB.  The genuinely
+    approximate part — candidates restricted to probed clusters — is
+    inside the hash check.  Lloyd-trained centroids + recall stay
+    pytest-asserted; full-probe==exact stays ann_ivf_fullprobe."""
+    import numpy as np
+
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_pdf = (
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
         .toPandas()
     )
+    cent_pdf = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 132))
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    cent = np.asarray(
+        [np.asarray(v, np.float64) for v in cent_pdf["embedding"]]
+    )
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     return ann.ivf_topk(
-        emb, queries_pdf, k=5, n_centroids=32, n_probe=12, seed=42
+        emb, queries_pdf, k=5, n_probe=8, centroids=cent
     ).select("query_id", "rank", "neighbor_id")
 
 
@@ -1648,6 +1678,81 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
                    neighbor_id
             FROM sims QUALIFY rank <= 5""",
+        "ann_lsh_topk": """
+            WITH pl AS (
+              SELECT t.range AS t, j.range AS j, d.range AS d,
+                     CAST(((CAST(t.range*73856093 + j.range*19349663
+                                 + d.range*83492791 AS HUGEINT)
+                            * 2654435761) % 4294967296) % 2001 - 1000
+                          AS BIGINT) AS v
+              FROM range(8) t, range(8) j, range(64) d),
+            qv AS (
+              SELECT e.vec_id, d.range AS d,
+                     CAST(floor(CAST(e.embedding[d.range + 1] AS DOUBLE)
+                                * 1048576) AS BIGINT) AS q
+              FROM embeddings e, range(64) d),
+            dots AS (
+              SELECT qv.vec_id, pl.t, pl.j, sum(pl.v * qv.q) AS dot
+              FROM qv JOIN pl USING (d) GROUP BY 1, 2, 3),
+            sigs AS (
+              SELECT vec_id, t,
+                     sum(CASE WHEN dot > 0
+                         THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
+              FROM dots GROUP BY 1, 2),
+            probes AS (
+              SELECT vec_id AS query_id, t, bucket AS probe
+              FROM sigs WHERE vec_id < 10
+              UNION
+              SELECT s.vec_id, s.t, xor(s.bucket, CAST(1 AS BIGINT) << i.range)
+              FROM sigs s, range(8) i WHERE s.vec_id < 10),
+            cand AS (
+              SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+              FROM probes p JOIN sigs s ON s.t = p.t AND s.bucket = p.probe
+              WHERE s.vec_id != p.query_id),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS cosine
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.neighbor_id)
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+                   neighbor_id
+            FROM scored QUALIFY rank <= 5""",
+        "ann_ivf_topk": """
+            WITH cent AS (
+              SELECT vec_id - 100 AS c, embedding FROM embeddings
+              WHERE vec_id >= 100 AND vec_id < 132),
+            assign AS (
+              SELECT vec_id, c FROM (
+                SELECT e.vec_id, ct.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding,
+                                      ct.embedding) DESC, ct.c) AS rn
+                FROM embeddings e CROSS JOIN cent ct) WHERE rn = 1),
+            probes AS (
+              SELECT query_id, c FROM (
+                SELECT e.vec_id AS query_id, ct.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding,
+                                      ct.embedding) DESC, ct.c) AS rn
+                FROM embeddings e CROSS JOIN cent ct
+                WHERE e.vec_id < 10) WHERE rn <= 8),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probes p JOIN assign a ON a.c = p.c
+              WHERE a.vec_id != p.query_id),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS cosine
+              FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.neighbor_id)
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+                   neighbor_id
+            FROM scored QUALIFY rank <= 5""",
         "media_stats": """
             SELECT doc_id,
                    CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_bytes,

@@ -93,6 +93,41 @@ def _planes_for(n_tables: int, n_planes: int, dim: int, seed: int) -> np.ndarray
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
+#: fixed-point scale for the SQL-replayable signature path: embeddings
+#: are float32, so x * 2^20 is exact in float64 and floor() of it is an
+#: unambiguous integer on every engine (power-of-two scaling never
+#: rounds).  With |x| <= ~1 and plane components in [-1000, 1000], a
+#: 64-dim dot product stays under 2^37 — exact in int64 AND in float64.
+QUANT_SCALE = 1 << 20
+
+
+def deterministic_planes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """Integer pseudo-random hyperplanes from a Knuth multiplicative
+    hash over (table, plane, dim) — bit-replayable in ANSI SQL with
+    int128 mod-mul, which is what lets the driver's DuckDB oracle
+    hash-check the APPROXIMATE LSH path end-to-end (signatures, bucket
+    join, multiprobe, re-rank) instead of a rows-only check.
+
+    v[t,j,d] = ((t*73856093 + j*19349663 + d*83492791) * 2654435761
+                mod 2^32) mod 2001 - 1000     (components in [-1000,1000])
+
+    Quantized-projection sign LSH is the standard trick (the hash
+    family only needs symmetric, independent-ish directions); the
+    spatial-hash primes + Knuth constant give well-mixed components."""
+    out = np.empty((n_tables, n_planes, dim), np.int64)
+    for t in range(n_tables):
+        for j in range(n_planes):
+            for d in range(dim):
+                h = t * 73856093 + j * 19349663 + d * 83492791
+                out[t, j, d] = ((h * 2654435761) % 4294967296) % 2001 - 1000
+    return out
+
+
+def _quantize_rows(mat_f64: np.ndarray) -> np.ndarray:
+    """floor(x * 2^20) as int64 — exact on both numpy and SQL sides."""
+    return np.floor(mat_f64 * QUANT_SCALE).astype(np.int64)
+
+
 def hyperplane_signatures(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -101,15 +136,23 @@ def hyperplane_signatures(
     n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    quantize: bool = False,
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) bucket per row per table.
 
     Multi-table LSH: ``n_tables`` independent plane sets; a candidate
     only needs to collide in ONE table, which is what recovers recall
     on weakly-clustered data (classic (p1, p2)-sensitive LSH
-    amplification)."""
+    amplification).
+
+    ``planes``: explicit plane tensor (n_tables, n_planes, dim) — pass
+    :func:`deterministic_planes` for the SQL-replayable contract path.
+    ``quantize``: project floor(x * 2^20) int64 rows instead of float64
+    (exact integer dots; pair with integer planes)."""
     spark = embeddings.sparkSession
-    planes = _planes_for(n_tables, n_planes, dim, seed)
+    if planes is None:
+        planes = _planes_for(n_tables, n_planes, dim, seed)
     bc = spark.sparkContext.broadcast(planes)
 
     def sig(batches):
@@ -117,6 +160,8 @@ def hyperplane_signatures(
         weights = 1 << np.arange(pl.shape[1], dtype=np.int64)
         for pdf in batches:
             mat = np.asarray([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            if quantize:
+                mat = _quantize_rows(mat)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             outs = []
             for t in range(pl.shape[0]):
@@ -151,15 +196,23 @@ def lsh_topk(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    quantize: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: probe each table's query bucket (plus
     buckets at hamming distance <= multiprobe), exact re-score the
     union of candidates.  Bucket join shuffles on (table, bucket) —
-    uniform keys; the probe side is broadcast."""
+    uniform keys; the probe side is broadcast.
+
+    ``planes``/``quantize``: see :func:`hyperplane_signatures` — with
+    ``deterministic_planes`` + ``quantize=True`` the whole approximate
+    path is exactly replayable in SQL (integer projections)."""
     spark = embeddings.sparkSession
-    planes = _planes_for(n_tables, n_planes, dim, seed)
+    if planes is None:
+        planes = _planes_for(n_tables, n_planes, dim, seed)
     sigs = hyperplane_signatures(
-        embeddings, n_planes, dim, seed, n_tables, id_col, vec_col
+        embeddings, n_planes, dim, seed, n_tables, id_col, vec_col,
+        planes=planes, quantize=quantize,
     )
 
     # query buckets with multi-probe expansion (driver side, tiny)
@@ -167,6 +220,8 @@ def lsh_topk(
     probe_rows = []
     for _, r in queries.iterrows():
         v = np.asarray(r["embedding"], np.float64)
+        if quantize:
+            v = _quantize_rows(v[None, :])[0]
         for t in range(n_tables):
             bits = (planes[t] @ v) > 0
             base = int((bits.astype(np.int64) * weights).sum())

@@ -78,6 +78,12 @@ class QueryParser:
     # ---- parser ----
 
     def parse(self, s: str) -> Q.Query:
+        if s.count('"') % 2:
+            # QueryParserBase raises ParseException on an unterminated
+            # quote (QueryParser.jj <QUOTED> token); without this check
+            # the dangling quote lexes as part of a plain word and
+            # silently becomes a wrong term/equality query
+            raise ValueError(f"malformed phrase (unterminated quote?): {s!r}")
         toks = self._lex(s)
         q, rest = self._parse_query(toks)
         return q
@@ -156,6 +162,11 @@ class QueryParser:
         field, body = self._split_field(text)
         if kind == "phrase":
             m = re.match(r'"([^"]*)"(?:~(\d+))?$', body)
+            if m is None:
+                # e.g. lang:"unclosed — QueryParserBase raises ParseException
+                # on an unterminated quote; surface the parser's own error
+                # family rather than an AttributeError on the failed match
+                raise ValueError(f"malformed phrase (unterminated quote?): {text}")
             if field is not None:
                 # fielded phrase: metadata fields are keyword
                 # (StringField) fields, whose analyzer keeps the whole

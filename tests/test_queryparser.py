@@ -123,3 +123,14 @@ def test_fielded_regexp_rejected():
     with pytest.raises(ValueError, match="regexp on non-default field"):
         parse("lang:/d./")
     assert parse("content:/d./") == Q.RegexpQuery("d.")
+
+
+def test_unterminated_quote_raises_valueerror():
+    import pytest
+
+    # round-5 fix: used to raise AttributeError (None.group) deep in
+    # _parse_clause; the parser must surface its own error family
+    with pytest.raises(ValueError, match="malformed phrase"):
+        parse('lang:"unclosed')
+    with pytest.raises(ValueError, match="malformed phrase"):
+        parse('"unclosed')
