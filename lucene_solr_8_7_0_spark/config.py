@@ -58,6 +58,17 @@ class EngineConfig:
     # StopFilter stop set (position-hole semantics); empty = the
     # StandardAnalyzer() default (StandardAnalyzer.java:51-53)
     stopwords: tuple = ()
+    # Index-time sort (IndexWriterConfig.setIndexSort,
+    # lucene/core/.../index/IndexWriterConfig.java:484): a sequence of
+    # (field, reverse) pairs over non-content source columns.  Global
+    # doc ids are assigned by RANK OVER the sort key (then repo, path
+    # for uniqueness), so ascending doc id IS the index sort order,
+    # segments cover contiguous sort-key ranges, and the doc-sorted
+    # docmeta parquet carries tight per-row-group min/max on the sort
+    # column (the reference's sorted-segment + BKD pruning story).
+    # Result-affecting only through doc-id tie-breaks, exactly like
+    # the reference (sorting changes docID assignment, not scores).
+    index_sort: tuple = ()
 
     # --- physical layout (never affects results) ---
     # Tokenizer execution backend: "jvm" runs the analyzer regex inside

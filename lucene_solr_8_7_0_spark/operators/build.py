@@ -142,8 +142,15 @@ def build_index(
         proj = docs.select(
             *base_cols, F.sha2(F.col(content_col), 256).alias("sha256")
         )
+        # IndexWriterConfig.setIndexSort analog (IndexWriterConfig.java:484):
+        # leading sort fields come from cfg.index_sort, with (repo, path)
+        # appended for uniqueness — ascending doc id then IS the index
+        # sort order, segments cover contiguous sort-key ranges, and the
+        # doc-sorted docmeta parquet carries tight row-group min/max on
+        # the sort columns (sorted-segment + BKD-pruning story).
+        sort_spec = list(cfg.index_sort) + [("repo", False), ("path", False)]
         with_ids = (
-            proj if precomputed_ids else docids.assign_doc_ids(proj, ["repo", "path"])
+            proj if precomputed_ids else docids.assign_doc_ids(proj, sort_spec)
         )
         _write(with_ids, index_dir, "docs")
         record("docs", time.time() - t0, {})
@@ -294,6 +301,7 @@ def build_index(
                 "similarity": cfg.similarity,
                 "segment_size": cfg.segment_size,
                 "stopwords": list(cfg.stopwords),
+                "index_sort": [list(s) for s in cfg.index_sort],
             },
             f,
         )
@@ -308,4 +316,9 @@ def build_index(
 
 def load_config(index_dir: str) -> EngineConfig:
     with open(os.path.join(index_dir, "engine_config.json")) as f:
-        return EngineConfig(**json.load(f))
+        d = json.load(f)
+    d["stopwords"] = tuple(d.get("stopwords", ()))
+    d["index_sort"] = tuple(
+        (f_, bool(r)) for f_, r in d.get("index_sort", ())
+    )
+    return EngineConfig(**d)

@@ -34,19 +34,30 @@ from pyspark.storagelevel import StorageLevel
 
 def assign_doc_ids(
     df: DataFrame,
-    sort_cols: list[str] | None = None,
+    sort_cols: list | None = None,
     num_partitions: int | None = None,
     id_col: str = "doc_id",
     persist: bool = True,
 ) -> DataFrame:
-    """Add a dense global ``doc_id`` = rank over ``sort_cols``."""
+    """Add a dense global ``doc_id`` = rank over ``sort_cols``.
+
+    Each entry of ``sort_cols`` is either a column name (ascending) or
+    a ``(name, reverse)`` pair — the index-time sort surface
+    (IndexWriterConfig.setIndexSort, IndexWriterConfig.java:484): doc
+    ids assigned by a descending sort key make ascending doc id the
+    index sort order, so sorted segments cover contiguous key ranges.
+    """
     sort_cols = sort_cols or ["repo", "path"]
+    spec = [(c, False) if isinstance(c, str) else (c[0], bool(c[1]))
+            for c in sort_cols]
+    names = [c for c, _ in spec]
+    order = [F.col(c).desc() if rev else F.col(c).asc() for c, rev in spec]
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
     keys = (
-        df.select(*sort_cols)
-        .repartitionByRange(n_parts, *[F.col(c) for c in sort_cols])
-        .sortWithinPartitions(*sort_cols)
+        df.select(*names)
+        .repartitionByRange(n_parts, *order)
+        .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
     )
     if persist:
@@ -84,4 +95,4 @@ def assign_doc_ids(
     mapping = keys.mapInPandas(add_ids, schema=keys_schema)
     # key-equality join back onto the untouched source rows; Catalyst /
     # AQE selects broadcast vs shuffle join by the mapping's actual size
-    return df.join(mapping, sort_cols)
+    return df.join(mapping, names)

@@ -530,7 +530,8 @@ class IndexSearcher:
                              similarity=similarity).select("doc_id", "score")
 
     def _bulk_df(self, query: Query, score_mode: str,
-                 similarity: str | None = None) -> DataFrame:
+                 similarity: str | None = None,
+                 max_segment: int | None = None) -> DataFrame:
         q = rw.rewrite(query, self._term_lookup)
         terms = planner.collect_terms(q)
         ts = self._term_stats(terms)
@@ -546,7 +547,8 @@ class IndexSearcher:
                                  score_mode, 0,
                                  planner.collect_point_queries(q),
                                  lead=lead, dv_keys=dv_keys,
-                                 mt_qs=tuple(planner.collect_multi_term_preds(q)))
+                                 mt_qs=tuple(planner.collect_multi_term_preds(q)),
+                                 max_segment=max_segment)
         return out.filter(F.col("doc_id") >= 0)
 
     def search_df(self, query: Query, k: int = 10, with_meta: bool = True, **kw) -> DataFrame:
@@ -601,6 +603,18 @@ class IndexSearcher:
 
         from pyspark.sql import Window
 
+        # TopFieldCollector.canEarlyTerminate (TopFieldCollector.java:72-74):
+        # when the requested sort is a prefix of the index-time sort
+        # (IndexWriterConfig.setIndexSort), ascending doc id refines the
+        # requested order exactly (ties included — doc ids were assigned
+        # by (index_sort..., repo, path)), so the first k hits in doc
+        # order ARE the sorted top-k and only a leading segment prefix
+        # needs scanning.
+        want = tuple((s.field, bool(s.reverse)) for s in sort)
+        isort = tuple((f_, bool(r)) for f_, r in self.cfg.index_sort)
+        if after is None and want and want == isort[: len(want)]:
+            return self._search_sorted_indexed(query, sort, k)
+
         meta = self.spark.read.parquet(self.docmeta_path)
         hit_meta = self.matches_df(query).join(meta, "doc_id")
         exprs = [
@@ -627,6 +641,66 @@ class IndexSearcher:
             topk.withColumn("rank", F.row_number().over(w))
             .select("rank", "doc_id", *[s.field for s in sort])
             .orderBy("rank")
+        )
+
+    def _search_sorted_indexed(self, query: Query, sort: list, k: int) -> DataFrame:
+        """Early-terminated sorted top-k over an index-sorted index.
+
+        The reference terminates each leaf collector after k collected
+        hits once the segment order matches the search sort
+        (TopFieldCollector.java:72-74 canEarlyTerminate throwing
+        CollectionTerminatedException).  The Spark-first analog prunes
+        at the SCAN: doc ids are contiguous per segment, so the first k
+        hits in doc order live entirely inside a leading segment-id
+        prefix — probe a small prefix, geometrically widen until k hits
+        are found (total scan cost <= ~2x the final window), and let
+        the ``segment_id < w`` predicate reach parquet row-group
+        pruning so untouched segments are never read.  At a fixed hit
+        density the scanned fraction is O(k / num_docs), independent of
+        corpus size.  Results are bitwise those of the exhaustive
+        ``search_sorted`` path on the same index (prefix rule == tie
+        refinement, see caller).  ``self.last_sorted_probe`` records
+        (segments_scanned, total_segments) for plan audits/benchmarks.
+        """
+        import math as _math
+
+        seg_size = self.cfg.segment_size
+        n_segs = max(1, _math.ceil(self.stats.num_docs / seg_size))
+        fields = [s.field for s in sort]
+        window = min(n_segs, max(1, _math.ceil(4 * k / seg_size)))
+        while True:
+            pdf = (
+                self._bulk_df(query, "filter", max_segment=window)
+                .select("doc_id").orderBy("doc_id").limit(k).toPandas()
+            )
+            if len(pdf) >= k or window >= n_segs:
+                break
+            window = min(n_segs, window * 8)
+        self.last_sorted_probe = {
+            "segments_scanned": int(window),
+            "total_segments": int(n_segs),
+            "hits_found": int(len(pdf)),
+        }
+        if len(pdf) == 0:
+            schema = "rank int, doc_id bigint"
+            return self.spark.createDataFrame([], schema=schema).join(
+                self.spark.read.parquet(self.docmeta_path).select(
+                    "doc_id", *fields
+                ),
+                "doc_id",
+            ).select("rank", "doc_id", *fields)
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int32)
+        hits = self.spark.createDataFrame(
+            pdf[["rank", "doc_id"]], schema="rank int, doc_id bigint"
+        )
+        meta = self.spark.read.parquet(self.docmeta_path).select(
+            "doc_id", *fields
+        )
+        # k rows against docmeta: broadcast the tiny side
+        return (
+            F.broadcast(hits).join(meta, "doc_id")
+            .select("rank", "doc_id", *fields).orderBy("rank")
         )
 
     def explain(self, query: Query, doc_id: int,
@@ -991,6 +1065,7 @@ class IndexSearcher:
         min_competitive: float = 0.0, only_segment: int | None = None,
         lead: tuple | None = None, dv_keys: frozenset = frozenset(),
         after: tuple | None = None, mt_qs: tuple = (),
+        max_segment: int | None = None,
     ) -> DataFrame:
         seg_size = self.cfg.segment_size
         prune = score_mode == "top_scores"
@@ -1032,6 +1107,13 @@ class IndexSearcher:
             seg_rows = seg_rows.unionByName(del_rows)
         if only_segment is not None:
             seg_rows = seg_rows.filter(F.col("segment_id") == only_segment)
+        if max_segment is not None:
+            # early-terminated sorted search: restrict the scan to the
+            # leading segment-id prefix.  The predicate reaches the
+            # parquet scan (segments are written sorted by segment_id),
+            # so row groups past the window are PRUNED, not read — the
+            # distributed analog of CollectionTerminatedException.
+            seg_rows = seg_rows.filter(F.col("segment_id") < max_segment)
 
         def kernel(key, seg_pdf: pd.DataFrame) -> pd.DataFrame:
             seg_id = int(key[0])
