@@ -60,19 +60,40 @@ def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("t"), (d % 3).cast("string")),
             F.concat(F.lit("u"), (d % 5).cast("string")),
         ).alias("tags"),
+        # numeric docvalues column (char length) — the index-time sort
+        # field of the sorted index and a second point-range dimension;
+        # SQL-replayable as length(text)
+        F.length("text").cast("long").alias("n_chars"),
         F.col("text").alias("content"),
     )
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Build (or resume) the engine index for this sf_dir; cached."""
-    # v5: + multi-valued tags column, + stored offsets (termvectors)
-    key = hashlib.md5(f"{sf_dir}:v5".encode()).hexdigest()[:10]
+    # v6: + n_chars numeric docvalues column
+    key = hashlib.md5(f"{sf_dir}:v6".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
     cfg = EngineConfig(analyzer="simple", segment_size=256, index_positions=True,
                        index_offsets=True)
+    build_index(spark, _adapted(spark, sf_dir), d, cfg, resume=True)
+    s = IndexSearcher(spark, d)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _sorted_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """A SECOND index over the same corpus, built with an index-time
+    sort (IndexWriterConfig.setIndexSort analog): doc ids assigned by
+    (n_chars desc, repo, path), enabling early-terminated sorted top-k
+    (TopFieldCollector.canEarlyTerminate)."""
+    key = hashlib.md5(f"{sf_dir}:v6sorted".encode()).hexdigest()[:10]
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    d = f"/tmp/lucene_ps_index_{key}"
+    cfg = EngineConfig(analyzer="simple", segment_size=256,
+                       index_sort=(("n_chars", True),))
     build_index(spark, _adapted(spark, sf_dir), d, cfg, resume=True)
     s = IndexSearcher(spark, d)
     _SEARCHERS[key] = s
@@ -404,13 +425,33 @@ def _q_bm25_and_topk(spark, sf_dir):
 
 
 def _q_sort_by_field(spark, sf_dir):
-    """TopFieldCollector analog: hit set of a term query, field-sorted
-    top-15 by (length desc, doc asc) via TakeOrdered."""
+    """TopFieldCollector analog, three tagged variants:
+
+    - full: hit set of a term query, field-sorted top-15 by
+      (length desc, doc asc) via TakeOrdered on the UNSORTED index.
+    - indexed: the same shape on an INDEX-SORTED index
+      (setIndexSort n_chars desc) — search_sorted detects the prefix
+      match (canEarlyTerminate) and scans only a leading segment
+      window, early-terminating exactly like the reference.
+    - indexed_all: match-all sorted top-15 on the sorted index — the
+      pure pruning case (first window only).
+    """
     s = _searcher(spark, sf_dir)
-    out = s.search_sorted(
+    full = _orig_ids(s, s.search_sorted(
         Q.TermQuery("data"), [Q.SortField("length", reverse=True)], k=15
-    )
-    return _orig_ids(s, out).select("rank", "doc_id", "length")
+    )).select(F.lit("full").alias("variant"), "rank", "doc_id",
+              F.col("length").cast("long").alias("sortval"))
+    ss = _sorted_searcher(spark, sf_dir)
+    nsort = [Q.SortField("n_chars", reverse=True)]
+    indexed = _orig_ids(ss, ss.search_sorted(
+        Q.TermQuery("data"), nsort, k=15
+    )).select(F.lit("indexed").alias("variant"), "rank", "doc_id",
+              F.col("n_chars").cast("long").alias("sortval"))
+    indexed_all = _orig_ids(ss, ss.search_sorted(
+        Q.MatchAllDocsQuery(), nsort, k=15
+    )).select(F.lit("indexed_all").alias("variant"), "rank", "doc_id",
+              F.col("n_chars").cast("long").alias("sortval"))
+    return full.unionByName(indexed).unionByName(indexed_all)
 
 
 def _q_parsed_synonym_topk(spark, sf_dir):
@@ -1430,11 +1471,26 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field": f"""
             WITH toks AS ({_TOKS}),
             lens AS (SELECT doc_id, count(*) AS length FROM toks GROUP BY doc_id),
-            hits AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data')
-            SELECT CAST(row_number() OVER (ORDER BY length DESC, doc_id) AS INT) AS rank,
-                   doc_id, length
-            FROM lens JOIN hits USING (doc_id)
-            ORDER BY length DESC, doc_id LIMIT 15""",
+            hits AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data'),
+            full_v AS (
+              SELECT 'full' AS variant,
+                     CAST(row_number() OVER (ORDER BY length DESC, doc_id) AS INT) AS rank,
+                     doc_id, CAST(length AS BIGINT) AS sortval
+              FROM lens JOIN hits USING (doc_id)
+              ORDER BY length DESC, doc_id LIMIT 15),
+            idx AS (
+              SELECT 'indexed' AS variant,
+                     CAST(row_number() OVER (ORDER BY length(text) DESC, doc_id) AS INT) AS rank,
+                     doc_id, CAST(length(text) AS BIGINT) AS sortval
+              FROM documents WHERE doc_id IN (SELECT doc_id FROM hits)
+              ORDER BY length(text) DESC, doc_id LIMIT 15),
+            idxall AS (
+              SELECT 'indexed_all' AS variant,
+                     CAST(row_number() OVER (ORDER BY length(text) DESC, doc_id) AS INT) AS rank,
+                     doc_id, CAST(length(text) AS BIGINT) AS sortval
+              FROM documents ORDER BY length(text) DESC, doc_id LIMIT 15)
+            SELECT * FROM full_v UNION ALL SELECT * FROM idx
+            UNION ALL SELECT * FROM idxall""",
         "parsed_synonym_topk": f"""
             WITH toks AS ({_TOKS}),
             lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),

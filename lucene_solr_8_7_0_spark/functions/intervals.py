@@ -279,24 +279,102 @@ def _repeat(ivs: list, k: int) -> list:
     return _chain_ordered([ivs] * k)
 
 
+# per-process work counter for complexity assertions in tests: every
+# sub-iterator advance in the linear kernels increments it once, so a
+# test can pin "work is O(total intervals)" without wall-clock flake
+_WORK = 0
+
+
+def reset_work() -> None:
+    global _WORK
+    _WORK = 0
+
+
+def get_work() -> int:
+    return _WORK
+
+
+def _monotone(sl: list) -> bool:
+    """start- AND end-sorted — true for every MINIMAL list (no
+    containment => both coordinates strictly increase); only the
+    deliberately non-minimal Extended/Offset wrappers can break it."""
+    return all(
+        sl[i][0] <= sl[i + 1][0] and sl[i][1] <= sl[i + 1][1]
+        for i in range(len(sl) - 1)
+    )
+
+
 def _chain_ordered(sub_lists: list[list]) -> list:
     """Minimal in-order non-overlapping chains across sub interval
-    lists (OrderedIntervalIterator semantics): for each first-slot
-    interval, greedily extend with the earliest-ending later interval,
-    then minimalize."""
+    lists (OrderedIntervalIterator semantics,
+    OrderedIntervalsSource.java:133-165): for each first-slot interval,
+    extend with the earliest-ending strictly-later interval per slot,
+    then minimalize.
+
+    Linear shape (r4 VERDICT #4): successive first-slot intervals have
+    non-decreasing ends, and each greedy choice's end is monotone in
+    its predecessor, so every slot's candidate frontier only moves
+    FORWARD — one monotone pointer per slot plus a precomputed
+    suffix-argmin by (end, start) replaces the per-first-slot rescan;
+    total work O(sum of list lengths).  Non-monotone inputs (an
+    Extended/Offset wrapper that kept duplicates) fall back to the
+    direct scan."""
+    global _WORK
     if any(len(sl) == 0 for sl in sub_lists):
         return []
+    n = len(sub_lists)
+    if n == 1:
+        return list(sub_lists[0])
+    rest = sub_lists[1:]
+    fast = _monotone(sub_lists[0]) and all(
+        all(sl[i][0] <= sl[i + 1][0] for i in range(len(sl) - 1))
+        for sl in rest
+    )
     out = []
+    if fast:
+        # suffix argmin by (end, start) per later slot — with ties the
+        # LEFTMOST index wins, matching min()'s stability in the scan
+        sufmin = []
+        for sl in rest:
+            am = [0] * len(sl)
+            best = len(sl) - 1
+            for i in range(len(sl) - 1, -1, -1):
+                if (sl[i][1], sl[i][0]) <= (sl[best][1], sl[best][0]):
+                    best = i
+                am[i] = best
+            sufmin.append(am)
+        ptr = [0] * len(rest)
+        for f in sub_lists[0]:
+            prev_end = f[1]
+            occupied = f[2]
+            ok = True
+            for si, sl in enumerate(rest):
+                p = ptr[si]
+                while p < len(sl) and sl[p][0] <= prev_end:
+                    p += 1
+                    _WORK += 1
+                ptr[si] = p
+                if p >= len(sl):
+                    ok = False
+                    break
+                nxt = sl[sufmin[si][p]]
+                prev_end = nxt[1]
+                occupied += nxt[2]
+            if not ok:
+                break
+            out.append((f[0], prev_end, occupied))
+        return _minimalize(out)
     for f in sub_lists[0]:
         prev_end = f[1]
         occupied = f[2]
         ok = True
-        for sl in sub_lists[1:]:
-            cands = [iv for iv in sl if iv[0] > prev_end]
+        for sl in rest:
+            cands = [x for x in sl if x[0] > prev_end]
+            _WORK += len(sl)
             if not cands:
                 ok = False
                 break
-            nxt = min(cands, key=lambda iv: (iv[1], iv[0]))
+            nxt = min(cands, key=lambda x: (x[1], x[0]))
             prev_end = nxt[1]
             occupied += nxt[2]
         if ok:
@@ -304,29 +382,90 @@ def _chain_ordered(sub_lists: list[list]) -> list:
     return _minimalize(out)
 
 
-def _sweep_cover(subs: list[list]) -> list:
-    """Candidate covering windows — one interval from each list, any
-    order, overlaps allowed (UnorderedIntervalIterator's priority
-    queue, comparator start asc / end desc, UnorderedIntervalsSource
-    .java:115-148): record the current covering window, advance the
-    earliest-starting sub, repeat — O(total intervals) candidates,
-    NOT minimalized."""
-    if any(len(sl) == 0 for sl in subs):
+def _msm_sweep(lists: list[list], m: int) -> list:
+    """Minimal windows covering intervals from >= m distinct sources —
+    the MinimumShouldMatch semantics (the engine's subset-enumeration
+    spec: union over m-subsets of one-interval-per-source products,
+    minimalized) computed by a single right-edge sweep instead of
+    C(n, m) enumeration (r4 VERDICT #4; reference iterator:
+    MinimumShouldMatchIntervalsSource.java:150-276 — a PQ sweep of the
+    same O(total x log n) shape, whose lazy minimization can
+    under-report windows; this engine keeps the complete minimal set,
+    which is what the golden vectors and the SQL oracles pin).
+
+    Sweep: for each candidate right edge R (every interval end, asc),
+    best[j] = max start among source j's intervals with end <= R; the
+    tightest >=m-cover ending at R is [m-th largest best, R].  Every
+    minimal window is tight at its own R, so the candidate set covers
+    the spec's kept set; containment minimalization then drops the
+    rest.  Occupied: a KEPT window is spanned exactly by every
+    contained m-combo, so its minimal occupied = sum of the m smallest
+    per-source minima of contained intervals — computed with one
+    monotone pointer pair + min-deque per source (windows' starts and
+    ends both strictly increase), falling back to a direct scan for
+    non-monotone (Extended/Offset) inputs.  Total O(T log T)."""
+    global _WORK
+    from collections import deque
+
+    n = len(lists)
+    evs = sorted(
+        (e, s, j) for j, sl in enumerate(lists) for (s, e, _) in sl
+    )
+    best = [-1] * n
+    cands = []
+    i = 0
+    T = len(evs)
+    while i < T:
+        r_edge = evs[i][0]
+        while i < T and evs[i][0] == r_edge:
+            e, s, j = evs[i]
+            if s > best[j]:
+                best[j] = s
+            i += 1
+            _WORK += 1
+        tops = sorted((b for b in best if b >= 0), reverse=True)
+        if len(tops) >= m:
+            cands.append((tops[m - 1], r_edge))
+    kept = _minimalize([(s, e, 0) for s, e in cands])
+    if not kept:
         return []
-    nsub = len(subs)
-    ptrs = [0] * nsub
     out = []
-    while True:
-        cur = [subs[i][ptrs[i]] for i in range(nsub)]
-        out.append((
-            min(iv[0] for iv in cur),
-            max(iv[1] for iv in cur),
-            sum(iv[2] for iv in cur),
-        ))
-        adv = min(range(nsub), key=lambda j: (cur[j][0], -cur[j][1]))
-        ptrs[adv] += 1
-        if ptrs[adv] >= len(subs[adv]):
-            break
+    if all(_monotone(sl) for sl in lists):
+        # kept windows: starts and ends strictly increase -> per
+        # source, contained intervals form a sliding [lo, hi) range;
+        # a monotone min-deque yields the per-window occupied minimum
+        lo = [0] * n
+        hi = [0] * n
+        dq: list = [deque() for _ in range(n)]  # (occ, idx) increasing occ
+        for s, e, _ in kept:
+            mins = []
+            for j, sl in enumerate(lists):
+                while hi[j] < len(sl) and sl[hi[j]][1] <= e:
+                    o = sl[hi[j]][2]
+                    while dq[j] and dq[j][-1][0] >= o:
+                        dq[j].pop()
+                    dq[j].append((o, hi[j]))
+                    hi[j] += 1
+                    _WORK += 1
+                while lo[j] < hi[j] and sl[lo[j]][0] < s:
+                    if dq[j] and dq[j][0][1] == lo[j]:
+                        dq[j].popleft()
+                    lo[j] += 1
+                    _WORK += 1
+                if lo[j] < hi[j] and dq[j]:
+                    mins.append(dq[j][0][0])
+            mins.sort()
+            out.append((s, e, sum(mins[:m])))
+        return out
+    for s, e, _ in kept:
+        mins = []
+        for sl in lists:
+            c = [o for (a, b, o) in sl if a >= s and b <= e]
+            _WORK += len(sl)
+            if c:
+                mins.append(min(c))
+        mins.sort()
+        out.append((s, e, sum(mins[:m])))
     return out
 
 
@@ -377,7 +516,10 @@ def minimal_intervals(src, pos: dict[str, np.ndarray]) -> list:
         subs = [
             _repeat(minimal_intervals(s, pos), k) for s, k in groups
         ]
-        return _minimalize(_sweep_cover(subs))
+        # covering windows over ALL groups == the atLeast sweep with
+        # m = n (product semantics; the former _sweep_cover staircase
+        # could under-report when wide sub intervals overlap)
+        return _minimalize(_msm_sweep(subs, len(subs)))
     if isinstance(src, IOr):
         out = []
         for s in src.sources:
@@ -431,23 +573,19 @@ def minimal_intervals(src, pos: dict[str, np.ndarray]) -> list:
             if any(o[0] <= iv[1] and iv[0] <= o[1] for o in other) == want
         ]
     if isinstance(src, IAtLeast):
-        # MinimumShouldMatchIntervalIterator == unordered-style covers
-        # over every size-m choice of sources with intervals in the
-        # doc, then global minimalization (no distinct-occurrence rule:
-        # equal sources may share a position).  Verified against
-        # testMinimumShouldMatch's vectors and gaps.
-        from itertools import combinations
-
+        # MinimumShouldMatch semantics via a single right-edge sweep
+        # (no subset enumeration; no distinct-occurrence rule: equal
+        # sources may share a position).  Verified against
+        # testMinimumShouldMatch's vectors and gaps, and equivalent to
+        # covers-over-m-subsets after minimalization
+        # (tests/test_intervals_kernels.py).
         live = [
             sl for sl in (minimal_intervals(s, pos) for s in src.sources)
             if sl
         ]
         if len(live) < src.min_should_match:
             return []
-        out = []
-        for combo in combinations(live, src.min_should_match):
-            out.extend(_sweep_cover(list(combo)))
-        return _minimalize(out)
+        return _minimalize(_msm_sweep(live, src.min_should_match))
     if isinstance(src, _CONTAIN):
         # containment filters over the two sides' minimal sets
         # (Containing/ContainedBy/NotContaining/NotContainedBy
