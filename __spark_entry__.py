@@ -60,6 +60,14 @@ def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("t"), (d % 3).cast("string")),
             F.concat(F.lit("u"), (d % 5).cast("string")),
         ).alias("tags"),
+        # hierarchical facet field (FacetLabel paths): each doc carries
+        # two LEAF category paths in two dimensions — lang/t<i>/u<j>
+        # and topic/k<m> — deterministic and SQL-replayable
+        F.array(
+            F.concat(F.col("lang"), F.lit("/t"), (d % 3).cast("string"),
+                     F.lit("/u"), (d % 5).cast("string")),
+            F.concat(F.lit("topic/k"), (d % 7).cast("string")),
+        ).alias("taxo"),
         # numeric docvalues column (char length) — the index-time sort
         # field of the sorted index and a second point-range dimension;
         # SQL-replayable as length(text)
@@ -70,8 +78,8 @@ def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Build (or resume) the engine index for this sf_dir; cached."""
-    # v6: + n_chars numeric docvalues column
-    key = hashlib.md5(f"{sf_dir}:v6".encode()).hexdigest()[:10]
+    # v7: + n_chars numeric docvalues column + taxo hierarchical paths
+    key = hashlib.md5(f"{sf_dir}:v7".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
@@ -88,7 +96,7 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     sort (IndexWriterConfig.setIndexSort analog): doc ids assigned by
     (n_chars desc, repo, path), enabling early-terminated sorted top-k
     (TopFieldCollector.canEarlyTerminate)."""
-    key = hashlib.md5(f"{sf_dir}:v6sorted".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:v7sorted".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
@@ -911,13 +919,42 @@ def _q_boosted_by_field_topk(spark, sf_dir):
 
 
 def _q_facet_tags(spark, sf_dir):
-    """Multi-valued (SORTED_SET) faceting: per-VALUE counts of the
-    synthetic tags array over the hit set of a term query."""
-    from lucene_solr_8_7_0_spark.operators.facets import facet_counts
+    """Faceting over non-postings fields, tagged union:
+
+    - flat: multi-valued (SORTED_SET) per-VALUE counts of the tags
+      array over the hit set of a term query.
+    - taxo_root / taxo_en / taxo_en_t1: hierarchical taxonomy counts
+      (FastTaxonomyFacetCounts.getTopChildren) at the root, under
+      ('en',), and under ('en','t1') of the leaf-path taxo field.
+    - drill: DrillDownQuery — hit-set size restricted to docs under
+      ('topic', 'k3').
+    """
+    from lucene_solr_8_7_0_spark.operators.facets import (
+        facet_counts, taxonomy_counts, taxonomy_drilldown,
+    )
 
     s = _searcher(spark, sf_dir)
-    return facet_counts(s, Q.TermQuery("data"), "tags").select(
-        F.col("tags").alias("tag"), "count"
+    q = Q.TermQuery("data")
+    flat = facet_counts(s, q, "tags").select(
+        F.lit("flat").alias("variant"),
+        F.col("tags").alias("label"), "count",
+    )
+    def taxo(tag, path):
+        return taxonomy_counts(s, q, "taxo", path).select(
+            F.lit(tag).alias("variant"),
+            F.col("child").alias("label"), "count",
+        )
+    drill = taxonomy_drilldown(s, q, "taxo", ("topic", "k3")).agg(
+        F.count("*").alias("count")
+    ).select(
+        F.lit("drill").alias("variant"),
+        F.lit("topic/k3").alias("label"), "count",
+    )
+    return (
+        flat.unionByName(taxo("taxo_root", ()))
+        .unionByName(taxo("taxo_en", ("en",)))
+        .unionByName(taxo("taxo_en_t1", ("en", "t1")))
+        .unionByName(drill)
     )
 
 
@@ -1267,8 +1304,36 @@ def oracle_sql() -> dict[str, str]:
             vals AS (
               SELECT doc_id, 't' || CAST(doc_id % 3 AS VARCHAR) AS tag FROM hits
               UNION ALL
-              SELECT doc_id, 'u' || CAST(doc_id % 5 AS VARCHAR) AS tag FROM hits)
-            SELECT tag, count(*) AS count FROM vals GROUP BY tag""",
+              SELECT doc_id, 'u' || CAST(doc_id % 5 AS VARCHAR) AS tag FROM hits),
+            paths AS (
+              SELECT h.doc_id, d.lang || '/t' || CAST(h.doc_id % 3 AS VARCHAR)
+                     || '/u' || CAST(h.doc_id % 5 AS VARCHAR) AS p
+              FROM hits h JOIN documents d USING (doc_id)
+              UNION ALL
+              SELECT doc_id, 'topic/k' || CAST(doc_id % 7 AS VARCHAR) FROM hits)
+            SELECT 'flat' AS variant, tag AS label, count(*) AS count
+            FROM vals GROUP BY tag
+            UNION ALL
+            SELECT 'taxo_root', c, count(*)
+            FROM (SELECT DISTINCT doc_id, string_split(p, '/')[1] AS c
+                  FROM paths) t
+            GROUP BY c
+            UNION ALL
+            SELECT 'taxo_en', c, count(*)
+            FROM (SELECT DISTINCT doc_id, string_split(p, '/')[2] AS c FROM paths
+                  WHERE string_split(p, '/')[1] = 'en'
+                    AND len(string_split(p, '/')) > 1) t
+            GROUP BY c
+            UNION ALL
+            SELECT 'taxo_en_t1', c, count(*)
+            FROM (SELECT DISTINCT doc_id, string_split(p, '/')[3] AS c FROM paths
+                  WHERE string_split(p, '/')[1] = 'en'
+                    AND string_split(p, '/')[2] = 't1'
+                    AND len(string_split(p, '/')) > 2) t
+            GROUP BY c
+            UNION ALL
+            SELECT 'drill', 'topic/k3', count(*)
+            FROM hits WHERE doc_id % 7 = 3""",
         "highlight_topk": _BM25_CTE.format(terms="'data','join'")
         + """,
             top10 AS (
