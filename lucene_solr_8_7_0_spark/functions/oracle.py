@@ -62,6 +62,14 @@ class OracleIndex:
 def build_oracle_index(docs_pdf: pd.DataFrame, cfg: EngineConfig | None = None) -> OracleIndex:
     """docs_pdf: (doc_id, content) — any order; doc_id = global id."""
     cfg = cfg or EngineConfig()
+    if cfg.similarity.startswith("perfield:"):
+        # mirror CollectionStats: resolve the wrapper at binding time
+        from dataclasses import replace
+
+        from .sweetspot import resolve_per_field
+
+        cfg = replace(cfg, similarity=resolve_per_field(cfg.similarity,
+                                                        "content"))
     docs_pdf = docs_pdf.sort_values("doc_id", ignore_index=True)
     tb = analyze_batch(
         docs_pdf["content"], cfg.analyzer, cfg.max_token_length,
@@ -107,7 +115,8 @@ def _norm_of(oi: OracleIndex, docs: np.ndarray) -> np.ndarray:
 
 def _idf(oi: OracleIndex, df: int):
     """Per-term idf under the configured similarity."""
-    if oi.cfg.similarity == "classic":
+    if oi.cfg.similarity == "classic" or oi.cfg.similarity.startswith(
+            "sweetspot"):
         from .tfidf import classic_idf
 
         return classic_idf(df, oi.doc_count)
@@ -119,15 +128,33 @@ def _scorer(oi: OracleIndex, idf_val, boost: float):
         from .tfidf import TFIDFScorer
 
         return TFIDFScorer.create(boost, idf_val)
+    if oi.cfg.similarity.startswith("sweetspot"):
+        from .sweetspot import make_sweetspot_scorer
+
+        return make_sweetspot_scorer(oi.cfg.similarity, boost, idf_val)
     return BM25Scorer.create(
         boost, oi.cfg.k1, oi.cfg.b, idf_val,
         avg_field_length(oi.sum_ttf, max(oi.doc_count, 1)),
     )
 
 
+def _resolved(oi: OracleIndex) -> OracleIndex:
+    """Resolve a perfield: wrapper spec (PerFieldSimilarityWrapper) the
+    same way CollectionStats does — once, at scorer-binding time."""
+    if not oi.cfg.similarity.startswith("perfield:"):
+        return oi
+    from dataclasses import replace
+
+    from .sweetspot import resolve_per_field
+
+    return replace(oi, cfg=replace(
+        oi.cfg, similarity=resolve_per_field(oi.cfg.similarity, "content")))
+
+
 def _term_scorer(oi: OracleIndex, boost: float, term: str):
     """Per-term scorer under the configured similarity (mirrors
     CollectionStats.term_scorer)."""
+    oi = _resolved(oi)
     if oi.cfg.similarity == "boolean":
         from .bm25 import BooleanSimScorer
 
@@ -151,6 +178,7 @@ def _term_scorer(oi: OracleIndex, boost: float, term: str):
 def _phrase_scorer(oi: OracleIndex, boost: float, terms):
     """Phrase-clause scorer (mirrors CollectionStats.phrase_scorer):
     idf-family sums idfs; LM sums per-term scorers (MultiSimScorer)."""
+    oi = _resolved(oi)
     if oi.cfg.similarity == "boolean":
         from .bm25 import BooleanSimScorer
 

@@ -48,6 +48,13 @@ class CollectionStats:
 
     def __init__(self, num_docs: int, doc_count: int, sum_ttf: int,
                  k1: float, b: float, similarity: str = "bm25"):
+        if similarity.startswith("perfield:"):
+            # PerFieldSimilarityWrapper.get(field) resolved ONCE at
+            # weight-binding time — "content" is the single scored
+            # postings field (PerFieldSimilarityWrapper.java:28-62)
+            from ..functions.sweetspot import resolve_per_field
+
+            similarity = resolve_per_field(similarity, "content")
         self.num_docs = num_docs
         self.doc_count = max(doc_count, 1)
         self.sum_ttf = sum_ttf
@@ -71,7 +78,10 @@ class CollectionStats:
         vs ClassicSimilarity.idf); phrase/multiphrase idfs SUM these
         per-term values in both idf-based models
         (idfExplain(termStats[]))."""
-        if self.similarity == "classic":
+        if self.similarity == "classic" or self.similarity.startswith(
+                "sweetspot"):
+            # SweetSpot extends ClassicSimilarity, so it shares the
+            # classic idf (SweetSpotSimilarity.java:39)
             from ..functions.tfidf import classic_idf
 
             return classic_idf(df, self.doc_count)
@@ -84,6 +94,10 @@ class CollectionStats:
             from ..functions.tfidf import TFIDFScorer
 
             return TFIDFScorer.create(boost, idf_value)
+        if self.similarity.startswith("sweetspot"):
+            from ..functions.sweetspot import make_sweetspot_scorer
+
+            return make_sweetspot_scorer(self.similarity, boost, idf_value)
         return BM25Scorer.create(boost, self.k1, self.b, idf_value, self.avgdl)
 
     def term_scorer(self, boost: float, df: int, ttf: int):
