@@ -855,7 +855,20 @@ def _q_range_filter(spark, sf_dir):
         Q.IndexOrDocValuesQuery(Q.PointRangeQuery("length", 20, None)),
         Q.Occur.FILTER,
     )
-    return _variant_union(s, {"index": b1.build(), "dv": b2.build()})
+    # "multidim": an n-dimensional box (PointRangeQuery numDims>1 /
+    # IntPoint.newRangeQuery(String, int[], int[])) over TWO docmeta
+    # point columns — one pushed-down docmeta scan with the ANDed
+    # per-dim predicate (the single BKD visit's per-dim loop,
+    # PointRangeQuery.java:118)
+    b3 = Q.Builder()
+    b3.add(Q.TermQuery("data"), Q.Occur.MUST)
+    b3.add(
+        Q.multi_dim_range(("length", 60, 120), ("n_chars", 350, 450)),
+        Q.Occur.FILTER,
+    )
+    return _variant_union(
+        s, {"index": b1.build(), "dv": b2.build(), "multidim": b3.build()}
+    )
 
 
 def _q_multi_phrase(spark, sf_dir):
@@ -1435,7 +1448,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'dv', doc_id FROM (
               SELECT doc_id FROM toks GROUP BY doc_id
               HAVING sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) > 0
-                 AND count(*) >= 20)""",
+                 AND count(*) >= 20)
+            UNION ALL
+            SELECT 'multidim', t.doc_id FROM (
+              SELECT doc_id FROM toks GROUP BY doc_id
+              HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
+                 AND count(*) BETWEEN 60 AND 120) t
+            JOIN documents d ON d.doc_id = t.doc_id
+            WHERE length(d.text) BETWEEN 350 AND 450""",
         "multi_phrase": r"""
             SELECT 'alt' AS variant, doc_id FROM documents
             WHERE regexp_matches(lower(text),

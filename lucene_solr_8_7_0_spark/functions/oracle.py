@@ -38,6 +38,7 @@ from ..plans.queries import (
     MatchNoDocsQuery,
     Occur,
     PhraseQuery,
+    MultiDimPointRangeQuery,
     PointRangeQuery,
     Query,
     TermQuery,
@@ -57,6 +58,9 @@ class OracleIndex:
     term_df: dict
     term_ttf: dict
     cfg: EngineConfig
+    # numeric point fields beyond the token-count length (aligned with
+    # doc_ids); n_chars is derived from content at build
+    meta: dict | None = None
 
 
 def build_oracle_index(docs_pdf: pd.DataFrame, cfg: EngineConfig | None = None) -> OracleIndex:
@@ -105,6 +109,7 @@ def build_oracle_index(docs_pdf: pd.DataFrame, cfg: EngineConfig | None = None) 
         term_df=term_df,
         term_ttf=term_ttf,
         cfg=cfg,
+        meta={"n_chars": docs_pdf["content"].str.len().to_numpy(np.int64)},
     )
 
 
@@ -210,6 +215,27 @@ def _phrase_scorer(oi: OracleIndex, boost: float, terms):
     return _scorer(oi, np.float32(total), boost)
 
 
+def _meta_vals(oi: OracleIndex, field: str) -> np.ndarray:
+    """Per-doc values of a numeric point field, aligned with doc_ids:
+    ``length`` is the token count; other fields come from the meta
+    columns captured at oracle build."""
+    if field == "length":
+        return oi.lengths
+    if oi.meta is not None and field in oi.meta:
+        return oi.meta[field]
+    raise NotImplementedError(f"oracle point field {field!r} unavailable")
+
+
+def _range_mask(oi: OracleIndex, field, lo, hi, il, iu) -> np.ndarray:
+    vals = _meta_vals(oi, field)
+    mask = np.ones(len(oi.doc_ids), dtype=bool)
+    if lo is not None:
+        mask &= (vals >= lo) if il else (vals > lo)
+    if hi is not None:
+        mask &= (vals <= hi) if iu else (vals < hi)
+    return mask
+
+
 def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
     """-> (sorted docs int64, float32 scores)"""
     if isinstance(q, MatchNoDocsQuery):
@@ -223,13 +249,15 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
         docs, _ = _eval(oi, q.query, 1.0, False)
         return docs, np.full(len(docs), np.float32(boost if scoring else 0.0))
     if isinstance(q, PointRangeQuery):
-        if q.field != "length":
-            raise NotImplementedError("oracle points support: length only")
+        mask = _range_mask(oi, q.field, q.lower, q.upper,
+                           q.include_lower, q.include_upper)
+        docs = oi.doc_ids[mask]
+        return docs, np.full(len(docs), np.float32(boost if scoring else 0.0))
+    if isinstance(q, MultiDimPointRangeQuery):
+        # per-dim conjunction (the numDims loop, PointRangeQuery.java:118)
         mask = np.ones(len(oi.doc_ids), dtype=bool)
-        if q.lower is not None:
-            mask &= (oi.lengths >= q.lower) if q.include_lower else (oi.lengths > q.lower)
-        if q.upper is not None:
-            mask &= (oi.lengths <= q.upper) if q.include_upper else (oi.lengths < q.upper)
+        for fld, lo, hi, il, iu in q.dims:
+            mask &= _range_mask(oi, fld, lo, hi, il, iu)
         docs = oi.doc_ids[mask]
         return docs, np.full(len(docs), np.float32(boost if scoring else 0.0))
     if isinstance(q, TermQuery):

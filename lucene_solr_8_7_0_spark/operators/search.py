@@ -870,6 +870,18 @@ class IndexSearcher:
         linearly; missing statistics degrade to num_docs (pessimistic,
         which biases toward the dv path exactly when the index side's
         cost is unknown)."""
+        from ..plans.queries import MultiDimPointRangeQuery, PointRangeQuery
+
+        if isinstance(q, MultiDimPointRangeQuery):
+            # intersection cardinality <= every dim's own estimate
+            # (estimatePointCount visits one tree; min over dims is the
+            # tightest per-dim bound available from 1-d histograms)
+            return min(
+                self._estimate_point_cost(
+                    PointRangeQuery(fld, lo, hi, il, iu)
+                )
+                for fld, lo, hi, il, iu in q.dims
+            )
         cs = self._colstats
         if cs is None:
             return self.stats.num_docs
@@ -980,8 +992,20 @@ class IndexSearcher:
         query value."""
         from pyspark.sql.types import ArrayType
 
-        from ..plans.queries import FieldTermQuery
+        from ..plans.queries import FieldTermQuery, MultiDimPointRangeQuery
 
+        if isinstance(q, MultiDimPointRangeQuery):
+            # the per-dim conjunction of an n-dim box, ANDed into ONE
+            # pushed-down predicate (the single BKD visit's per-dim
+            # loop, PointRangeQuery.java:118)
+            cond = F.lit(True)
+            for fld, lo, hi, il, iu in q.dims:
+                c = F.col(fld)
+                if lo is not None:
+                    cond = cond & (c >= lo if il else c > lo)
+                if hi is not None:
+                    cond = cond & (c <= hi if iu else c < hi)
+            return cond
         c = F.col(q.field)
         if isinstance(q, FieldTermQuery):
             if schema is not None and isinstance(

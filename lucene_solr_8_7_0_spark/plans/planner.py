@@ -31,6 +31,7 @@ from .queries import (
     MatchNoDocsQuery,
     Occur,
     PhraseQuery,
+    MultiDimPointRangeQuery,
     PointRangeQuery,
     Query,
     TermQuery,
@@ -241,7 +242,8 @@ def collect_point_queries(q: Query) -> set:
     FieldTermQuery) — their doc sets are materialized from the docmeta
     point index and fed to the kernel as constant pseudo-postings (see
     IndexSearcher._points_rows)."""
-    if isinstance(q, (PointRangeQuery, FieldTermQuery)):
+    if isinstance(q, (PointRangeQuery, MultiDimPointRangeQuery,
+                      FieldTermQuery)):
         return {q}
     if isinstance(q, DisjunctionMaxQuery):
         out: set[PointRangeQuery] = set()
@@ -313,7 +315,8 @@ def _make_clause(
             slop=q.slop, kind="span_near", in_order=q.in_order,
             span_specs=tuple(q.terms), span_range=span_range,
         )
-    if isinstance(q, (PointRangeQuery, FieldTermQuery)):
+    if isinstance(q, (PointRangeQuery, MultiDimPointRangeQuery,
+                      FieldTermQuery)):
         # constant-score doc-value clause: PointRangeQuery's weight is
         # a ConstantScoreWeight (PointRangeQuery.java:107); keyword
         # (StringField) equality scores the same way
@@ -444,7 +447,8 @@ def compile_query(
     if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery,
                       SpanNearQuery, SpanOrQuery, SpanNotQuery,
                       SpanPositionRangeQuery, IntervalQuery,
-                      PointRangeQuery, FieldTermQuery,
+                      PointRangeQuery, MultiDimPointRangeQuery,
+                      FieldTermQuery,
                       BoostQuery, ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
         return CompiledQuery([clause], [], [], [], 0)

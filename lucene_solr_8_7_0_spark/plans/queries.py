@@ -520,6 +520,53 @@ class PointRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiDimPointRangeQuery(Query):
+    """N-dimensional point range (PointRangeQuery.java:64-80 with
+    numDims > 1; IntPoint.newRangeQuery(String, int[], int[]) —
+    IntPoint.java:42): a document matches when EVERY dimension's value
+    falls in its [lower, upper] range (the per-dim loop in
+    PointRangeQuery's visitor, PointRangeQuery.java:118).
+
+    Spark-first analog: where the reference packs the dims into one BKD
+    tree and visits it once, the dims here are docmeta numeric columns
+    and the conjunction is ONE pushed-down docmeta scan with the ANDed
+    per-dim predicate — a single row-group-pruned pass materializing
+    only the intersection, never one doc set per dimension.  Scores are
+    constant (ConstantScoreWeight), as in the reference.
+
+    ``dims``: tuple of (field, lower, upper, include_lower,
+    include_upper); lower/upper of None = open-ended on that side.
+    """
+
+    dims: tuple
+    # dv=True permits the per-candidate access path, as PointRangeQuery
+    dv: bool = False
+
+    def token_key(self) -> str:
+        body = ";".join(
+            f"{f}:{lo}:{hi}:{int(il)}{int(iu)}"
+            for f, lo, hi, il, iu in self.dims
+        )
+        return f"\x01ptsnd:{body}"
+
+    def __str__(self) -> str:
+        parts = []
+        for f, lo, hi, il, iu in self.dims:
+            parts.append(
+                f"{f}:{'[' if il else '('}{lo} TO {hi}{']' if iu else ')'}"
+            )
+        return " AND ".join(parts)
+
+
+def multi_dim_range(*dims) -> MultiDimPointRangeQuery:
+    """Convenience: dims as (field, lower, upper) triples (inclusive
+    both sides, IntPoint.newRangeQuery's int[] form)."""
+    return MultiDimPointRangeQuery(
+        tuple((f, lo, hi, True, True) for f, lo, hi in dims)
+    )
+
+
+@dataclass(frozen=True)
 class FieldTermQuery(Query):
     """Exact-match query on a keyword (StringField) metadata field —
     L/document/StringField.java:29: the whole value is ONE token,

@@ -31,6 +31,7 @@ from .queries import (
     MatchNoDocsQuery,
     Occur,
     PhraseQuery,
+    MultiDimPointRangeQuery,
     PointRangeQuery,
     PrefixQuery,
     Query,
@@ -97,6 +98,14 @@ def _rewrite_once(q: Query, term_lookup) -> Query:
                      and not (q.include_lower and q.include_upper)))
         ):
             return MatchNoDocsQuery("empty point range")
+        return q
+    if isinstance(q, MultiDimPointRangeQuery):
+        # any provably-empty dimension empties the whole box
+        # (CELL_OUTSIDE_QUERY on that dim, PointRangeQuery.java:118)
+        for _f, lo, hi, il, iu in q.dims:
+            if (lo is not None and hi is not None
+                    and (lo > hi or (lo == hi and not (il and iu)))):
+                return MatchNoDocsQuery("empty point range dim")
         return q
     if isinstance(q, PhraseQuery):
         if len(q.terms) == 1:  # PhraseQuery.rewrite: single term unwraps

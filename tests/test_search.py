@@ -285,6 +285,90 @@ def test_point_range_query(engine):
     assert n == int((oi.lengths >= med).sum())
 
 
+def test_multi_dim_point_range(engine):
+    """MultiDimPointRangeQuery (PointRangeQuery numDims>1,
+    IntPoint.newRangeQuery(String, int[], int[])): the per-dim
+    conjunction in ONE pushed-down docmeta scan — engine == oracle, and
+    equivalent to the same box expressed as a 1-dim range."""
+    searcher, oi = engine
+    lo, hi = int(np.quantile(oi.lengths, 0.25)), int(np.quantile(oi.lengths, 0.75))
+    # same-field 2-dim box == the 1-dim interval
+    md = Q.MultiDimPointRangeQuery(
+        (("length", lo, None, True, True), ("length", None, hi, True, True))
+    )
+    td, _ = assert_identical(searcher, oi, md, k=5)
+    assert (td.scores == np.float32(1.0)).all()
+    one = searcher.search(Q.PointRangeQuery("length", lo, hi), k=5)
+    assert td.total_hits == one.total_hits
+    assert td.doc_ids.tolist() == one.doc_ids.tolist()
+    # composed with a scored term MUST
+    b = Q.Builder()
+    b.add(Q.TermQuery("public"), Q.Occur.MUST)
+    b.add(md, Q.Occur.FILTER)
+    assert_identical(searcher, oi, b.build())
+    # an empty dim empties the box (rewrite -> MatchNoDocs)
+    empty = Q.MultiDimPointRangeQuery(
+        (("length", lo, None, True, True), ("length", 10, 5, True, True))
+    )
+    assert searcher.search(empty, k=3).total_hits == 0
+
+
+@pytest.fixture(scope="module")
+def engine_2d(spark, tmp_path_factory):
+    """Index whose docmeta carries a SECOND numeric point column
+    (n_chars) alongside length — the 2-field multi-dim surface."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_8_7_0_spark.operators.build import build_index
+    from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+    from lucene_solr_8_7_0_spark.sources.corpus import corpus_df
+
+    d = str(tmp_path_factory.mktemp("idx2d"))
+    cfg = EngineConfig(segment_size=64)
+    docs = corpus_df(spark, 200, seed=7).withColumn(
+        "n_chars", F.length("content").cast("long")
+    )
+    build_index(spark, docs, d, cfg)
+    searcher = IndexSearcher(spark, d)
+    corpus_pdf = (
+        docs.join(
+            spark.read.parquet(f"{d}/docs").select("repo", "path", "doc_id"),
+            ["repo", "path"],
+        )
+        .select("doc_id", "content")
+        .toPandas()
+    )
+    oi = build_oracle_index(corpus_pdf, cfg)
+    return searcher, oi
+
+
+def test_multi_dim_two_columns(engine_2d):
+    """2-field box (length x n_chars): engine == oracle; identical doc
+    set to the conjunction of two 1-dim FILTER clauses; dv access path
+    (IndexOrDocValuesQuery) gives the same results."""
+    searcher, oi = engine_2d
+    llo, lhi = int(np.quantile(oi.lengths, 0.2)), int(np.quantile(oi.lengths, 0.9))
+    nc = oi.meta["n_chars"]
+    clo, chi = int(np.quantile(nc, 0.1)), int(np.quantile(nc, 0.8))
+    md = Q.multi_dim_range(("length", llo, lhi), ("n_chars", clo, chi))
+    td, _ = assert_identical(searcher, oi, md, k=10)
+    exp_n = int(((oi.lengths >= llo) & (oi.lengths <= lhi)
+                 & (nc >= clo) & (nc <= chi)).sum())
+    assert searcher.search(md, k=5).total_hits == exp_n
+    # == two 1-dim FILTERs (the reference would need two BKD visits;
+    # here both forms reach one ANDed docmeta predicate or two docsets)
+    b = Q.Builder()
+    b.add(Q.PointRangeQuery("length", llo, lhi), Q.Occur.FILTER)
+    b.add(Q.PointRangeQuery("n_chars", clo, chi), Q.Occur.FILTER)
+    two = searcher.matches_df(b.build()).count()
+    assert two == exp_n
+    # composed with a scored term + dv-eligible path
+    b = Q.Builder()
+    b.add(Q.TermQuery("public"), Q.Occur.MUST)
+    b.add(Q.IndexOrDocValuesQuery(md), Q.Occur.FILTER)
+    assert_identical(searcher, oi, b.build())
+
+
 def test_field_term_query(spark, engine):
     """Keyword-field (StringField) equality clauses — StringField.java:29:
     exact un-analyzed match on a docmeta column, constant score,
