@@ -343,7 +343,29 @@ def _q_streaming_bool_and(spark, sf_dir):
             q.awaitTermination()
         _SEARCHERS[key] = IndexSearcher(spark, indexer.current_snapshot())
     s = _SEARCHERS[key]
-    return _orig_ids(s, s.matches_df(Q.term_and(["data", "join"]))).select("doc_id")
+    nrt = _orig_ids(s, s.matches_df(Q.term_and(["data", "join"]))).select(
+        F.lit("nrt").alias("variant"), "doc_id"
+    )
+    # "perc_*": the MemoryIndex/percolator path (MemoryIndex.java:86-119
+    # "prospective search") — a registered query set evaluated against
+    # the SAME rows batch-side via per-partition transient mini-indexes,
+    # no committed index involved; variant tag = perc_<query_id>
+    from lucene_solr_8_7_0_spark.streaming.percolator import Percolator
+
+    bq = Q.Builder()
+    bq.add(Q.TermQuery("data"), Q.Occur.MUST)
+    bq.add(Q.TermQuery("join"), Q.Occur.MUST)
+    bq.add(Q.TermQuery("vector"), Q.Occur.MUST_NOT)
+    perc = Percolator(
+        {"and_not": bq.build(), "phrase": Q.PhraseQuery(("big", "data"))},
+        EngineConfig(analyzer="simple", index_positions=True),
+        id_cols=("path",),
+    )
+    hits = perc.percolate(_adapted(spark, sf_dir)).select(
+        F.concat(F.lit("perc_"), F.col("query_id")).alias("variant"),
+        F.col("path").cast("long").alias("doc_id"),
+    )
+    return nrt.unionByName(hits)
 
 
 def _q_deleted_match(spark, sf_dir):
@@ -1541,8 +1563,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2""",
         "streaming_bool_and": f"""
-            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
-            HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2""",
+            SELECT 'nrt' AS variant, doc_id FROM ({_TOKS}) GROUP BY doc_id
+            HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2
+            UNION ALL
+            SELECT 'perc_and_not', doc_id FROM ({_TOKS}) GROUP BY doc_id
+            HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2
+               AND sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) = 0
+            UNION ALL
+            SELECT 'perc_phrase', doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                  '(^|[^a-z0-9_])big[^a-z0-9_]+data($|[^a-z0-9_])')""",
         "bm25_topk": _BM25_CTE.format(terms="'data','join','vector'")
         + """
             SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,

@@ -707,6 +707,14 @@ class OracleTopDocs:
     scores: np.ndarray
 
 
+def oracle_matches(oi: OracleIndex, query: Query) -> np.ndarray:
+    """Match-only evaluation (scores suppressed): the sorted doc ids
+    the query accepts — the percolator's contract (see
+    streaming/percolator.py)."""
+    docs, _ = _eval(oi, query, 1.0, False)
+    return docs
+
+
 def oracle_search(oi: OracleIndex, query: Query, k: int = 10) -> OracleTopDocs:
     docs, scores = _eval(oi, query, 1.0, True)
     order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
