@@ -199,11 +199,19 @@ def build_index(
             )
             record("termvectors", time.time() - t0, {})
 
-    # -- stage: docmeta (identity + sha256 + exact length + norm) -----------
-    # No content access: sha256 rides in from the mapping, lengths from
-    # the segment sentinels.
-    t0 = time.time()
-    if stage("docmeta"):
+    # -- stages: docmeta + termdict --------------------------------------
+    # Both consume the COMMITTED segments table and are independent of
+    # each other, so when both are due they are submitted CONCURRENTLY
+    # from the driver (two threads, two Spark jobs — the standard
+    # concurrent-job pattern; on a cluster both jobs' tasks fill the
+    # executors together instead of leaving the tail of each stage
+    # under-occupied, and on local[1] the scheduler simply interleaves
+    # them with unchanged total work).  Stage boundaries are the
+    # measured scaling residual at small N — overlapping the two
+    # removes one of them from the critical path.
+
+    def _docmeta_stage() -> None:
+        t0 = time.time()
         lengths = lengths_from_segments(segments, cfg)
         # EVERY non-content source column rides into docmeta — extra
         # scalar columns become keyword/point fields, ARRAY columns
@@ -261,6 +269,21 @@ def build_index(
         stats_ops.write_stats_tables(index_dir, "length", vals)
         run.extend(["stats", "colstats"])
         record("docmeta", time.time() - t0, {"fused_stats": True})
+
+    def _termdict_stage() -> None:
+        # salted global term stats
+        t0 = time.time()
+        td = stats_ops.term_dict(
+            segments.filter(F.col("term") != SENTINEL_TERM), cfg
+        )
+        _write(td.repartitionByRange(8, "term"), index_dir, "termdict",
+               sort_cols=["term"])
+        record("termdict", time.time() - t0,
+               {"salt_buckets": cfg.stats_salt_buckets})
+
+    tail_jobs = []
+    if stage("docmeta"):
+        tail_jobs.append(_docmeta_stage)
     elif not (_done(index_dir, "stats") and _done(index_dir, "colstats")):
         # resumed from an older/partial layout: derive the two stat
         # tables from the existing docmeta the unfused way
@@ -273,16 +296,17 @@ def build_index(
         run.extend(["stats", "colstats"])
     else:
         skipped.extend(["stats", "colstats"])
-
-    # -- stage: termdict (salted global term stats) ------------------------
-    t0 = time.time()
     if stage("termdict"):
-        td = stats_ops.term_dict(
-            segments.filter(F.col("term") != SENTINEL_TERM), cfg
-        )
-        _write(td.repartitionByRange(8, "term"), index_dir, "termdict",
-               sort_cols=["term"])
-        record("termdict", time.time() - t0, {"salt_buckets": cfg.stats_salt_buckets})
+        tail_jobs.append(_termdict_stage)
+    if len(tail_jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(len(tail_jobs)) as ex:
+            for fut in [ex.submit(j) for j in tail_jobs]:
+                fut.result()
+    else:
+        for job in tail_jobs:
+            job()
 
     _flush_manifest(spark, index_dir, manifest_rows)
     # driver-side footer reads — the single-row stats table and the
