@@ -72,14 +72,18 @@ def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # field of the sorted index and a second point-range dimension;
         # SQL-replayable as length(text)
         F.length("text").cast("long").alias("n_chars"),
+        # deterministic geo point columns (the LatLonPoint surface):
+        # a synthetic but SQL-replayable lat/lon per doc
+        ((d * 37 % 1800) / 10.0 - 90.0).alias("lat"),
+        ((d * 73 % 3600) / 10.0 - 180.0).alias("lon"),
         F.col("text").alias("content"),
     )
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Build (or resume) the engine index for this sf_dir; cached."""
-    # v7: + n_chars numeric docvalues column + taxo hierarchical paths
-    key = hashlib.md5(f"{sf_dir}:v7".encode()).hexdigest()[:10]
+    # v8: + lat/lon geo point columns (LatLonPoint surface)
+    key = hashlib.md5(f"{sf_dir}:v8".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
@@ -96,7 +100,7 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     sort (IndexWriterConfig.setIndexSort analog): doc ids assigned by
     (n_chars desc, repo, path), enabling early-terminated sorted top-k
     (TopFieldCollector.canEarlyTerminate)."""
-    key = hashlib.md5(f"{sf_dir}:v7sorted".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:v8sorted".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
@@ -131,32 +135,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------- queries
 
 def _q_term_freqs(spark, sf_dir):
-    """The inversion operator (analysis chain + hash group-by)."""
+    """Postings statistics, tagged union: "tf" is the inversion
+    operator (analysis chain + hash group-by, per-(doc, term) freqs);
+    "df" is the salted two-level global term-stats aggregation (the
+    Zipf-skew handling path, formerly the doc_freqs row)."""
     from lucene_solr_8_7_0_spark.operators.invert import invert, split_postings
 
     cfg = EngineConfig(analyzer="simple", index_positions=False)
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     postings, _ = split_postings(invert(docs, cfg))
-    return postings.filter(F.col("freq") >= 2).select(
-        "doc_id", "term", F.col("freq").alias("tf")
+    tf = postings.filter(F.col("freq") >= 2).select(
+        F.lit("tf").alias("variant"), "doc_id", "term",
+        F.col("freq").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
     )
-
-
-def _q_doc_freqs(spark, sf_dir):
-    """Salted two-level term-stats aggregation (skew handling)."""
-    from lucene_solr_8_7_0_spark.operators.invert import invert, split_postings
-
-    cfg = EngineConfig(analyzer="simple", index_positions=False)
-    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
-    postings, _ = split_postings(invert(docs, cfg))
     per_doc = postings.select(
         "term", F.lit(1).alias("one"), F.col("freq").cast("long").alias("freq"),
         "doc_id",
     )
-    return salted_agg(
+    df = salted_agg(
         per_doc, key="term", sums={"df": "one", "cf": "freq"},
         buckets=16, salt_src="doc_id",
-    ).select("term", "df", "cf")
+    ).select(
+        F.lit("df").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "term",
+        F.col("df").cast("long").alias("v1"),
+        F.col("cf").cast("long").alias("v2"),
+    )
+    return tf.unionByName(df)
 
 
 # ---- standard (UAX#29) analyzer under the oracle ----
@@ -206,22 +213,6 @@ def _std_toks_sql() -> str:
     )
 
 
-def _q_std_fingerprint(spark, sf_dir):
-    """Whole-tokenization parity: md5 of each doc's sorted distinct
-    standard-analyzer terms — ANY token difference vs the DuckDB
-    replay flips the hash."""
-    from lucene_solr_8_7_0_spark.operators.invert import invert, split_postings
-
-    cfg = EngineConfig(analyzer="standard", index_positions=False)
-    docs = _aug_docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
-    postings, _ = split_postings(invert(docs, cfg))
-    return postings.groupBy("doc_id").agg(
-        F.md5(
-            F.concat_ws(" ", F.array_sort(F.collect_set("term")))
-        ).alias("fingerprint")
-    )
-
-
 def _searcher_std(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Full index build + search under the standard analyzer."""
     key = hashlib.md5(f"{sf_dir}:std:v1".encode()).hexdigest()[:10]
@@ -243,12 +234,32 @@ def _searcher_std(spark: SparkSession, sf_dir: str) -> IndexSearcher:
 
 
 def _q_std_bool_and(spark, sf_dir):
-    """Standard-analyzer index end-to-end: apostrophe token AND a
-    corpus term through the full build + boolean kernel path."""
+    """Standard (UAX#29) analyzer end-to-end, tagged union:
+
+    - and: apostrophe token AND a corpus term through the full
+      build + boolean kernel path on the std-analyzer index.
+    - fingerprint: whole-tokenization parity (formerly the
+      std_fingerprint row) — md5 of each doc's sorted distinct
+      standard-analyzer terms; ANY token difference vs the DuckDB
+      regex replay flips the hash."""
+    from lucene_solr_8_7_0_spark.operators.invert import invert, split_postings
+
     s = _searcher_std(spark, sf_dir)
-    return _orig_ids(
+    hits = _orig_ids(
         s, s.matches_df(Q.term_and(["o'reilly", "data"]))
-    ).select("doc_id")
+    ).select(
+        F.lit("and").alias("variant"), "doc_id",
+        F.lit(None).cast("string").alias("val"),
+    )
+    cfg = EngineConfig(analyzer="standard", index_positions=False)
+    docs = _aug_docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    postings, _ = split_postings(invert(docs, cfg))
+    fp = postings.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.collect_set("term")))
+        ).alias("val")
+    ).select(F.lit("fingerprint").alias("variant"), "doc_id", "val")
+    return hits.unionByName(fp)
 
 
 def _q_bool_and(spark, sf_dir):
@@ -526,6 +537,165 @@ def _q_boost_topk(spark, sf_dir):
     b.add(Q.BoostQuery(Q.TermQuery("data"), 2.0), Q.Occur.SHOULD)
     b.add(Q.TermQuery("join"), Q.Occur.SHOULD)
     return _ranked_topk(spark, s, b.set_minimum_number_should_match(1).build())
+
+
+# ---- analysis/common chains (shingle, english/Porter) ----
+# The corpus vocabulary carries no inflections, so the english-chain
+# docs are AUGMENTED with a deterministic, SQL-expressible suffix of
+# inflected forms (joining/joined/queries/... per doc_id) — same
+# pattern as the std-analyzer augmentation above.
+
+_ENG_AUG_FORMS = ("joining tables", "joined queries", "merges sorting",
+                  "filtering hashes")
+
+
+def _eng_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    case = F.when(d % 4 == 0, F.lit(" " + _ENG_AUG_FORMS[0]))
+    for i in (1, 2):
+        case = case.when(d % 4 == i, F.lit(" " + _ENG_AUG_FORMS[i]))
+    case = case.otherwise(F.lit(" " + _ENG_AUG_FORMS[3]))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), case).alias("text")
+    )
+
+
+_ENG_AUG_SQL = (
+    "SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN ' {f}'" for i, f in enumerate(_ENG_AUG_FORMS[:3])
+    )
+    + f" ELSE ' {_ENG_AUG_FORMS[3]}' END AS text FROM documents"
+)
+
+
+def _porter_case_sql() -> str:
+    """tok -> stem as a SQL CASE over the corpus + augmentation
+    vocabulary.  Like the std-analyzer oracle reusing the engine's
+    generated token regex, the stem TABLE is generated from the
+    engine's Porter implementation — whose algorithmic correctness is
+    pinned separately by the published golden pairs
+    (tests/test_porter_shingle.py); the SQL replays the CHAIN
+    (tokenize, stop, stem application, fingerprint) independently."""
+    from lucene_solr_8_7_0_spark.functions.porter import porter_stem
+
+    vocab = (
+        "batch small scan agg data customer big hash slow join row filter "
+        "merge table stream dup key fast line the vector value column query "
+        "group spark part order window sort a "
+        "joining tables joined queries merges sorting filtering hashes"
+    ).split()
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{porter_stem(w)}'" for w in sorted(set(vocab))
+    )
+    return f"CASE tok {whens} ELSE tok END"
+
+
+def _stoplist_sql() -> str:
+    from lucene_solr_8_7_0_spark.functions.porter import ENGLISH_STOP_WORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+
+def _searcher_eng(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """EnglishAnalyzer chain index (standard tokenize -> lower -> stop
+    -> Porter; python tokenize backend selected automatically)."""
+    key = hashlib.md5(f"{sf_dir}:eng:v1".encode()).hexdigest()[:10]
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    d = f"/tmp/lucene_ps_engidx_{key}"
+    adapted = _eng_docs(spark, sf_dir).select(
+        F.lit("corpus").alias("repo"),
+        F.format_string("%010d", "doc_id").alias("path"),
+        F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    cfg = EngineConfig(analyzer="english", segment_size=256,
+                       index_positions=True)
+    build_index(spark, adapted, d, cfg, resume=True)
+    s = IndexSearcher(spark, d)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _searcher_shingle(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """2-gram shingle index (ShingleFilter outputUnigrams=false) —
+    shingling runs JVM-side (zip_with over the token array)."""
+    key = hashlib.md5(f"{sf_dir}:shingle:v1".encode()).hexdigest()[:10]
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    d = f"/tmp/lucene_ps_shidx_{key}"
+    cfg = EngineConfig(analyzer="shingle", segment_size=256,
+                       index_positions=False)
+    build_index(spark, _adapted(spark, sf_dir), d, cfg, resume=True)
+    s = IndexSearcher(spark, d)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _q_analysis_chain(spark, sf_dir):
+    """analysis/common chains, tagged union:
+
+    - shingle: TermQuery('big data') on the 2-gram shingle index —
+      hit set == the adjacent-pair SQL replay (ShingleFilter.java:44).
+    - porter_match: TermQuery('join') on the english-chain index
+      matches every inflection (join/joining/joined) via Porter
+      stemming (PorterStemFilter.java:57).
+    - porter_fp: whole-chain parity — md5 of each doc's sorted
+      distinct english-chain terms (tokenize + stop + stem); any
+      chain difference vs the SQL replay flips the hash."""
+    from lucene_solr_8_7_0_spark.operators.invert import invert, split_postings
+
+    sh = _searcher_shingle(spark, sf_dir)
+    shingle = _orig_ids(sh, sh.matches_df(Q.TermQuery("big data"))).select(
+        F.lit("shingle").alias("variant"), "doc_id",
+        F.lit(None).cast("string").alias("val"),
+    )
+    se = _searcher_eng(spark, sf_dir)
+    pm = _orig_ids(se, se.matches_df(Q.TermQuery("join"))).select(
+        F.lit("porter_match").alias("variant"), "doc_id",
+        F.lit(None).cast("string").alias("val"),
+    )
+    cfg = EngineConfig(analyzer="english", index_positions=False)
+    docs = _eng_docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    postings, _ = split_postings(invert(docs, cfg))
+    fp = postings.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.collect_set("term")))
+        ).alias("val")
+    ).select(F.lit("porter_fp").alias("variant"), "doc_id", "val")
+    return shingle.unionByName(pm).unionByName(fp)
+
+
+def _q_queries_module_topk(spark, sf_dir):
+    """lucene/queries module surfaces, tagged union:
+
+    - common_terms: CommonTermsQuery (CommonTermsQuery.java:62) —
+      terms split by ACTUAL index docFreq at rewrite time vs
+      ceil(mtf x maxDoc); 'dup' (df 25/500) lands in the required
+      low-freq group, 'data'/'vector' (df ~390) in the optional
+      high-freq group.  The oracle recomputes the dfs and replays the
+      SAME classification in SQL, so a split change trips the hash.
+    - rescore: QueryRescorer (QueryRescorer.java:32) — BM25 OR
+      first pass, top-20 window, phrase "big data" second pass,
+      combine = first + 2 x second, re-ranked top-10.
+    """
+    from lucene_solr_8_7_0_spark.operators.rescorer import rescore_topk
+
+    s = _searcher(spark, sf_dir)
+    ct = _ranked_topk(
+        spark, s,
+        Q.CommonTermsQuery(("dup", "data", "vector"), max_term_frequency=0.5),
+        k=10,
+    ).select(F.lit("common_terms").alias("variant"), "rank", "doc_id")
+    rs = _orig_ids(s, rescore_topk(
+        s, Q.term_or(["data", "join"], 1), Q.PhraseQuery(("big", "data")),
+        window=20, k=10, weight=2.0,
+    )).select(F.lit("rescore").alias("variant"), "rank", "doc_id")
+    return ct.unionByName(rs)
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -888,8 +1058,27 @@ def _q_range_filter(spark, sf_dir):
         Q.multi_dim_range(("length", 60, 120), ("n_chars", 350, 450)),
         Q.Occur.FILTER,
     )
+    # "geo_box": LatLonPoint.newBoxQuery analog — a 2-dim (lat, lon)
+    # box rides the same multi-dim pushed-down scan
+    b4 = Q.Builder()
+    b4.add(Q.MatchAllDocsQuery(), Q.Occur.MUST)
+    b4.add(
+        Q.multi_dim_range(("lat", -30.0, 40.0), ("lon", -10.0, 60.0)),
+        Q.Occur.FILTER,
+    )
+    # "geo_dist": LatLonPoint.newDistanceQuery — lat-band pushdown +
+    # exact haversine verify, one docmeta scan; the 2,030 km radius
+    # sits in a ±36 km distance gap of this corpus, so float64 trig
+    # differences between engines cannot flip a membership
+    b5 = Q.Builder()
+    b5.add(Q.MatchAllDocsQuery(), Q.Occur.MUST)
+    b5.add(
+        Q.LatLonDistanceQuery("lat", "lon", 10.0, 20.0, 2.03e6),
+        Q.Occur.FILTER,
+    )
     return _variant_union(
-        s, {"index": b1.build(), "dv": b2.build(), "multidim": b3.build()}
+        s, {"index": b1.build(), "dv": b2.build(), "multidim": b3.build(),
+            "geo_box": b4.build(), "geo_dist": b5.build()}
     )
 
 
@@ -907,6 +1096,7 @@ def _q_suggest(spark, sf_dir):
     "did you mean", tagged."""
     from lucene_solr_8_7_0_spark.operators.suggest import (
         suggest_fuzzy,
+        suggest_infix,
         suggest_prefix,
     )
 
@@ -914,10 +1104,13 @@ def _q_suggest(spark, sf_dir):
     pre = suggest_prefix(s, "s", k=10).select(
         F.lit("prefix").alias("variant"), "rank", "term", "df"
     )
+    inf = suggest_infix(s, "or", k=10).select(
+        F.lit("infix").alias("variant"), "rank", "term", "df"
+    )
     fuz = suggest_fuzzy(s, "sta", k=10).select(
         F.lit("fuzzy").alias("variant"), "rank", "term", "df"
     )
-    return pre.unionByName(fuz)
+    return pre.unionByName(inf).unionByName(fuz)
 
 
 def _q_tfidf_topk(spark, sf_dir):
@@ -1072,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_fullprobe": _q_ann_ivf_fullprobe,
+        "queries_module_topk": _q_queries_module_topk,
+        "analysis_chain": _q_analysis_chain,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id": _q_lang_id,
@@ -1079,9 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- driver-green in r3 (stable) --
         "token_stats": _q_token_stats,
         "term_freqs": _q_term_freqs,
-        "std_fingerprint": _q_std_fingerprint,
         "std_bool_and": _q_std_bool_and,
-        "doc_freqs": _q_doc_freqs,
         "bool_and": _q_bool_and,
         "bool_or_msm2": _q_bool_or_msm2,
         "bool_and_not": _q_bool_and_not,
@@ -1274,6 +1467,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS INT) AS rank,
                      term, df
               FROM td WHERE term LIKE 's%'
+              ORDER BY df DESC, term LIMIT 10)
+            UNION ALL
+            SELECT 'infix', rank, term, df FROM (
+              SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS INT) AS rank,
+                     term, df
+              FROM td WHERE term LIKE '%or%'
               ORDER BY df DESC, term LIMIT 10)
             UNION ALL
             SELECT 'fuzzy', rank, term, df FROM (
@@ -1477,7 +1676,25 @@ def oracle_sql() -> dict[str, str]:
               HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
                  AND count(*) BETWEEN 60 AND 120) t
             JOIN documents d ON d.doc_id = t.doc_id
-            WHERE length(d.text) BETWEEN 350 AND 450""",
+            WHERE length(d.text) BETWEEN 350 AND 450
+            UNION ALL
+            SELECT 'geo_box', doc_id FROM (
+              SELECT doc_id,
+                     (doc_id * 37 % 1800) / 10.0 - 90.0 AS lat,
+                     (doc_id * 73 % 3600) / 10.0 - 180.0 AS lon
+              FROM documents)
+            WHERE lat BETWEEN -30.0 AND 40.0 AND lon BETWEEN -10.0 AND 60.0
+            UNION ALL
+            SELECT 'geo_dist', doc_id FROM (
+              SELECT doc_id,
+                     (doc_id * 37 % 1800) / 10.0 - 90.0 AS lat,
+                     (doc_id * 73 % 3600) / 10.0 - 180.0 AS lon
+              FROM documents)
+            WHERE 2.0 * 6371008.7714 * asin(sqrt(
+                    pow(sin(radians(lat - 10.0) / 2), 2)
+                    + cos(radians(10.0)) * cos(radians(lat))
+                      * pow(sin(radians(lon - 20.0) / 2), 2)
+                  )) <= 2030000.0""",
         "multi_phrase": r"""
             SELECT 'alt' AS variant, doc_id FROM documents
             WHERE regexp_matches(lower(text),
@@ -1504,20 +1721,120 @@ def oracle_sql() -> dict[str, str]:
                      sum(CASE WHEN tok IN ('the','a','data','fast') THEN 1 ELSE 0 END) AS h
               FROM ({_TOKS}) GROUP BY doc_id) s USING (doc_id)""",
         "term_freqs": f"""
-            SELECT doc_id, tok AS term, CAST(count(*) AS INT) AS tf
-            FROM ({_TOKS}) GROUP BY doc_id, tok HAVING count(*) >= 2""",
-        "std_fingerprint": f"""
-            SELECT doc_id,
-                   md5(array_to_string(list_sort(list_distinct(array_agg(tok))), ' '))
-                     AS fingerprint
-            FROM ({_std_toks_sql()}) GROUP BY doc_id""",
-        "std_bool_and": f"""
-            SELECT doc_id FROM ({_std_toks_sql()}) GROUP BY doc_id
-            HAVING count(DISTINCT CASE WHEN tok IN ('o''reilly','data') THEN tok END) = 2""",
-        "doc_freqs": f"""
-            SELECT tok AS term, count(DISTINCT doc_id) AS df,
-                   CAST(count(*) AS BIGINT) AS cf
+            SELECT 'tf' AS variant, doc_id, tok AS term,
+                   CAST(count(*) AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2
+            FROM ({_TOKS}) GROUP BY doc_id, tok HAVING count(*) >= 2
+            UNION ALL
+            SELECT 'df', CAST(NULL AS BIGINT), tok,
+                   count(DISTINCT doc_id), CAST(count(*) AS BIGINT)
             FROM ({_TOKS}) GROUP BY tok""",
+        "std_bool_and": f"""
+            SELECT 'and' AS variant, doc_id, CAST(NULL AS VARCHAR) AS val
+            FROM ({_std_toks_sql()}) GROUP BY doc_id
+            HAVING count(DISTINCT CASE WHEN tok IN ('o''reilly','data') THEN tok END) = 2
+            UNION ALL
+            SELECT 'fingerprint', doc_id,
+                   md5(array_to_string(list_sort(list_distinct(array_agg(tok))), ' '))
+            FROM ({_std_toks_sql()}) GROUP BY doc_id""",
+        "analysis_chain": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
+              FROM documents),
+            etoks AS (
+              SELECT doc_id, {_porter_case_sql()} AS stem
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+                    FROM ({_ENG_AUG_SQL}))
+              WHERE tok NOT IN ({_stoplist_sql()}))
+            SELECT 'shingle' AS variant, a.doc_id, CAST(NULL AS VARCHAR) AS val
+            FROM sh a JOIN sh b USING (doc_id)
+            WHERE a.tok = 'big' AND b.tok = 'data' AND b.p = a.p + 1
+            GROUP BY a.doc_id
+            UNION ALL
+            SELECT 'porter_match', doc_id, CAST(NULL AS VARCHAR)
+            FROM etoks WHERE stem = 'join' GROUP BY doc_id
+            UNION ALL
+            SELECT 'porter_fp', doc_id,
+                   md5(array_to_string(list_sort(list_distinct(array_agg(stem))), ' '))
+            FROM etoks GROUP BY doc_id""",
+        "queries_module_topk": f"""
+            WITH toks AS ({_TOKS}),
+            lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+            cs AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM lens),
+            nd AS (SELECT count(*) AS n FROM documents),
+            quant AS (
+              SELECT doc_id, len,
+                CASE WHEN len < 40 THEN len
+                     ELSE 24 + (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3))
+                                 << (CAST(floor(log2(len - 24)) AS INT) - 3))
+                END AS dlen
+              FROM lens),
+            -- common_terms: per-term BM25 + the df classification
+            ctf AS (SELECT doc_id, tok, count(*) AS freq FROM toks
+                    WHERE tok IN ('dup','data','vector') GROUP BY doc_id, tok),
+            cdf AS (SELECT tok, count(*) AS df FROM ctf GROUP BY tok),
+            cls AS (SELECT tok, CASE WHEN df > CAST(ceil(0.5 * nd.n) AS BIGINT)
+                                     THEN 1 ELSE 0 END AS hi
+                    FROM cdf CROSS JOIN nd),
+            cscored AS (
+              SELECT ctf.doc_id, ctf.tok,
+                     ln(1 + (cs.doc_count - cdf.df + 0.5) / (cdf.df + 0.5))
+                     * (1 - 1 / (1 + ctf.freq * (1 / (1.2 * (0.25 + 0.75 * q.dlen
+                         / (cs.sum_ttf / CAST(cs.doc_count AS DOUBLE))))))) AS s
+              FROM ctf JOIN cdf USING (tok) JOIN quant q ON ctf.doc_id = q.doc_id
+                   CROSS JOIN cs),
+            cper AS (
+              SELECT st.doc_id, sum(st.s) AS score,
+                     sum(CASE WHEN c.hi = 0 THEN 1 ELSE 0 END) AS n_low
+              FROM cscored st JOIN cls c ON st.tok = c.tok GROUP BY st.doc_id),
+            -- rescore: BM25 OR first pass, window 20, phrase second pass
+            rtf AS (SELECT doc_id, tok, count(*) AS freq FROM toks
+                    WHERE tok IN ('data','join') GROUP BY doc_id, tok),
+            rdf AS (SELECT tok, count(*) AS df FROM rtf GROUP BY tok),
+            s1 AS (
+              SELECT rtf.doc_id,
+                     round(sum(ln(1 + (cs.doc_count - rdf.df + 0.5) / (rdf.df + 0.5))
+                         * (1 - 1 / (1 + rtf.freq * (1 / (1.2 * (0.25 + 0.75 * q.dlen
+                             / (cs.sum_ttf / CAST(cs.doc_count AS DOUBLE)))))))), 4) AS s1
+              FROM rtf JOIN rdf USING (tok) JOIN quant q ON rtf.doc_id = q.doc_id
+                   CROSS JOIN cs GROUP BY rtf.doc_id),
+            cand AS (SELECT doc_id, s1 FROM s1 ORDER BY s1 DESC, doc_id LIMIT 20),
+            pos AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
+              FROM documents),
+            pf AS (SELECT a.doc_id, count(*) AS freq
+                   FROM pos a JOIN pos b USING (doc_id)
+                   WHERE a.tok = 'big' AND b.tok = 'data' AND b.p = a.p + 1
+                   GROUP BY a.doc_id),
+            pdf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM pos
+                    WHERE tok IN ('big','data') GROUP BY tok),
+            idfsum AS (SELECT sum(ln(1 + (cs.doc_count - df + 0.5) / (df + 0.5))) AS w
+                       FROM pdf CROSS JOIN cs),
+            s2 AS (
+              SELECT pf.doc_id,
+                     i.w * (1 - 1 / (1 + pf.freq * (1 / (1.2 * (0.25 + 0.75 * q.dlen
+                         / (cs.sum_ttf / CAST(cs.doc_count AS DOUBLE))))))) AS s2
+              FROM pf JOIN quant q ON pf.doc_id = q.doc_id
+                   CROSS JOIN idfsum i CROSS JOIN cs),
+            comb AS (
+              SELECT c.doc_id, round(c.s1 + 2.0 * coalesce(s2.s2, 0), 4) AS r
+              FROM cand c LEFT JOIN s2 ON c.doc_id = s2.doc_id)
+            SELECT * FROM (
+              SELECT 'common_terms' AS variant,
+                     CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM cper WHERE n_low = (SELECT count(*) FROM cls WHERE hi = 0)
+              ORDER BY round(score, 4) DESC, doc_id LIMIT 10)""" + """
+            UNION ALL
+            SELECT * FROM (
+              SELECT 'rescore' AS variant,
+                     CAST(row_number() OVER (ORDER BY r DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM comb ORDER BY r DESC, doc_id LIMIT 10)""",
         "bool_and": f"""
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2""",

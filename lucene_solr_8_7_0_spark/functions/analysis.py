@@ -288,7 +288,27 @@ SQL_STANDARD_TOKEN_PATTERN = (
 # oracles (DuckDB) can replay it exactly.
 SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 
-ANALYZERS = {"standard": "standard", "simple": "simple"}
+# "shingle": simple tokenization -> 2-token shingles, outputUnigrams
+# =false (ShingleFilter.java:44-74 with setOutputUnigrams(false),
+# shingle size exactly 2): one shingle per position (the filter's
+# position semantics collapse to plain array order in this config,
+# which is what makes it expressible both JVM-side and in SQL).
+# Separator is the filter's default " " (ShingleFilter.java:87).
+#
+# "english": EnglishAnalyzer.java's chain minus stem exclusions —
+# standard tokenizer -> LowerCaseFilter -> StopFilter(the classic
+# English stop set) -> PorterStemFilter.  Python-backend only (the
+# stemmer is not expressible as a JVM Column).
+ANALYZERS = {
+    "standard": "standard",
+    "simple": "simple",
+    "shingle": "shingle",
+    "english": "english",
+}
+
+#: analyzers whose full chain runs as a JVM Column expression
+#: (jvm_token_array); others fall back to the Arrow-batch Python chain
+JVM_ANALYZERS = frozenset({"standard", "simple", "shingle"})
 
 
 def jvm_token_array(content_col: str, analyzer: str):
@@ -316,7 +336,18 @@ def jvm_token_array(content_col: str, analyzer: str):
         return F.regexp_extract_all(
             F.col(content_col), F.lit(JAVA_STANDARD_TOKEN_PATTERN), F.lit(0)
         )
-    raise ValueError(f"unknown analyzer {analyzer!r}")
+    if analyzer == "shingle":
+        toks = F.regexp_extract_all(
+            F.lower(F.col(content_col)), F.lit(SIMPLE_TOKEN_RE.pattern), F.lit(0)
+        )
+        n1 = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+        return F.zip_with(
+            F.slice(toks, F.lit(1), n1),
+            F.slice(toks, F.lit(2), n1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    raise ValueError(f"unknown analyzer {analyzer!r} (JVM path supports "
+                     f"{sorted(JVM_ANALYZERS)})")
 
 
 class TokenBatch(NamedTuple):
@@ -332,8 +363,15 @@ def _extract(texts: pd.Series, analyzer: str) -> pd.Series:
     texts = texts.fillna("")
     if analyzer == "simple":
         return texts.str.lower().str.findall(SIMPLE_TOKEN_RE)
-    if analyzer == "standard":
+    if analyzer in ("standard", "english"):
+        # english rides the standard tokenizer; its lower/stop/stem
+        # filters run downstream in analyze_batch
         return texts.str.findall(STANDARD_TOKEN_RE)
+    if analyzer == "shingle":
+        uni = texts.str.lower().str.findall(SIMPLE_TOKEN_RE)
+        return uni.map(
+            lambda ts: [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        )
     raise ValueError(f"unknown analyzer {analyzer!r}")
 
 
@@ -373,14 +411,25 @@ def analyze_batch(
     )
     # Over-long tokens: dropped, position-consuming, not length-counted.
     keep = (flat.str.len() <= max_token_length).to_numpy(dtype=bool)
-    if analyzer == "standard":
+    if analyzer in ("standard", "english"):
         flat = flat.str.lower()
+    if analyzer == "english":
+        # EnglishAnalyzer chain: its default stop set applies in
+        # addition to any configured one, BEFORE stemming
+        # (EnglishAnalyzer.java:105-112: LowerCase -> Stop -> Porter)
+        from .porter import ENGLISH_STOP_WORDS, stem_series
+
+        keep &= ~flat.isin(ENGLISH_STOP_WORDS).to_numpy(dtype=bool)
     if stopwords:
         keep &= ~flat.isin(frozenset(stopwords)).to_numpy(dtype=bool)
     if not keep.all():
         flat = flat[keep].reset_index(drop=True)
         doc_idx = doc_idx[keep]
         positions = positions[keep]
+    if analyzer == "english":
+        # PorterStemFilter is last in the chain: stems only the KEPT
+        # tokens; positions and lengths are unaffected by stemming
+        flat = stem_series(flat)
     doc_lengths = np.bincount(doc_idx, minlength=n).astype(np.int64)
     return TokenBatch(doc_idx, flat, positions, doc_lengths)
 

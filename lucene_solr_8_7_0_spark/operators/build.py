@@ -164,10 +164,15 @@ def build_index(
         seg_input = docs.select("repo", "path", content_col).join(
             docs_ids.select("repo", "path", "doc_id"), ["repo", "path"]
         )
-        if cfg.tokenize_backend == "jvm":
+        from ..functions.analysis import JVM_ANALYZERS
+
+        if cfg.tokenize_backend == "jvm" and cfg.analyzer in JVM_ANALYZERS:
+            # hot path: whole chain as a JVM Column expression
             doc_tokens = invert.invert_doc_arrays(seg_input, cfg, content_col)
             encoded = encode_segments_fused_docarrays(doc_tokens, cfg)
         else:
+            # chains with Python-only filters (e.g. "english" stemming)
+            # run the Arrow-batch inversion
             inverted = invert.invert(seg_input, cfg, content_col)
             encoded = encode_segments_fused(inverted, cfg)
         _write(encoded, index_dir, "segments", sort_cols=["segment_id", "term"])

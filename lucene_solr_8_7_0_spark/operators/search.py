@@ -354,6 +354,108 @@ class IndexSearcher:
             return c.rlike(f"^(?:{q.pattern})$")
         raise TypeError(type(q))
 
+    def _rewrite(self, query: Query) -> Query:
+        """Full driver-side rewrite: reader-DEPENDENT rewrites first
+        (CommonTermsQuery classifies its terms by actual docFreq —
+        CommonTermsQuery.java:121-135 rewrite(IndexReader)), then the
+        reader-independent fixpoint (plans/rewrite)."""
+        return rw.rewrite(self._reader_rewrite(query), self._term_lookup)
+
+    def _reader_rewrite(self, q: Query) -> Query:
+        """Resolve CommonTermsQuery nodes anywhere in the tree using
+        the termdict's global dfs (collectTermStates analog — one tiny
+        pushed-down termdict scan, never a postings walk)."""
+        from ..plans import queries as Qs
+
+        if isinstance(q, Qs.CommonTermsQuery):
+            return self._build_common_terms(q)
+        if isinstance(q, Qs.BooleanQuery):
+            cl = tuple(
+                Qs.BooleanClause(c.occur, self._reader_rewrite(c.query))
+                for c in q.clauses
+            )
+            return Qs.BooleanQuery(cl, q.minimum_should_match) if any(
+                a.query is not b.query for a, b in zip(cl, q.clauses)
+            ) else q
+        for wrap in (Qs.BoostQuery, Qs.ConstantScoreQuery):
+            if isinstance(q, wrap):
+                inner = self._reader_rewrite(q.query)
+                if inner is not q.query:
+                    return (
+                        Qs.BoostQuery(inner, q.boost)
+                        if wrap is Qs.BoostQuery
+                        else Qs.ConstantScoreQuery(inner)
+                    )
+        return q
+
+    def _build_common_terms(self, q) -> Query:
+        """CommonTermsQuery.buildQuery(maxDoc, contexts, terms)
+        (CommonTermsQuery.java:160-225), faithfully:
+
+        - absent terms join the LOW group (they can never match but
+          keep the required semantics, :166-168),
+        - high iff (mtf >= 1 and df > mtf) OR df > ceil(mtf * maxDoc)
+          (:170-176 — the OR of both thresholds, as written),
+        - fractional minShouldMatch rounds against the group size and
+          applies only to SHOULD groups (:146-157, 183-189),
+        - an all-high query becomes a conjunction unless an explicit
+          high msm was set (:190-198),
+        - groups are boost-wrapped and combined as MUST(low) +
+          SHOULD(high) (:200-223)."""
+        import math
+
+        from ..plans import queries as Qs
+
+        if not q.terms:
+            return Qs.MatchNoDocsQuery()
+        if len(q.terms) == 1:
+            return Qs.TermQuery(q.terms[0])
+        ts = self._term_stats(set(q.terms))
+        max_doc = self.stats.num_docs
+        mtf = q.max_term_frequency
+        low, high = [], []
+        for t in q.terms:
+            df = ts.get(t, (0, 0))[0]
+            if df == 0:
+                low.append(t)
+            elif (mtf >= 1.0 and df > mtf) or df > int(
+                math.ceil(mtf * float(max_doc))
+            ):
+                high.append(t)
+            else:
+                low.append(t)
+
+        def msm(frac: float, n_opt: int) -> int:
+            if frac >= 1.0 or frac == 0.0:
+                return int(frac)
+            # Java Math.round = floor(x + 0.5) (half-UP), not
+            # Python's banker's rounding
+            return int(math.floor(frac * n_opt + 0.5))
+
+        low_occur, high_occur = q.low_freq_occur, q.high_freq_occur
+        low_msm = msm(q.low_freq_min_should_match, len(low)) if (
+            low_occur == Qs.Occur.SHOULD and low
+        ) else 0
+        high_msm = msm(q.high_freq_min_should_match, len(high)) if (
+            high_occur == Qs.Occur.SHOULD and high
+        ) else 0
+        if not low and high_msm == 0 and high_occur != Qs.Occur.MUST:
+            high_occur = Qs.Occur.MUST  # all-common -> conjunction
+        b = Qs.Builder()
+        if low:
+            g = Qs.Builder()
+            for t in low:
+                g.add(Qs.TermQuery(t), low_occur)
+            g.set_minimum_number_should_match(low_msm)
+            b.add(Qs.BoostQuery(g.build(), q.low_freq_boost), Qs.Occur.MUST)
+        if high:
+            g = Qs.Builder()
+            for t in high:
+                g.add(Qs.TermQuery(t), high_occur)
+            g.set_minimum_number_should_match(high_msm)
+            b.add(Qs.BoostQuery(g.build(), q.high_freq_boost), Qs.Occur.SHOULD)
+        return b.build()
+
     def _term_lookup(self, q: Query) -> list[str] | None:
         """Driver-side probe of the term dictionary for a multi-term
         query.  Returns the full matching term list only when it is
@@ -453,7 +555,7 @@ class IndexSearcher:
         the shared floor prunes strictly-below only — at the cost of
         one extra (tiny) Spark job; it pays off when segments are many
         and k is small."""
-        q = rw.rewrite(query, self._term_lookup)
+        q = self._rewrite(query)
         terms = planner.collect_terms(q)
         ts = self._term_stats(terms)
         stats = self.stats.with_similarity(similarity)
@@ -500,7 +602,7 @@ class IndexSearcher:
         the unpaged ranking.  total_hits still counts every match."""
         if after is None:
             return self.search(query, k, total_hits_threshold=total_hits_threshold)
-        q = rw.rewrite(query, self._term_lookup)
+        q = self._rewrite(query)
         terms = planner.collect_terms(q)
         ts = self._term_stats(terms)
         cq = planner.compile_query(q, self.stats, ts, "top_scores")
@@ -532,7 +634,7 @@ class IndexSearcher:
     def _bulk_df(self, query: Query, score_mode: str,
                  similarity: str | None = None,
                  max_segment: int | None = None) -> DataFrame:
-        q = rw.rewrite(query, self._term_lookup)
+        q = self._rewrite(query)
         terms = planner.collect_terms(q)
         ts = self._term_stats(terms)
         cq = planner.compile_query(
@@ -714,7 +816,7 @@ class IndexSearcher:
 
         from ..functions.codec import decode_term_postings
 
-        q = rw.rewrite(query, self._term_lookup)
+        q = self._rewrite(query)
         terms = planner.collect_terms(q)
         cq = planner.compile_query(
             q, self.stats.with_similarity(similarity), self._term_stats(terms)
@@ -870,8 +972,22 @@ class IndexSearcher:
         linearly; missing statistics degrade to num_docs (pessimistic,
         which biases toward the dv path exactly when the index side's
         cost is unknown)."""
-        from ..plans.queries import MultiDimPointRangeQuery, PointRangeQuery
+        from ..plans.queries import (
+            EARTH_MEAN_RADIUS_METERS,
+            LatLonDistanceQuery,
+            MultiDimPointRangeQuery,
+            PointRangeQuery,
+        )
 
+        if isinstance(q, LatLonDistanceQuery):
+            # estimate via the latitude band (the BKD box the reference
+            # visits); the haversine verify only shrinks it
+            import math as _m
+
+            dlat = _m.degrees(q.radius_meters / EARTH_MEAN_RADIUS_METERS)
+            return self._estimate_point_cost(
+                PointRangeQuery(q.lat_field, q.lat - dlat, q.lat + dlat)
+            )
         if isinstance(q, MultiDimPointRangeQuery):
             # intersection cardinality <= every dim's own estimate
             # (estimatePointCount visits one tree; min over dims is the
@@ -992,7 +1108,35 @@ class IndexSearcher:
         query value."""
         from pyspark.sql.types import ArrayType
 
-        from ..plans.queries import FieldTermQuery, MultiDimPointRangeQuery
+        from ..plans.queries import (
+            EARTH_MEAN_RADIUS_METERS,
+            FieldTermQuery,
+            LatLonDistanceQuery,
+            MultiDimPointRangeQuery,
+        )
+
+        if isinstance(q, LatLonDistanceQuery):
+            # two-phase distance filter (LatLonPointDistanceQuery.java:
+            # 77-135): a latitude-band range that pushes into the
+            # parquet scan (no doc outside |Δlat| <= r/R can be within
+            # r), then the exact haversine verify — all JVM-side in the
+            # same scan stage
+            import math as _m
+
+            r_earth = EARTH_MEAN_RADIUS_METERS
+            dlat = _m.degrees(q.radius_meters / r_earth)
+            lat_c, lon_c = F.lit(float(q.lat)), F.lit(float(q.lon))
+            lat, lon = F.col(q.lat_field), F.col(q.lon_field)
+            band = (lat >= q.lat - dlat) & (lat <= q.lat + dlat)
+            sin_dlat = F.sin(F.radians(lat - lat_c) / 2)
+            sin_dlon = F.sin(F.radians(lon - lon_c) / 2)
+            h = (
+                sin_dlat * sin_dlat
+                + F.cos(F.radians(lat_c)) * F.cos(F.radians(lat))
+                * sin_dlon * sin_dlon
+            )
+            dist = F.lit(2.0 * r_earth) * F.asin(F.sqrt(h))
+            return band & (dist <= F.lit(float(q.radius_meters)))
 
         if isinstance(q, MultiDimPointRangeQuery):
             # the per-dim conjunction of an n-dim box, ANDed into ONE

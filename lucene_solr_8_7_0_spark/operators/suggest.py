@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["suggest_prefix", "suggest_fuzzy"]
+__all__ = ["suggest_prefix", "suggest_infix", "suggest_fuzzy"]
 
 
 def suggest_prefix(searcher, prefix: str, k: int = 10) -> DataFrame:
@@ -29,6 +29,31 @@ def suggest_prefix(searcher, prefix: str, k: int = 10) -> DataFrame:
 
     top = (
         searcher.termdict.filter(F.col("term").startswith(prefix))
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "term", "df")
+        .orderBy("rank")
+    )
+
+
+def suggest_infix(searcher, fragment: str, k: int = 10) -> DataFrame:
+    """AnalyzingInfixSuggester-style lookup (lucene/suggest/.../
+    analyzing/AnalyzingInfixSuggester.java:110-143: completions whose
+    ANALYZED text contains the fragment anywhere, not only as a
+    prefix; the reference indexes edge-grams of every token to make
+    the match an index lookup).  The engine's dictionary is the
+    termdict, so the lookup is one pushed-down scan with a JVM
+    Contains filter — same physical shape as the wildcard rewrite —
+    ranked by (df desc, term asc).  Returns (rank, term, df)."""
+    from pyspark.sql import Window
+
+    top = (
+        searcher.termdict.filter(F.col("term").contains(fragment))
         .select("term", "df")
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(k)

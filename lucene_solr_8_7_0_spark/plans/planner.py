@@ -17,6 +17,7 @@ from .queries import (
     BooleanQuery,
     DisjunctionMaxQuery,
     FieldTermQuery,
+    LatLonDistanceQuery,
     IntervalQuery,
     MultiPhraseQuery,
     MultiTermUnionQuery,
@@ -243,7 +244,7 @@ def collect_point_queries(q: Query) -> set:
     point index and fed to the kernel as constant pseudo-postings (see
     IndexSearcher._points_rows)."""
     if isinstance(q, (PointRangeQuery, MultiDimPointRangeQuery,
-                      FieldTermQuery)):
+                      LatLonDistanceQuery, FieldTermQuery)):
         return {q}
     if isinstance(q, DisjunctionMaxQuery):
         out: set[PointRangeQuery] = set()
@@ -316,7 +317,7 @@ def _make_clause(
             span_specs=tuple(q.terms), span_range=span_range,
         )
     if isinstance(q, (PointRangeQuery, MultiDimPointRangeQuery,
-                      FieldTermQuery)):
+                      LatLonDistanceQuery, FieldTermQuery)):
         # constant-score doc-value clause: PointRangeQuery's weight is
         # a ConstantScoreWeight (PointRangeQuery.java:107); keyword
         # (StringField) equality scores the same way
@@ -448,7 +449,7 @@ def compile_query(
                       SpanNearQuery, SpanOrQuery, SpanNotQuery,
                       SpanPositionRangeQuery, IntervalQuery,
                       PointRangeQuery, MultiDimPointRangeQuery,
-                      FieldTermQuery,
+                      LatLonDistanceQuery, FieldTermQuery,
                       BoostQuery, ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
         return CompiledQuery([clause], [], [], [], 0)

@@ -558,6 +558,45 @@ class MultiDimPointRangeQuery(Query):
         return " AND ".join(parts)
 
 
+#: GeoUtils.EARTH_MEAN_RADIUS_METERS (lucene/core/.../geo/GeoUtils.java)
+EARTH_MEAN_RADIUS_METERS = 6371008.7714
+
+
+@dataclass(frozen=True)
+class LatLonDistanceQuery(Query):
+    """LatLonPoint.newDistanceQuery analog (L/document/LatLonPoint.java:
+    258, LatLonPointDistanceQuery.java): constant-score filter matching
+    docs within ``radius_meters`` haversine distance of (lat, lon).
+
+    Spark-first analog of the reference's two-phase plan (BKD
+    bounding-box visit + per-hit haversin verify,
+    LatLonPointDistanceQuery.java:77-135): the docmeta lat/lon numeric
+    columns play the BKD role — a latitude-band range predicate pushes
+    into the parquet scan (row-group pruning), ANDed with the exact
+    haversine distance evaluated JVM-side in the same scan stage.  The
+    matching docs surface as constant pseudo-postings like every other
+    point clause."""
+
+    lat_field: str
+    lon_field: str
+    lat: float
+    lon: float
+    radius_meters: float
+    dv: bool = False  # per-candidate verify path permitted (IndexOrDocValues)
+
+    def token_key(self) -> str:
+        return (
+            f"\x01geo:{self.lat_field}:{self.lon_field}:"
+            f"{self.lat}:{self.lon}:{self.radius_meters}"
+        )
+
+    def __str__(self) -> str:
+        return (
+            f"geo({self.lat_field},{self.lon_field}) within "
+            f"{self.radius_meters}m of ({self.lat},{self.lon})"
+        )
+
+
 def multi_dim_range(*dims) -> MultiDimPointRangeQuery:
     """Convenience: dims as (field, lower, upper) triples (inclusive
     both sides, IntPoint.newRangeQuery's int[] form)."""
@@ -671,6 +710,37 @@ class Builder:
 
     def build(self) -> BooleanQuery:
         return BooleanQuery(tuple(self._clauses), self._msm)
+
+
+@dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """CommonTermsQuery.java:62-105 — terms are classified by their
+    ACTUAL index docFreq at rewrite time: low-frequency terms form a
+    required group, high-frequency ("common") terms an optional group,
+    so stopword-like terms never drive iteration.  The rewrite is
+    reader-dependent (rewrite(IndexReader), :121-135) and lives in
+    IndexSearcher._rewrite, which binds the engine's termdict dfs.
+
+    ``max_term_frequency``: in [0..1) a fraction of maxDoc, >= 1 an
+    absolute docFreq (both thresholds OR-ed exactly as
+    buildQuery:170-176 does).  MUST_NOT occurs are rejected as in the
+    reference constructor (:93-101)."""
+
+    terms: tuple[str, ...]
+    max_term_frequency: float = 0.01
+    low_freq_occur: Occur = Occur.MUST
+    high_freq_occur: Occur = Occur.SHOULD
+    low_freq_boost: float = 1.0
+    high_freq_boost: float = 1.0
+    low_freq_min_should_match: float = 0.0
+    high_freq_min_should_match: float = 0.0
+
+    def __post_init__(self):
+        if Occur.MUST_NOT in (self.low_freq_occur, self.high_freq_occur):
+            raise ValueError(
+                "lowFreqOccur/highFreqOccur should be MUST or SHOULD "
+                "but was MUST_NOT"
+            )
 
 
 def term_or(terms: list[str], min_should_match: int = 0) -> BooleanQuery:
