@@ -644,7 +644,11 @@ def _q_analysis_chain(spark, sf_dir):
       stemming (PorterStemFilter.java:57).
     - porter_fp: whole-chain parity — md5 of each doc's sorted
       distinct english-chain terms (tokenize + stop + stem); any
-      chain difference vs the SQL replay flips the hash."""
+      chain difference vs the SQL replay flips the hash.
+    - fold_fp: WhitespaceAnalyzer + ASCIIFoldingFilter parity — docs
+      augmented with accented words, folded engine-side
+      (functions/analysis.ascii_fold) and replayed by DuckDB's own
+      independent strip_accents()."""
     from lucene_solr_8_7_0_spark.operators.invert import invert, split_postings
 
     sh = _searcher_shingle(spark, sf_dir)
@@ -667,7 +671,19 @@ def _q_analysis_chain(spark, sf_dir):
             F.concat_ws(" ", F.array_sort(F.collect_set("term")))
         ).alias("val")
     ).select(F.lit("porter_fp").alias("variant"), "doc_id", "val")
-    return shingle.unionByName(pm).unionByName(fp)
+    fold_cfg = EngineConfig(analyzer="whitespace", ascii_folding=True,
+                            index_positions=False)
+    fold_docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" Café naïve jalapeño")).alias("content"),
+    )
+    fold_postings, _ = split_postings(invert(fold_docs, fold_cfg))
+    fold = fold_postings.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.collect_set("term")))
+        ).alias("val")
+    ).select(F.lit("fold_fp").alias("variant"), "doc_id", "val")
+    return shingle.unionByName(pm).unionByName(fp).unionByName(fold)
 
 
 def _q_queries_module_topk(spark, sf_dir):
@@ -1758,7 +1774,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'porter_fp', doc_id,
                    md5(array_to_string(list_sort(list_distinct(array_agg(stem))), ' '))
-            FROM etoks GROUP BY doc_id""",
+            FROM etoks GROUP BY doc_id
+            UNION ALL
+            SELECT 'fold_fp', doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       array_agg(strip_accents(tok)))), ' '))
+            FROM (SELECT doc_id,
+                         unnest(list_filter(regexp_split_to_array(
+                             text || ' Café naïve jalapeño', '\\s+'),
+                             x -> x != '')) AS tok
+                  FROM documents)
+            GROUP BY doc_id""",
         "queries_module_topk": f"""
             WITH toks AS ({_TOKS}),
             lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),

@@ -45,7 +45,16 @@ class EngineConfig:
     # (IndexSearcher.setSimilarity surface); norms store the document
     # LENGTH either way, so the choice is purely query-time.
     similarity: str = "bm25"
-    analyzer: str = "standard"  # "standard" | "simple"
+    # "standard" | "simple" | "whitespace" (WhitespaceAnalyzer:
+    # split on Unicode whitespace, case-preserving) | "keyword"
+    # (KeywordAnalyzer: the whole value is one token) | "shingle"
+    # (simple -> 2-gram shingles) | "english" (standard -> lower ->
+    # stop -> Porter)
+    analyzer: str = "standard"
+    # ASCIIFoldingFilter analog (analysis/common/.../miscellaneous/
+    # ASCIIFoldingFilter.java): fold accented Latin to ASCII after the
+    # analyzer's own case handling.  Python tokenize backend only.
+    ascii_folding: bool = False
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     index_positions: bool = True
     # opt-in character-offset store (the .pay / offsets tier,

@@ -299,16 +299,66 @@ SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 # standard tokenizer -> LowerCaseFilter -> StopFilter(the classic
 # English stop set) -> PorterStemFilter.  Python-backend only (the
 # stemmer is not expressible as a JVM Column).
+# "whitespace": WhitespaceAnalyzer/WhitespaceTokenizer — split on
+# Unicode whitespace runs, case-preserving, no further filtering.
+# "keyword": KeywordAnalyzer/KeywordTokenizer — the entire value is
+# ONE un-analyzed token (the analyzer form of StringField).
 ANALYZERS = {
     "standard": "standard",
     "simple": "simple",
+    "whitespace": "whitespace",
+    "keyword": "keyword",
     "shingle": "shingle",
     "english": "english",
 }
 
 #: analyzers whose full chain runs as a JVM Column expression
 #: (jvm_token_array); others fall back to the Arrow-batch Python chain
-JVM_ANALYZERS = frozenset({"standard", "simple", "shingle"})
+JVM_ANALYZERS = frozenset({"standard", "simple", "whitespace", "keyword",
+                           "shingle"})
+
+# ASCIIFoldingFilter's irregular mappings — code points whose folding
+# is NOT "strip the combining marks" (ASCIIFoldingFilter.java's table
+# entries without a canonical decomposition); the regular accented
+# range folds via NFKD below.
+_FOLD_SPECIALS = {
+    "æ": "ae", "ß": "ss", "ø": "o", "œ": "oe", "đ": "d", "ð": "d",
+    "þ": "th", "ł": "l", "ħ": "h", "ı": "i", "ĸ": "k", "ŋ": "n",
+    "ƒ": "f", "ſ": "s", "ŧ": "t",
+}
+
+
+def ascii_fold(s: str) -> str:
+    """ASCIIFoldingFilter analog (analysis/common/.../miscellaneous/
+    ASCIIFoldingFilter.java:57): fold Latin characters to their ASCII
+    equivalents.  Regular accents fold by NFKD decomposition with the
+    combining marks stripped; ligature/stroke letters use the explicit
+    table.  Characters with no ASCII equivalent pass through unchanged
+    (like the reference's default for unmapped code points)."""
+    import unicodedata
+
+    if s.isascii():
+        return s
+    out = []
+    for ch in s:
+        if ord(ch) < 128:
+            out.append(ch)
+            continue
+        sp = _FOLD_SPECIALS.get(ch) or _FOLD_SPECIALS.get(ch.lower())
+        if sp is not None:
+            out.append(sp.upper() if ch.isupper() else sp)
+            continue
+        dec = unicodedata.normalize("NFKD", ch)
+        stripped = "".join(c for c in dec if not unicodedata.combining(c))
+        out.append(stripped if stripped.isascii() and stripped else ch)
+    return "".join(out)
+
+
+def fold_series(terms: pd.Series) -> pd.Series:
+    """Vocabulary-cached folding of a token Series (see stem_series)."""
+    uniq = terms.unique()
+    lut = {t: ascii_fold(t) for t in uniq}
+    return terms.map(lut)
 
 
 def jvm_token_array(content_col: str, analyzer: str):
@@ -346,6 +396,17 @@ def jvm_token_array(content_col: str, analyzer: str):
             F.slice(toks, F.lit(2), n1),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
+    if analyzer == "whitespace":
+        # (?U) = Unicode character classes, matching Python's
+        # str.split() / Java Character.isWhitespace semantics
+        return F.array_remove(
+            F.split(F.col(content_col), F.lit(r"(?U)\s+")), ""
+        )
+    if analyzer == "keyword":
+        c = F.col(content_col)
+        return F.when(
+            c.isNotNull() & (c != ""), F.array(c)
+        ).otherwise(F.array().cast("array<string>"))
     raise ValueError(f"unknown analyzer {analyzer!r} (JVM path supports "
                      f"{sorted(JVM_ANALYZERS)})")
 
@@ -372,6 +433,10 @@ def _extract(texts: pd.Series, analyzer: str) -> pd.Series:
         return uni.map(
             lambda ts: [f"{a} {b}" for a, b in zip(ts, ts[1:])]
         )
+    if analyzer == "whitespace":
+        return texts.str.split()
+    if analyzer == "keyword":
+        return texts.map(lambda t: [t] if t else [])
     raise ValueError(f"unknown analyzer {analyzer!r}")
 
 
@@ -380,6 +445,7 @@ def analyze_batch(
     analyzer: str = "standard",
     max_token_length: int = 255,
     stopwords=(),
+    ascii_folding: bool = False,
 ) -> TokenBatch:
     """Tokenize a batch of documents into flat columnar token arrays.
 
@@ -413,6 +479,10 @@ def analyze_batch(
     keep = (flat.str.len() <= max_token_length).to_numpy(dtype=bool)
     if analyzer in ("standard", "english"):
         flat = flat.str.lower()
+    if ascii_folding:
+        # ASCIIFoldingFilter sits after the case handling and before
+        # the stop/stem filters (so folded forms match the stop set)
+        flat = fold_series(flat)
     if analyzer == "english":
         # EnglishAnalyzer chain: its default stop set applies in
         # addition to any configured one, BEFORE stemming
@@ -436,10 +506,11 @@ def analyze_batch(
 
 def tokenize_text(
     text: str, analyzer: str = "standard", max_token_length: int = 255,
-    stopwords=(),
+    stopwords=(), ascii_folding: bool = False,
 ) -> list[str]:
     """Convenience scalar path (query analysis, tests)."""
-    batch = analyze_batch(pd.Series([text]), analyzer, max_token_length, stopwords)
+    batch = analyze_batch(pd.Series([text]), analyzer, max_token_length,
+                          stopwords, ascii_folding)
     return batch.terms.tolist()
 
 

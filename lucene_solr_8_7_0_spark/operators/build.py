@@ -166,7 +166,8 @@ def build_index(
         )
         from ..functions.analysis import JVM_ANALYZERS
 
-        if cfg.tokenize_backend == "jvm" and cfg.analyzer in JVM_ANALYZERS:
+        if (cfg.tokenize_backend == "jvm" and cfg.analyzer in JVM_ANALYZERS
+                and not cfg.ascii_folding):
             # hot path: whole chain as a JVM Column expression
             doc_tokens = invert.invert_doc_arrays(seg_input, cfg, content_col)
             encoded = encode_segments_fused_docarrays(doc_tokens, cfg)
@@ -324,6 +325,7 @@ def build_index(
         json.dump(
             {
                 "k1": cfg.k1, "b": cfg.b, "analyzer": cfg.analyzer,
+                "ascii_folding": cfg.ascii_folding,
                 "max_token_length": cfg.max_token_length,
                 "index_positions": cfg.index_positions,
                 "index_offsets": cfg.index_offsets,

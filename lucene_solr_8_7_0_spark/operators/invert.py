@@ -35,10 +35,12 @@ def invert(docs: DataFrame, cfg: EngineConfig, content_col: str = "content") -> 
     max_len = cfg.max_token_length
     index_positions = cfg.index_positions
     stopwords = tuple(cfg.stopwords)
+    folding = cfg.ascii_folding
 
     def run(batches):
         for pdf in batches:
-            tb = analyze_batch(pdf[content_col], analyzer, max_len, stopwords)
+            tb = analyze_batch(pdf[content_col], analyzer, max_len,
+                               stopwords, folding)
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             if len(tb.terms) == 0:
                 agg = pd.DataFrame(

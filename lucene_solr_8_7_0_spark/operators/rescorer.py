@@ -90,7 +90,18 @@ def rescore_topk(
     first = searcher.score_all_df(first_query, similarity=similarity).select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("s1")
     )
-    cand = first.orderBy(F.col("s1").desc(), F.col("doc_id").asc()).limit(window)
+    # the window is k-bounded (tens..hundreds of rows) — materialize it
+    # ONCE, exactly like the reference's in-memory first-pass TopDocs
+    # (TakeOrderedAndProject: per-partition partial top-k + driver
+    # merge), so the COMPLETE first pass runs a single job instead of
+    # being recomputed under each downstream join
+    cand_pdf = (
+        first.orderBy(F.col("s1").desc(), F.col("doc_id").asc())
+        .limit(window).toPandas()
+    )
+    cand = searcher.spark.createDataFrame(
+        cand_pdf, schema="doc_id bigint, s1 double"
+    )
     sec = searcher.score_all_df(second_query, similarity=similarity).select(
         "doc_id", F.col("score").cast("double").alias("s2")
     )
