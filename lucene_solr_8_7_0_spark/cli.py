@@ -249,7 +249,7 @@ def main(argv=None) -> None:
     sc = sub.add_parser("bench-scaling")
     sc.add_argument("--files", type=int, default=20000)
     sc.add_argument("--cores", default="2,8")
-    sc.add_argument("--repeats", type=int, default=2)
+    sc.add_argument("--repeats", type=int, default=3)
     sc.set_defaults(fn=cmd_bench_scaling)
 
     args = p.parse_args(argv)

@@ -74,6 +74,31 @@ LENGTH_TABLE = np.array([byte4_to_int(b) for b in range(256)], dtype=np.float32)
 _POW2 = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
 
 
+def int_to_byte4_col(length_col):
+    """``int_to_byte4`` as a pure JVM Column expression (exact integer
+    bit math — no Python/Arrow hop, so the full docmeta stream stays in
+    whole-stage codegen at any scale).
+
+    ``bit_length(j) == char_length(bin(j))`` for j >= 1 gives the exact
+    numberOfLeadingZeros complement (SmallFloat.java:139 numBits); the
+    j == 0 case falls into the ``num_bits < 4`` identity branch like
+    the scalar port.  Parity with int_to_byte4_np is pytest-pinned
+    exhaustively over small values and power-of-two boundaries."""
+    from pyspark.sql import functions as F
+
+    i = length_col.cast("long")
+    j = i - NUM_FREE_VALUES
+    nb = F.length(F.bin(j)).cast("long")
+    shift = nb - 4
+    # shiftright by a COLUMN: exact floor-division by 2^shift (both
+    # operands < 2^53, and division by a power of two is exact in
+    # binary floating point)
+    shifted = F.floor(j / F.pow(F.lit(2.0), shift.cast("double"))).cast("long")
+    normal = shifted.bitwiseAND(F.lit(7)).bitwiseOR((shift + 1) * 8)
+    enc = F.when(nb < 4, j).otherwise(normal)
+    return F.when(i < NUM_FREE_VALUES, i).otherwise(enc + NUM_FREE_VALUES)
+
+
 def int_to_byte4_np(arr: np.ndarray) -> np.ndarray:
     """Vectorized int_to_byte4 over an int array; returns uint8-valued int64."""
     arr = np.asarray(arr, dtype=np.int64)

@@ -43,7 +43,6 @@ from .segments import (
     encode_segments_fused_docarrays,
     lengths_from_segments,
 )
-from ..functions.smallfloat import int_to_byte4_np
 
 MANIFEST_SCHEMA = "stage string, rows bigint, wall_s double, detail string, ts double"
 
@@ -137,6 +136,8 @@ def build_index(
     # file implies would dominate the build; here the source table IS
     # the row store and this mapping is the docID <-> stored-fields key.
     t0 = time.time()
+    docs_write_fut = None
+    seg_mapping = None  # (repo, path, doc_id) for the fused segments input
     if stage("docs"):
         base_cols = [c for c in docs.columns if c not in (content_col, "sha256")]
         proj = docs.select(
@@ -149,12 +150,30 @@ def build_index(
         # doc-sorted docmeta parquet carries tight row-group min/max on
         # the sort columns (sorted-segment + BKD-pruning story).
         sort_spec = list(cfg.index_sort) + [("repo", False), ("path", False)]
-        with_ids = (
-            proj if precomputed_ids else docids.assign_doc_ids(proj, sort_spec)
-        )
-        _write(with_ids, index_dir, "docs")
-        record("docs", time.time() - t0, {})
-    docs_ids = spark.read.parquet(_path(index_dir, "docs"))
+        if precomputed_ids:
+            _write(proj, index_dir, "docs")
+            record("docs", time.time() - t0, {})
+        else:
+            # Only the tiny (key, doc_id) MAPPING gates the segments
+            # stage; the identity write (whose job carries the sha256
+            # content scan) runs CONCURRENTLY with segments — the two
+            # jobs' tasks share the executors, so the docs stage leaves
+            # the critical path entirely on multi-core runs while total
+            # work is unchanged (the measured scaling residual at small
+            # N is stage boundaries, BENCH.md).
+            names, mapping = docids.doc_id_mapping(proj, sort_spec)
+            seg_mapping = mapping.select("repo", "path", "doc_id")
+
+            def _docs_write():
+                _write(proj.join(mapping, names), index_dir, "docs")
+                record("docs", time.time() - t0, {"overlapped": True})
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            docs_write_fut = ThreadPoolExecutor(1).submit(_docs_write)
+    if seg_mapping is None:
+        docs_ids = spark.read.parquet(_path(index_dir, "docs"))
+        seg_mapping = docs_ids.select("repo", "path", "doc_id")
 
     # -- stage: segments (fused tokenize -> shuffle -> encode) --------------
     t0 = time.time()
@@ -162,7 +181,7 @@ def build_index(
         # content joins the id mapping lazily: AQE broadcasts the small
         # side locally; at cluster scale it degrades to a shuffle join
         seg_input = docs.select("repo", "path", content_col).join(
-            docs_ids.select("repo", "path", "doc_id"), ["repo", "path"]
+            seg_mapping, ["repo", "path"]
         )
         from ..functions.analysis import JVM_ANALYZERS
 
@@ -197,13 +216,19 @@ def build_index(
             from .termvectors import build_term_vectors
 
             tv_input = docs.select("repo", "path", content_col).join(
-                docs_ids.select("repo", "path", "doc_id"), ["repo", "path"]
+                seg_mapping, ["repo", "path"]
             )
             _write(
                 build_term_vectors(tv_input, cfg, content_col),
                 index_dir, "termvectors", sort_cols=["doc_id", "term"],
             )
             record("termvectors", time.time() - t0, {})
+
+    # the overlapped identity write must be committed before docmeta
+    # consumes it (and any write error surfaces here)
+    if docs_write_fut is not None:
+        docs_write_fut.result()
+        docs_ids = spark.read.parquet(_path(index_dir, "docs"))
 
     # -- stages: docmeta + termdict --------------------------------------
     # Both consume the COMMITTED segments table and are independent of
@@ -225,32 +250,22 @@ def build_index(
         # usable by faceting and FieldTermQuery membership
         base = ["doc_id", "repo", "path", "commit", "lang", "sha256"]
         extras = [c for c in docs_ids.columns if c not in base]
+        # norm encoding is a pure JVM Column expression
+        # (functions/smallfloat.int_to_byte4_col) — the full docmeta
+        # stream stays in whole-stage codegen with no Python/Arrow hop
+        # (at 10^12 docs the old per-row Arrow round-trip would be the
+        # stage's dominant cost)
+        from ..functions.smallfloat import int_to_byte4_col
+
         meta = (
             docs_ids.select(*base, *extras)
             .join(lengths, "doc_id", "left")
             .fillna({"length": 0})
-        )
-
-        def add_norm(batches):
-            import numpy as np
-
-            for pdf in batches:
-                pdf["norm"] = int_to_byte4_np(
-                    pdf["length"].to_numpy(dtype="int64")
-                ).astype("int32")
-                pdf["segment_id"] = (pdf["doc_id"] // cfg.segment_size).astype(
-                    "int32"
-                )
-                yield pdf
-
-        extra_schema = "".join(
-            f", {c} {docs_ids.schema[c].dataType.simpleString()}"
-            for c in extras
-        )
-        schema = (
-            "doc_id bigint, repo string, path string, commit string, "
-            f"lang string, sha256 string{extra_schema}, "
-            "length bigint, norm int, segment_id int"
+            .withColumn("norm", int_to_byte4_col(F.col("length")).cast("int"))
+            .withColumn(
+                "segment_id",
+                (F.col("doc_id") / F.lit(cfg.segment_size)).cast("int"),
+            )
         )
         # CollectionStatistics + the length histogram ride the docmeta
         # WRITE as observed aggregates (Dataset.observe — computed by
@@ -263,7 +278,7 @@ def build_index(
         from pyspark.sql import Observation
 
         obs = Observation("docmeta_stats")
-        meta_df = meta.mapInPandas(add_norm, schema=schema).observe(
+        meta_df = meta.observe(
             obs,
             F.count(F.lit(1)).alias("num_docs"),
             F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),

@@ -32,14 +32,21 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def assign_doc_ids(
+def doc_id_mapping(
     df: DataFrame,
     sort_cols: list | None = None,
     num_partitions: int | None = None,
     id_col: str = "doc_id",
     persist: bool = True,
-) -> DataFrame:
-    """Add a dense global ``doc_id`` = rank over ``sort_cols``.
+) -> tuple[list, DataFrame]:
+    """The tiny global (key columns..., doc_id) mapping — steps 1-4 of
+    the module docstring — WITHOUT the join back onto the source.
+
+    Returned as ``(key_names, mapping)`` so callers that only need doc
+    ids for a subset of columns (the fused segments stage joins just
+    (repo, path, doc_id)) can consume the mapping directly while the
+    full identity write proceeds concurrently (operators/build.py
+    overlaps the two).
 
     Each entry of ``sort_cols`` is either a column name (ascending) or
     a ``(name, reverse)`` pair — the index-time sort surface
@@ -93,6 +100,26 @@ def assign_doc_ids(
             yield pdf
 
     mapping = keys.mapInPandas(add_ids, schema=keys_schema)
+    if persist:
+        # the mapping is consumed by several jobs (identity write,
+        # fused segments input); pin it so the Python id-stamping pass
+        # runs once
+        mapping = mapping.persist(StorageLevel.MEMORY_AND_DISK)
+    return names, mapping
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    sort_cols: list | None = None,
+    num_partitions: int | None = None,
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """Add a dense global ``doc_id`` = rank over ``sort_cols`` (see
+    doc_id_mapping for the sort-spec surface and scaling notes)."""
+    names, mapping = doc_id_mapping(
+        df, sort_cols, num_partitions, id_col, persist
+    )
     # key-equality join back onto the untouched source rows; Catalyst /
     # AQE selects broadcast vs shuffle join by the mapping's actual size
     return df.join(mapping, names)

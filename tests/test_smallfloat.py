@@ -79,3 +79,26 @@ def test_negative_rejected():
         int_to_byte4(-1)
     with pytest.raises(ValueError):
         int_to_byte4_np(np.array([-5]))
+
+
+def test_jvm_column_matches_numpy(spark):
+    """int_to_byte4_col (pure Column expression, the docmeta norm path)
+    must be bit-exact vs the numpy port: exhaustive small values plus
+    every power-of-two boundary up to 2^40."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucene_solr_8_7_0_spark.functions.smallfloat import int_to_byte4_col
+
+    vals = list(range(0, 5000))
+    for k in range(3, 41):
+        p = 1 << k
+        vals += [p - 2, p - 1, p, p + 1, p + 2]
+    arr = np.array(sorted(set(vals)), dtype=np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"length": arr}))
+    got = (
+        df.select("length", int_to_byte4_col(F.col("length")).alias("norm"))
+        .toPandas().sort_values("length")
+    )
+    expected = int_to_byte4_np(got["length"].to_numpy(dtype=np.int64))
+    assert (got["norm"].to_numpy(dtype=np.int64) == expected).all()
