@@ -283,16 +283,32 @@ def _q_bool_and_not(spark, sf_dir):
 
 
 def _q_parsed_query(spark, sf_dir):
-    """QueryParser surface: classic syntax with grouping, keyword
-    field, numeric range, prefix negation -> IR -> kernel, verified
-    against the equivalent SQL oracle."""
+    """Parser surfaces, tagged union:
+    - classic: queryparser/classic syntax with grouping, keyword field,
+      numeric range, prefix negation -> IR -> kernel
+      (plans/queryparser.py; QueryParser.jj grammar).
+    - simple: queryparser/simple dialect (SimpleQueryParser.java — the
+      never-throws end-user syntax): '+' infix AND binding tighter
+      than '|' OR, '-' negation, '( )' grouping
+      (plans/simpleparser.py).
+    Both verified against equivalent SQL oracles."""
     from lucene_solr_8_7_0_spark.cli import parse_query_string
+    from lucene_solr_8_7_0_spark.plans.simpleparser import SimpleQueryParser
 
     s = _searcher(spark, sf_dir)
     q = parse_query_string(
         '+data +(join vector) -sca* +length:[30 TO 200] +lang:de'
     )
-    return _orig_ids(s, s.matches_df(q)).select("doc_id")
+    classic = _orig_ids(s, s.matches_df(q)).select(
+        F.lit("classic").alias("variant"), "doc_id"
+    )
+    sq = SimpleQueryParser(analyzer="simple").parse(
+        "data + (join | vector) -scalar"
+    )
+    simple = _orig_ids(s, s.matches_df(sq)).select(
+        F.lit("simple").alias("variant"), "doc_id"
+    )
+    return classic.unionByName(simple)
 
 
 def _q_merged_bool_and(spark, sf_dir):
@@ -648,7 +664,10 @@ def _q_analysis_chain(spark, sf_dir):
     - fold_fp: WhitespaceAnalyzer + ASCIIFoldingFilter parity — docs
       augmented with accented words, folded engine-side
       (functions/analysis.ascii_fold) and replayed by DuckDB's own
-      independent strip_accents()."""
+      independent strip_accents().
+    - gram_fp: EdgeNGramTokenFilter parity (ngram/
+      EdgeNGramTokenFilter.java) — the edge_ngram:2:4 chain's distinct
+      gram set per doc, replayed by DuckDB substr() prefixes."""
     from lucene_solr_8_7_0_spark.operators.invert import invert, split_postings
 
     sh = _searcher_shingle(spark, sf_dir)
@@ -683,7 +702,18 @@ def _q_analysis_chain(spark, sf_dir):
             F.concat_ws(" ", F.array_sort(F.collect_set("term")))
         ).alias("val")
     ).select(F.lit("fold_fp").alias("variant"), "doc_id", "val")
-    return shingle.unionByName(pm).unionByName(fp).unionByName(fold)
+    gram_cfg = EngineConfig(analyzer="edge_ngram:2:4", index_positions=False)
+    gram_docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    gram_postings, _ = split_postings(invert(gram_docs, gram_cfg))
+    gram = gram_postings.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.collect_set("term")))
+        ).alias("val")
+    ).select(F.lit("gram_fp").alias("variant"), "doc_id", "val")
+    return (shingle.unionByName(pm).unionByName(fp).unionByName(fold)
+            .unionByName(gram))
 
 
 def _q_queries_module_topk(spark, sf_dir):
@@ -1784,6 +1814,17 @@ def oracle_sql() -> dict[str, str]:
                              text || ' Café naïve jalapeño', '\\s+'),
                              x -> x != '')) AS tok
                   FROM documents)
+            GROUP BY doc_id
+            UNION ALL
+            SELECT 'gram_fp', doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       array_agg(substr(tok, 1, n)))), ' '))
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text),
+                             '[a-z0-9_]+')) AS tok
+                  FROM documents) t,
+                 (SELECT unnest(generate_series(2, 4)) AS n) g
+            WHERE length(tok) >= n
             GROUP BY doc_id""",
         "queries_module_topk": f"""
             WITH toks AS ({_TOKS}),
@@ -1884,7 +1925,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) b USING (doc_id)
             WHERE a.tok = 'data' AND b.tok = 'join' AND abs(a.p - (b.p - 1)) <= 2""",
         "parsed_query": f"""
-            SELECT t.doc_id FROM ({_TOKS}) t
+            SELECT 'classic' AS variant, t.doc_id FROM ({_TOKS}) t
             JOIN documents d ON t.doc_id = d.doc_id
             WHERE d.lang = 'de'
             GROUP BY t.doc_id
@@ -1892,7 +1933,15 @@ def oracle_sql() -> dict[str, str]:
                AND (sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) > 0
                     OR sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) > 0)
                AND sum(CASE WHEN tok LIKE 'sca%' THEN 1 ELSE 0 END) = 0
-               AND count(*) BETWEEN 30 AND 200""",
+               AND count(*) BETWEEN 30 AND 200
+            UNION ALL
+            -- simple dialect: data + (join | vector) -scalar
+            SELECT 'simple', doc_id FROM ({_TOKS})
+            GROUP BY doc_id
+            HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
+               AND (sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) > 0
+                    OR sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) > 0)
+               AND sum(CASE WHEN tok = 'scalar' THEN 1 ELSE 0 END) = 0""",
         "lang_filter": f"""
             SELECT t.doc_id FROM ({_TOKS}) t
             JOIN documents d ON t.doc_id = d.doc_id

@@ -167,9 +167,18 @@ def cmd_bench_scaling(args) -> None:
     # throughput (this VM swings +-30% over tens of minutes) hit every
     # core count equally instead of biasing whichever ran later;
     # best-of-repeats per count is then comparable.
+    # --rest: idle seconds before EVERY measurement.  This VM throttles
+    # sustained multi-core throughput (a back-to-back 4-core build runs
+    # ~1.6x slower than the same build after a few minutes idle, while
+    # 1-core walls are unaffected) — resting decouples each measurement
+    # from its predecessors' host-state effects, applied equally to
+    # both core counts.  On a real cluster the N and 4N runs are
+    # separate spark-submit jobs, which is the regime this reproduces.
     walls_by_cores: dict[int, list] = {c: [] for c in cores_list}
     for rep in range(args.repeats):
         for cores in cores_list:
+            if args.rest:
+                time.sleep(args.rest)
             idx = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
             cmd = [
                 sys.executable, "-m", "lucene_solr_8_7_0_spark.cli",
@@ -250,6 +259,9 @@ def main(argv=None) -> None:
     sc.add_argument("--files", type=int, default=20000)
     sc.add_argument("--cores", default="2,8")
     sc.add_argument("--repeats", type=int, default=3)
+    sc.add_argument("--rest", type=int, default=0,
+                    help="idle seconds before each measurement "
+                         "(sustained-load throttling cool-down)")
     sc.set_defaults(fn=cmd_bench_scaling)
 
     args = p.parse_args(argv)

@@ -49,7 +49,9 @@ class EngineConfig:
     # split on Unicode whitespace, case-preserving) | "keyword"
     # (KeywordAnalyzer: the whole value is one token) | "shingle"
     # (simple -> 2-gram shingles) | "english" (standard -> lower ->
-    # stop -> Porter)
+    # stop -> Porter) | "ngram[:min[:max]]" (simple -> char n-grams,
+    # NGramTokenFilter defaults 1..2) | "edge_ngram[:min[:max]]"
+    # (simple -> prefix grams, the autocomplete chain)
     analyzer: str = "standard"
     # ASCIIFoldingFilter analog (analysis/common/.../miscellaneous/
     # ASCIIFoldingFilter.java): fold accented Latin to ASCII after the

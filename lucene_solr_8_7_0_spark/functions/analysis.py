@@ -60,6 +60,7 @@ __all__ = [
     "TokenBatch",
     "analyze_batch",
     "jvm_token_array",
+    "analyzer_base",
     "tokenize_text",
     "ANALYZERS",
     "SQL_STANDARD_TOKEN_PATTERN",
@@ -303,6 +304,17 @@ SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 # Unicode whitespace runs, case-preserving, no further filtering.
 # "keyword": KeywordAnalyzer/KeywordTokenizer — the entire value is
 # ONE un-analyzed token (the analyzer form of StringField).
+# "ngram[:min[:max]]": simple tokenize -> NGramTokenFilter
+# (analysis/common/.../ngram/NGramTokenFilter.java, defaults
+# DEFAULT_MIN_NGRAM_SIZE=1 / DEFAULT_MAX_NGRAM_SIZE=2): every char
+# n-gram of each token for n in [min, max]; tokens shorter than min
+# emit nothing (keepShortTerm=false, the 8.x default).
+# "edge_ngram[:min[:max]]": simple tokenize -> EdgeNGramTokenFilter
+# (ngram/EdgeNGramTokenFilter.java, same defaults): the prefixes of
+# each token for n in [min, max] — the classic autocomplete chain.
+# Gram emission order is size-major per token (engine-defined; gram
+# positions are array-order, so gram analyzers are bag-of-terms —
+# phrase semantics over grams are not a reference surface).
 ANALYZERS = {
     "standard": "standard",
     "simple": "simple",
@@ -310,12 +322,32 @@ ANALYZERS = {
     "keyword": "keyword",
     "shingle": "shingle",
     "english": "english",
+    "ngram": "ngram",
+    "edge_ngram": "edge_ngram",
 }
 
 #: analyzers whose full chain runs as a JVM Column expression
-#: (jvm_token_array); others fall back to the Arrow-batch Python chain
+#: (jvm_token_array); others fall back to the Arrow-batch Python chain.
+#: Parameterized analyzers ("ngram:2:3") match by their base name —
+#: test membership with ``analyzer_base(a) in JVM_ANALYZERS``.
 JVM_ANALYZERS = frozenset({"standard", "simple", "whitespace", "keyword",
-                           "shingle"})
+                           "shingle", "ngram", "edge_ngram"})
+
+
+def analyzer_base(analyzer: str) -> str:
+    """Base name of a (possibly parameterized) analyzer spec string."""
+    return analyzer.split(":", 1)[0]
+
+
+def _gram_spec(analyzer: str) -> tuple[int, int]:
+    """Parse 'ngram[:min[:max]]' / 'edge_ngram[:min[:max]]'."""
+    parts = analyzer.split(":")
+    mn = int(parts[1]) if len(parts) > 1 and parts[1] else 1
+    mx = int(parts[2]) if len(parts) > 2 and parts[2] else max(mn, 2)
+    if mn < 1 or mx < mn:
+        raise ValueError(f"invalid gram sizes in {analyzer!r}: "
+                         f"need 1 <= min <= max, got ({mn}, {mx})")
+    return mn, mx
 
 # ASCIIFoldingFilter's irregular mappings — code points whose folding
 # is NOT "strip the combining marks" (ASCIIFoldingFilter.java's table
@@ -407,6 +439,37 @@ def jvm_token_array(content_col: str, analyzer: str):
         return F.when(
             c.isNotNull() & (c != ""), F.array(c)
         ).otherwise(F.array().cast("array<string>"))
+    base = analyzer_base(analyzer)
+    if base in ("ngram", "edge_ngram"):
+        mn, mx = _gram_spec(analyzer)
+        toks = F.regexp_extract_all(
+            F.lower(F.col(content_col)), F.lit(SIMPLE_TOKEN_RE.pattern), F.lit(0)
+        )
+        empty = F.array().cast("array<string>")
+        if base == "edge_ngram":
+            # prefixes of lengths [mn, min(mx, len)]
+            def tok_grams(t):
+                return F.when(
+                    F.length(t) >= mn,
+                    F.transform(
+                        F.sequence(F.lit(mn), F.least(F.lit(mx), F.length(t))),
+                        lambda n: t.substr(F.lit(1), n),
+                    ),
+                ).otherwise(empty)
+        else:
+            # all n-grams, size-major: n outer, start offset inner
+            def tok_grams(t):
+                return F.flatten(F.transform(
+                    F.sequence(F.lit(mn), F.lit(mx)),
+                    lambda n: F.when(
+                        F.length(t) >= n,
+                        F.transform(
+                            F.sequence(F.lit(1), F.length(t) - n + 1),
+                            lambda s: t.substr(s, n),
+                        ),
+                    ).otherwise(empty),
+                ))
+        return F.flatten(F.transform(toks, tok_grams))
     raise ValueError(f"unknown analyzer {analyzer!r} (JVM path supports "
                      f"{sorted(JVM_ANALYZERS)})")
 
@@ -437,6 +500,20 @@ def _extract(texts: pd.Series, analyzer: str) -> pd.Series:
         return texts.str.split()
     if analyzer == "keyword":
         return texts.map(lambda t: [t] if t else [])
+    base = analyzer_base(analyzer)
+    if base in ("ngram", "edge_ngram"):
+        mn, mx = _gram_spec(analyzer)
+        uni = texts.str.lower().str.findall(SIMPLE_TOKEN_RE)
+        if base == "edge_ngram":
+            def grams(ts):
+                return [t[:n] for t in ts
+                        for n in range(mn, min(mx, len(t)) + 1)]
+        else:
+            def grams(ts):
+                return [t[s:s + n] for t in ts
+                        for n in range(mn, mx + 1)
+                        for s in range(len(t) - n + 1)]
+        return uni.map(grams)
     raise ValueError(f"unknown analyzer {analyzer!r}")
 
 

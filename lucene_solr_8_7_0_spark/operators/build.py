@@ -183,9 +183,10 @@ def build_index(
         seg_input = docs.select("repo", "path", content_col).join(
             seg_mapping, ["repo", "path"]
         )
-        from ..functions.analysis import JVM_ANALYZERS
+        from ..functions.analysis import JVM_ANALYZERS, analyzer_base
 
-        if (cfg.tokenize_backend == "jvm" and cfg.analyzer in JVM_ANALYZERS
+        if (cfg.tokenize_backend == "jvm"
+                and analyzer_base(cfg.analyzer) in JVM_ANALYZERS
                 and not cfg.ascii_folding):
             # hot path: whole chain as a JVM Column expression
             doc_tokens = invert.invert_doc_arrays(seg_input, cfg, content_col)
