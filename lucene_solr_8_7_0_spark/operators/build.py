@@ -161,7 +161,7 @@ def build_index(
             # the critical path entirely on multi-core runs while total
             # work is unchanged (the measured scaling residual at small
             # N is stage boundaries, BENCH.md).
-            names, mapping = docids.doc_id_mapping(proj, sort_spec)
+            names, mapping, id_pins = docids.doc_id_mapping(proj, sort_spec)
             seg_mapping = mapping.select("repo", "path", "doc_id")
 
             def _docs_write():
@@ -226,9 +226,13 @@ def build_index(
             record("termvectors", time.time() - t0, {})
 
     # the overlapped identity write must be committed before docmeta
-    # consumes it (and any write error surfaces here)
+    # consumes it (and any write error surfaces here); with every
+    # mapping consumer done, release the pinned id frames so long
+    # sessions building many indexes don't accumulate cached blocks
     if docs_write_fut is not None:
         docs_write_fut.result()
+        for pin in id_pins:
+            pin.unpersist(blocking=False)
         docs_ids = spark.read.parquet(_path(index_dir, "docs"))
 
     # -- stages: docmeta + termdict --------------------------------------

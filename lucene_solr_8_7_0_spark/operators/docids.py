@@ -38,15 +38,19 @@ def doc_id_mapping(
     num_partitions: int | None = None,
     id_col: str = "doc_id",
     persist: bool = True,
-) -> tuple[list, DataFrame]:
+) -> tuple[list, DataFrame, list]:
     """The tiny global (key columns..., doc_id) mapping — steps 1-4 of
     the module docstring — WITHOUT the join back onto the source.
 
-    Returned as ``(key_names, mapping)`` so callers that only need doc
-    ids for a subset of columns (the fused segments stage joins just
-    (repo, path, doc_id)) can consume the mapping directly while the
-    full identity write proceeds concurrently (operators/build.py
-    overlaps the two).
+    Returned as ``(key_names, mapping, pinned)`` so callers that only
+    need doc ids for a subset of columns (the fused segments stage
+    joins just (repo, path, doc_id)) can consume the mapping directly
+    while the full identity write proceeds concurrently
+    (operators/build.py overlaps the two).  ``pinned`` lists the
+    persisted frames backing the mapping; the caller unpersists them
+    once every consumer has run (keys MUST stay pinned until the
+    mapping has materialized, or the range boundaries could resample
+    and renumber).
 
     Each entry of ``sort_cols`` is either a column name (ascending) or
     a ``(name, reverse)`` pair — the index-time sort surface
@@ -100,12 +104,14 @@ def doc_id_mapping(
             yield pdf
 
     mapping = keys.mapInPandas(add_ids, schema=keys_schema)
+    pinned = [keys] if persist else []
     if persist:
         # the mapping is consumed by several jobs (identity write,
         # fused segments input); pin it so the Python id-stamping pass
         # runs once
         mapping = mapping.persist(StorageLevel.MEMORY_AND_DISK)
-    return names, mapping
+        pinned.append(mapping)
+    return names, mapping, pinned
 
 
 def assign_doc_ids(
@@ -116,8 +122,12 @@ def assign_doc_ids(
     persist: bool = True,
 ) -> DataFrame:
     """Add a dense global ``doc_id`` = rank over ``sort_cols`` (see
-    doc_id_mapping for the sort-spec surface and scaling notes)."""
-    names, mapping = doc_id_mapping(
+    doc_id_mapping for the sort-spec surface and scaling notes).
+
+    The pins stay live for the returned frame's lifetime (the joined
+    result re-reads the mapping on every action); callers that want
+    them released should materialize the result first."""
+    names, mapping, _ = doc_id_mapping(
         df, sort_cols, num_partitions, id_col, persist
     )
     # key-equality join back onto the untouched source rows; Catalyst /
