@@ -23,10 +23,14 @@ counts leaf positions covered — ``gaps = width - occupied``
 (IntervalIterator.gaps(); e.g. RepeatingIntervalsSource's
 ``end - start + 1 - childCount``).
 
-Complexity: per document the work is bounded by products of per-term
-occurrence counts (documents are a few hundred tokens); this is the
-same per-doc matcher-walk regime as the reference's iterators, run
-inside the per-segment kernel.
+Complexity: the combinators are linear sweeps — ordered chaining uses
+monotone pointers + a suffix argmin, atLeast is a single right-edge
+sweep with sliding-window deques (the MinimumShouldMatchIntervalIterator
+analog) — so per-document work is O(total occurrences of the source
+terms), the same regime as the reference's iterators; a per-process
+work counter (`get_work`) backs complexity assertions in
+tests/test_intervals_kernels.py without wall-clock flake.  Only the
+non-monotone fallbacks (Extended/Offset inputs) keep a direct scan.
 """
 
 from __future__ import annotations
