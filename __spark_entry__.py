@@ -138,7 +138,12 @@ def _q_term_freqs(spark, sf_dir):
     """Postings statistics, tagged union: "tf" is the inversion
     operator (analysis chain + hash group-by, per-(doc, term) freqs);
     "df" is the salted two-level global term-stats aggregation (the
-    Zipf-skew handling path, formerly the doc_freqs row)."""
+    Zipf-skew handling path, formerly the doc_freqs row); "terms_comp"
+    is the Solr TermsComponent analog (TermsComponent.java:181-336) —
+    a prefix-pushed termdict enumeration sorted by docFreq;
+    "significant" is SignificantTermsQParserPlugin (:103-232) — top-20
+    terms over-represented in the 'vector' hit set by
+    ln(tf) x (ln((N+1)/(df+1)) + 1), df >= 5, term length >= 3."""
     from lucene_solr_8_7_0_spark.operators.invert import invert, split_postings
 
     cfg = EngineConfig(analyzer="simple", index_positions=False)
@@ -163,7 +168,28 @@ def _q_term_freqs(spark, sf_dir):
         F.col("df").cast("long").alias("v1"),
         F.col("cf").cast("long").alias("v2"),
     )
-    return tf.unionByName(df)
+    from lucene_solr_8_7_0_spark.operators.components import (
+        significant_terms, terms_enum,
+    )
+
+    s = _searcher(spark, sf_dir)
+    tc = terms_enum(s, prefix="re", limit=15).select(
+        F.lit("terms_comp").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "term",
+        F.col("df").alias("v1"),
+        F.col("ttf").alias("v2"),
+    )
+    sig = significant_terms(
+        s, Q.TermQuery("vector"), k=20, min_df=5, min_term_length=3
+    ).select(
+        F.lit("significant").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").alias("v1"),
+        F.col("df").alias("v2"),
+    )
+    return tf.unionByName(df).unionByName(tc).unionByName(sig)
 
 
 # ---- standard (UAX#29) analyzer under the oracle ----
@@ -508,7 +534,32 @@ def _q_sort_by_field(spark, sf_dir):
         Q.MatchAllDocsQuery(), nsort, k=15
     )).select(F.lit("indexed_all").alias("variant"), "rank", "doc_id",
               F.col("n_chars").cast("long").alias("sortval"))
-    return full.unionByName(indexed).unionByName(indexed_all)
+    # - cursor: cursorMark deep paging (CursorMark.java:48-90) — pages
+    #   2 and 3 (k=15) of (n_chars asc, doc asc) over the same hit set;
+    #   each page is an independent searchAfter(FieldDoc) job, so page
+    #   N never re-collects pages 1..N-1.  rank continues across pages.
+    from lucene_solr_8_7_0_spark.operators.components import cursor_page
+
+    csort = [Q.SortField("n_chars", reverse=False)]
+    cur_rows, cursor = [], None
+    for page_no in range(3):
+        rows, cursor = cursor_page(s, Q.TermQuery("data"), csort, 15, cursor)
+        if page_no >= 1:
+            cur_rows.extend(
+                (15 * page_no + r["rank"], int(r["doc_id"]),
+                 int(r["n_chars"]))
+                for r in rows
+            )
+    cur_df = spark.createDataFrame(
+        cur_rows, schema="rank int, doc_id bigint, sortval long"
+    )
+    cursor_v = _orig_ids(s, cur_df).select(
+        F.lit("cursor").alias("variant"), "rank", "doc_id", "sortval"
+    )
+    return (
+        full.unionByName(indexed).unionByName(indexed_all)
+        .unionByName(cursor_v)
+    )
 
 
 def _q_parsed_synonym_topk(spark, sf_dir):
@@ -728,7 +779,12 @@ def _q_queries_module_topk(spark, sf_dir):
     - rescore: QueryRescorer (QueryRescorer.java:32) — BM25 OR
       first pass, top-20 window, phrase "big data" second pass,
       combine = first + 2 x second, re-ranked top-10.
+    - elevate: QueryElevationComponent
+      (QueryElevationComponent.java:110) — docs 42 and 7 pinned in
+      that order, doc 3 excluded, organic BM25 tail for the same OR
+      query fills the page.
     """
+    from lucene_solr_8_7_0_spark.operators.components import elevate_topk
     from lucene_solr_8_7_0_spark.operators.rescorer import rescore_topk
 
     s = _searcher(spark, sf_dir)
@@ -741,7 +797,19 @@ def _q_queries_module_topk(spark, sf_dir):
         s, Q.term_or(["data", "join"], 1), Q.PhraseQuery(("big", "data")),
         window=20, k=10, weight=2.0,
     )).select(F.lit("rescore").alias("variant"), "rank", "doc_id")
-    return ct.unionByName(rs)
+    # elevation config names ORIGINAL ids; map to engine ids first
+    meta = spark.read.parquet(s.docmeta_path).select(
+        "doc_id", F.col("path").cast("long").alias("orig")
+    )
+    m = {
+        r["orig"]: r["doc_id"]
+        for r in meta.filter(F.col("orig").isin([42, 7, 3])).collect()
+    }
+    ev = _orig_ids(s, elevate_topk(
+        s, Q.term_or(["data", "join"], 1), [m[42], m[7]], k=10,
+        excluded_ids=(m[3],),
+    )).select(F.lit("elevate").alias("variant"), "rank", "doc_id")
+    return ct.unionByName(rs).unionByName(ev)
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -753,14 +821,30 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_facet_lang(spark, sf_dir):
-    """Faceting: per-lang counts over the hit set of a term query."""
+    """Faceting over the hit set of a term query, tagged union:
+
+    - value: flat per-lang counts (the FacetComponent field facet).
+    - pivot: facet.pivot=lang,tags nested level-2 counts
+      (PivotFacetProcessor.java) — ONE rollup aggregation, distinct
+      docs per (lang, tag) so the multi-valued tags column never
+      double-counts.
+    """
+    from lucene_solr_8_7_0_spark.operators.components import pivot_facets
     from lucene_solr_8_7_0_spark.operators.facets import facet_counts
 
     s = _searcher(spark, sf_dir)
+    q = Q.TermQuery("data")
     # engine docmeta has lang copied from the source table
-    return facet_counts(s, Q.TermQuery("data"), "lang").select(
-        "lang", "count"
+    flat = facet_counts(s, q, "lang").select(
+        F.lit("value").alias("variant"), "lang",
+        F.lit(None).cast("string").alias("tag"), "count",
     )
+    piv = pivot_facets(s, q, ["lang", "tags"], explode_fields=("tags",))
+    piv = piv.filter(F.col("level") == 2).select(
+        F.lit("pivot").alias("variant"), "lang",
+        F.col("tags").alias("tag"), "count",
+    )
+    return flat.unionByName(piv)
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -809,15 +893,42 @@ def _q_mlt_terms(spark, sf_dir):
 
 
 def _q_group_topk(spark, sf_dir):
-    """Grouping module surface: top-3 lang groups for 'data', 2 docs
-    per group (FirstPass + TopGroups collectors)."""
+    """Grouping-family surface, tagged union:
+
+    - grouped: lucene/grouping two-pass (FirstPass + TopGroups
+      collectors) — top-3 lang groups for 'data', 2 docs per group.
+    - collapsed: CollapsingQParserPlugin analog
+      (CollapsingQParserPlugin.java:122) — one head per lang chosen by
+      the MAX(n_chars) GroupHeadSelector (tie: lowest doc), page of 4
+      heads in query order (score desc, doc asc); doc_rank is NULL.
+    - expanded: ExpandComponent analog (ExpandComponent.java:101-171)
+      — for each collapsed head, the top-2 OTHER group members by
+      (score desc, doc asc).
+    """
+    from lucene_solr_8_7_0_spark.operators.components import (
+        collapse_topk, expand_hits,
+    )
     from lucene_solr_8_7_0_spark.operators.grouping import group_topk
 
     s = _searcher(spark, sf_dir)
-    out = group_topk(s, Q.TermQuery("data"), "lang", k_groups=3, per_group=2)
-    return _orig_ids(s, out).select(
-        "group_rank", "lang", "doc_rank", "doc_id"
+    q = Q.TermQuery("data")
+    out = group_topk(s, q, "lang", k_groups=3, per_group=2)
+    grouped = _orig_ids(s, out).select(
+        F.lit("grouped").alias("variant"),
+        "group_rank", "lang", "doc_rank", "doc_id",
     )
+    col = collapse_topk(s, q, "lang", k=4, head_by="max:n_chars")
+    collapsed = _orig_ids(s, col).select(
+        F.lit("collapsed").alias("variant"),
+        F.col("rank").alias("group_rank"), "lang",
+        F.lit(None).cast("int").alias("doc_rank"), "doc_id",
+    )
+    exp = expand_hits(s, q, "lang", k=4, expand_rows=2, head_by="max:n_chars")
+    expanded = _orig_ids(s, exp).select(
+        F.lit("expanded").alias("variant"),
+        "group_rank", "lang", "doc_rank", "doc_id",
+    )
+    return grouped.unionByName(collapsed).unionByName(expanded)
 
 
 def _q_join_query(spark, sf_dir):
@@ -1270,24 +1381,34 @@ def _q_intervals_topk(spark, sf_dir):
 
 
 def _q_token_stats(spark, sf_dir):
-    """Per-doc token statistics: analyzer token counts + whitespace/
-    BPE-ish tokenizer counts, one row per doc."""
+    """Per-doc text-analysis pipeline row (the former token_stats +
+    quality_stats rows merged, freeing a contract slot for
+    field_stats): analyzer/whitespace/BPE-ish token counts + quality
+    scoring + stopword ratio + content fingerprint, one row per doc."""
     tc = textstats.token_counts(_docs(spark, sf_dir))
     bpe = textstats.bpe_token_counts(_docs(spark, sf_dir))
-    return tc.join(bpe, "doc_id").select(
-        "doc_id", "n_tokens", "n_unique_tokens", "n_ws_tokens", "n_bpe_tokens"
+    q = textstats.quality_stats(_docs(spark, sf_dir)).drop(
+        "n_tokens", "n_unique_tokens"
     )
-
-
-def _q_quality_stats_full(spark, sf_dir):
-    """Quality scoring + stopword ratio + content fingerprint, one row
-    per doc (the text-analysis pipeline ops consolidated)."""
-    q = textstats.quality_stats(_docs(spark, sf_dir))
     sw = textstats.stopword_stats(
         _docs(spark, sf_dir), stopwords=["the", "a", "data", "fast"]
     ).select("doc_id", "stopword_hits")
     fp = textstats.content_fingerprint(_docs(spark, sf_dir))
-    return q.join(sw, "doc_id").join(fp, "doc_id")
+    return (
+        tc.join(bpe, "doc_id").join(q, "doc_id").join(sw, "doc_id")
+        .join(fp, "doc_id")
+    )
+
+
+def _q_field_stats(spark, sf_dir):
+    """Solr StatsComponent analog (StatsValuesFactory.java:436-606):
+    numeric aggregates over n_chars for the 'data' hit set — count/
+    missing/min/max/sum/sumOfSquares/mean/stddev (corrected sample
+    form, :606) + exact median (the percentiles surface)."""
+    from lucene_solr_8_7_0_spark.operators.components import field_stats
+
+    s = _searcher(spark, sf_dir)
+    return field_stats(s, Q.TermQuery("data"), "n_chars")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1295,7 +1416,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50).  Families that had no driver row in round 3 come
     # first; long-stable redundant queries were folded into tagged
     # unions (span_family, multiterm_match, multi_phrase, range_filter,
-    # suggest, token_stats, quality_stats) with UNION-ALL oracles.
+    # suggest, token_stats) with UNION-ALL oracles.  Round 5 merged the
+    # former quality_stats row into token_stats (one per-doc pipeline
+    # row) to free the slot for field_stats (Solr StatsComponent); the
+    # Solr component surfaces ride existing unions — collapse/expand in
+    # group_topk, facet.pivot in facet_lang, TermsComponent in
+    # term_freqs, cursorMark in sort_by_field.
     return {
         # -- never-driver-green in r3 + new r4 surfaces (priority) --
         "span_family": _q_span_family,
@@ -1344,7 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boost_topk": _q_boost_topk,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_exact": _q_dedup_exact,
-        "quality_stats": _q_quality_stats_full,
+        "field_stats": _q_field_stats,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "mlt_terms": _q_mlt_terms,
         "term_vector": _q_term_vector,
@@ -1677,10 +1803,23 @@ def oracle_sql() -> dict[str, str]:
                         x -> x != '')) AS INT) AS n_ws_tokens,
                    CAST(length(regexp_extract_all(lower(d.text),
                         '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+')) AS INT)
-                        AS n_bpe_tokens
+                        AS n_bpe_tokens,
+                   CAST(length(d.text) AS INT) AS n_chars,
+                   CAST(length(d.text) - length(replace(d.text, chr(10), '')) + 1 AS INT) AS n_lines,
+                   CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+                   CAST(length(regexp_replace(d.text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
+                   CAST(length(regexp_replace(d.text, '[^ \t]', '', 'g')) AS INT) AS n_space,
+                   CAST(coalesce(list_max(list_transform(string_split(d.text, chr(10)), l -> length(l))), 0) AS INT) AS max_line_len,
+                   CAST(coalesce(s.h, 0) AS INT) AS stopword_hits,
+                   md5(array_to_string(list_sort(list_distinct(
+                       regexp_extract_all(lower(d.text), '[a-z0-9_]+'))), ' ')) AS fingerprint
             FROM documents d LEFT JOIN (
               SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS u
-              FROM ({_TOKS}) GROUP BY doc_id) t USING (doc_id)""",
+              FROM ({_TOKS}) GROUP BY doc_id) t USING (doc_id)
+            LEFT JOIN (
+              SELECT doc_id,
+                     sum(CASE WHEN tok IN ('the','a','data','fast') THEN 1 ELSE 0 END) AS h
+              FROM ({_TOKS}) GROUP BY doc_id) s USING (doc_id)""",
         "multiterm_match": f"""
             WITH toks AS ({_TOKS})
             SELECT 'prefix' AS variant, doc_id FROM (
@@ -1749,23 +1888,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'rpt', doc_id FROM documents
             WHERE regexp_matches(lower(text),
                   '(^|[^a-z0-9_])(data|join)[^a-z0-9_]+join($|[^a-z0-9_])')""",
-        "quality_stats": f"""
-            SELECT d.doc_id,
-                   CAST(length(text) AS INT) AS n_chars,
-                   CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS INT) AS n_lines,
-                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
-                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
-                   CAST(length(regexp_replace(text, '[^ \t]', '', 'g')) AS INT) AS n_space,
-                   CAST(coalesce(list_max(list_transform(string_split(text, chr(10)), l -> length(l))), 0) AS INT) AS max_line_len,
-                   CAST(length(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS INT) AS n_tokens,
-                   CAST(length(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS INT) AS n_unique_tokens,
-                   CAST(coalesce(s.h, 0) AS INT) AS stopword_hits,
-                   md5(array_to_string(list_sort(list_distinct(
-                       regexp_extract_all(lower(text), '[a-z0-9_]+'))), ' ')) AS fingerprint
-            FROM documents d LEFT JOIN (
-              SELECT doc_id,
-                     sum(CASE WHEN tok IN ('the','a','data','fast') THEN 1 ELSE 0 END) AS h
-              FROM ({_TOKS}) GROUP BY doc_id) s USING (doc_id)""",
+        "field_stats": f"""
+            WITH hits AS (SELECT DISTINCT doc_id FROM ({_TOKS})
+                          WHERE tok = 'data'),
+            x AS (SELECT CAST(length(d.text) AS DOUBLE) AS v
+                  FROM documents d JOIN hits USING (doc_id))
+            SELECT CAST(count(*) AS BIGINT) AS count,
+                   CAST(0 AS BIGINT) AS missing,
+                   min(v) AS min, max(v) AS max,
+                   sum(v) AS sum, sum(v * v) AS sum_sq,
+                   round(sum(v) / count(*), 6) AS mean,
+                   round(sqrt((count(*) * sum(v * v) - sum(v) * sum(v))
+                         / (count(*) * (count(*) - 1.0))), 6) AS stddev,
+                   round(quantile_cont(v, 0.5), 6) AS median
+            FROM x""",
         "term_freqs": f"""
             SELECT 'tf' AS variant, doc_id, tok AS term,
                    CAST(count(*) AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2
@@ -1773,7 +1909,34 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'df', CAST(NULL AS BIGINT), tok,
                    count(DISTINCT doc_id), CAST(count(*) AS BIGINT)
-            FROM ({_TOKS}) GROUP BY tok""",
+            FROM ({_TOKS}) GROUP BY tok
+            UNION ALL
+            SELECT 'terms_comp', CAST(NULL AS BIGINT), term, v1, v2
+            FROM (
+              SELECT tok AS term,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS v1,
+                     CAST(count(*) AS BIGINT) AS v2
+              FROM ({_TOKS}) WHERE tok LIKE 're%' GROUP BY tok
+              ORDER BY v1 DESC, term ASC LIMIT 15)
+            UNION ALL
+            SELECT 'significant', CAST(NULL AS BIGINT), term, tf, df
+            FROM (
+              SELECT f.term, f.tf, g.df,
+                     ln(f.tf) * (ln((nd.n + 1.0) / (g.df + 1.0)) + 1.0) AS score
+              FROM (
+                SELECT tok AS term,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS tf
+                FROM ({_TOKS})
+                WHERE doc_id IN (SELECT DISTINCT doc_id FROM ({_TOKS})
+                                 WHERE tok = 'vector')
+                GROUP BY tok) f
+              JOIN (
+                SELECT tok AS term,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM ({_TOKS}) GROUP BY tok) g USING (term)
+              CROSS JOIN (SELECT count(*) AS n FROM documents) nd
+              WHERE g.df >= 5 AND length(f.term) >= 3
+              ORDER BY round(score, 6) DESC, term LIMIT 20)""",
         "std_bool_and": f"""
             SELECT 'and' AS variant, doc_id, CAST(NULL AS VARCHAR) AS val
             FROM ({_std_toks_sql()}) GROUP BY doc_id
@@ -1901,7 +2064,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'rescore' AS variant,
                      CAST(row_number() OVER (ORDER BY r DESC, doc_id) AS INT) AS rank,
                      doc_id
-              FROM comb ORDER BY r DESC, doc_id LIMIT 10)""",
+              FROM comb ORDER BY r DESC, doc_id LIMIT 10)
+            UNION ALL
+            SELECT 'elevate' AS variant, rank, doc_id FROM (
+              SELECT 1 AS rank, CAST(42 AS BIGINT) AS doc_id
+              UNION ALL SELECT 2, CAST(7 AS BIGINT)
+              UNION ALL
+              SELECT * FROM (
+                SELECT CAST(row_number() OVER (ORDER BY round(s1, 4) DESC, doc_id) + 2 AS INT),
+                       doc_id
+                FROM s1 WHERE doc_id NOT IN (42, 7, 3)
+                ORDER BY round(s1, 4) DESC, doc_id LIMIT 8))""",
         "bool_and": f"""
             SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2""",
@@ -1995,9 +2168,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'indexed_all' AS variant,
                      CAST(row_number() OVER (ORDER BY length(text) DESC, doc_id) AS INT) AS rank,
                      doc_id, CAST(length(text) AS BIGINT) AS sortval
-              FROM documents ORDER BY length(text) DESC, doc_id LIMIT 15)
+              FROM documents ORDER BY length(text) DESC, doc_id LIMIT 15),
+            cur AS (
+              SELECT 'cursor' AS variant,
+                     CAST(row_number() OVER (ORDER BY length(text) ASC, doc_id) AS INT) AS rank,
+                     doc_id, CAST(length(text) AS BIGINT) AS sortval
+              FROM documents WHERE doc_id IN (SELECT doc_id FROM hits)
+              ORDER BY length(text) ASC, doc_id
+              LIMIT 30 OFFSET 15)
             SELECT * FROM full_v UNION ALL SELECT * FROM idx
-            UNION ALL SELECT * FROM idxall""",
+            UNION ALL SELECT * FROM idxall
+            UNION ALL SELECT * FROM cur""",
         "parsed_synonym_topk": f"""
             WITH toks AS ({_TOKS}),
             lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
@@ -2137,10 +2318,20 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sizes zb ON doc_b = zb.doc_id
             WHERE ni / (za.n + zb.n - ni) >= 0.5""",
         "facet_lang": f"""
-            SELECT lang, count(*) AS count
-            FROM documents WHERE doc_id IN (
-              SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok = 'data')
-            GROUP BY lang""",
+            WITH hits AS (SELECT DISTINCT doc_id FROM ({_TOKS})
+                          WHERE tok = 'data')
+            SELECT 'value' AS variant, lang, CAST(NULL AS VARCHAR) AS tag,
+                   count(*) AS count
+            FROM documents JOIN hits USING (doc_id)
+            GROUP BY lang
+            UNION ALL
+            SELECT 'pivot', lang, tag, count(DISTINCT doc_id)
+            FROM (
+              SELECT d.doc_id, d.lang,
+                     unnest(['t' || CAST(d.doc_id % 3 AS VARCHAR),
+                             'u' || CAST(d.doc_id % 5 AS VARCHAR)]) AS tag
+              FROM documents d JOIN hits USING (doc_id))
+            GROUP BY lang, tag""",
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",
@@ -2175,7 +2366,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sel ORDER BY round(score, 9) DESC, term LIMIT 25""",
         "group_topk": _BM25_CTE.format(terms="'data'")
         + """,
-            gh AS (SELECT s.doc_id, d.lang, round(s.score, 4) AS r
+            gh AS (SELECT s.doc_id, d.lang, length(d.text) AS nch,
+                          round(s.score, 4) AS r
                    FROM scored s JOIN documents d USING (doc_id)),
             ranked AS (SELECT doc_id, lang, r,
                               CAST(row_number() OVER (PARTITION BY lang
@@ -2184,10 +2376,31 @@ def oracle_sql() -> dict[str, str]:
             heads AS (SELECT lang, r AS head_r FROM ranked WHERE doc_rank = 1),
             tg AS (SELECT lang,
                           CAST(row_number() OVER (ORDER BY head_r DESC, lang) AS INT) AS group_rank
-                   FROM heads ORDER BY head_r DESC, lang LIMIT 3)
-            SELECT tg.group_rank, ranked.lang, ranked.doc_rank, ranked.doc_id
+                   FROM heads ORDER BY head_r DESC, lang LIMIT 3),
+            cheads AS (SELECT doc_id, lang, r FROM (
+                         SELECT doc_id, lang, r,
+                                row_number() OVER (PARTITION BY lang
+                                    ORDER BY nch DESC, doc_id) AS hr
+                         FROM gh) WHERE hr = 1),
+            cpage AS (SELECT CAST(row_number() OVER
+                               (ORDER BY r DESC, doc_id) AS INT) AS group_rank,
+                             lang, doc_id
+                      FROM cheads ORDER BY r DESC, doc_id LIMIT 4),
+            expcand AS (SELECT gh.lang, gh.doc_id,
+                               CAST(row_number() OVER (PARTITION BY gh.lang
+                                   ORDER BY gh.r DESC, gh.doc_id) AS INT) AS doc_rank
+                        FROM gh JOIN cpage p2
+                          ON gh.lang = p2.lang AND gh.doc_id != p2.doc_id)
+            SELECT 'grouped' AS variant, tg.group_rank, ranked.lang,
+                   ranked.doc_rank, ranked.doc_id
             FROM ranked JOIN tg USING (lang) WHERE doc_rank <= 2
-            ORDER BY group_rank, doc_rank""",
+            UNION ALL
+            SELECT 'collapsed', group_rank, lang, CAST(NULL AS INT), doc_id
+            FROM cpage
+            UNION ALL
+            SELECT 'expanded', p.group_rank, e.lang, e.doc_rank, e.doc_id
+            FROM expcand e JOIN cpage p ON e.lang = p.lang
+            WHERE e.doc_rank <= 2""",
         "join_query": f"""
             SELECT DISTINCT t.doc_id
             FROM ({_TOKS}) t JOIN documents d ON t.doc_id = d.doc_id

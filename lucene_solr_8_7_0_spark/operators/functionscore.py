@@ -43,12 +43,13 @@ def _transform(col, transform: str):
 def function_score_topk(
     searcher,
     query,
-    field: str,
+    field: str | None = None,
     k: int = 10,
     combine: str = "multiply",
     weight: float = 1.0,
     transform: str = "log1p",
     similarity: str | None = None,
+    func: str | None = None,
 ) -> DataFrame:
     """Top-k of ``query`` re-scored by a docmeta field signal.
 
@@ -56,14 +57,27 @@ def function_score_topk(
     boostByValue product form; ``combine="sum"``: score + weight x
     f(field) — the additive blend.  ``transform`` shapes the raw field
     value (``log1p`` for length/recency-style signals, ``identity``
-    for precomputed boosts).  Returns (rank, doc_id, fscore)."""
+    for precomputed boosts).  Alternatively ``func`` is a Solr
+    function-query string ("recip(n_chars,1,1000,1000)",
+    ValueSourceParser.java dialect — plans/funcparser.py) evaluated
+    over docmeta columns in the same whole-stage-codegen expression.
+    Returns (rank, doc_id, fscore)."""
     from pyspark.sql import Window
 
     scored = searcher.score_all_df(query, similarity=similarity)
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
-        "doc_id", field
-    )
-    f_val = F.lit(float(weight)) * _transform(F.col(field), transform)
+    if func is not None:
+        from ..plans.funcparser import parse_func
+
+        expr, fields = parse_func(func)
+        meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+            "doc_id", *sorted(fields)
+        )
+        f_val = F.lit(float(weight)) * expr
+    else:
+        meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+            "doc_id", field
+        )
+        f_val = F.lit(float(weight)) * _transform(F.col(field), transform)
     base = F.col("score").cast("double")
     blended = base * f_val if combine == "multiply" else base + f_val
     hits = (
