@@ -61,6 +61,8 @@ __all__ = [
     "significant_terms",
     "elevate_topk",
     "heatmap_facet",
+    "realtime_get",
+    "luke_report",
     "cursor_page",
     "encode_cursor",
     "decode_cursor",
@@ -498,6 +500,50 @@ def heatmap_facet(
         .agg(F.count("*").alias("count"))
         .orderBy("row", "col")
     )
+
+
+def realtime_get(searcher, doc_ids: list[int], fl: list[str] | None = None):
+    """RealTimeGetComponent analog (solr/core/src/java/org/apache/solr/
+    handler/component/RealTimeGetComponent.java): fetch stored fields
+    for explicit ids without running a query.  The docmeta table is
+    doc-sorted, so the ``doc_id IN (...)`` predicate reaches parquet
+    row-group pruning and reads only the touched groups — the
+    same point-lookup shape as the reference's id->tlog/index lookup.
+    Visibility is the last commit (the streaming indexer commits per
+    micro-batch; there is no uncommitted-tlog tier here, which is the
+    documented snapshot semantics of DirectoryReader.open)."""
+    meta = searcher.spark.read.parquet(searcher.docmeta_path)
+    if fl:
+        meta = meta.select("doc_id", *[c for c in fl if c != "doc_id"])
+    return meta.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+
+
+def luke_report(searcher, top_terms: int = 10) -> dict:
+    """Luke / admin handler analog (solr/core/src/java/org/apache/solr/
+    handler/admin/LukeRequestHandler.java): index introspection —
+    collection stats, segment count, docmeta field inventory, and the
+    top terms by docFreq.  Everything comes from footer metadata and
+    two tiny pushed-down scans (termdict top-k, docmeta schema); no
+    postings are touched."""
+    import math as _math
+
+    st = searcher.stats
+    n_segs = max(1, _math.ceil(st.num_docs / searcher.cfg.segment_size))
+    top = [
+        {"term": r["term"], "df": int(r["df"]), "ttf": int(r["ttf"])}
+        for r in searcher.termdict.orderBy(
+            F.col("df").desc(), F.col("term").asc()
+        ).limit(top_terms).collect()
+    ]
+    meta_schema = searcher.spark.read.parquet(searcher.docmeta_path).schema
+    return {
+        "num_docs": int(st.num_docs),
+        "doc_count": int(st.doc_count),
+        "sum_ttf": int(st.sum_ttf),
+        "num_segments": int(n_segs),
+        "fields": {f.name: f.dataType.simpleString() for f in meta_schema},
+        "top_terms": top,
+    }
 
 
 def encode_cursor(sort_values: list, doc_id: int) -> str:

@@ -310,6 +310,37 @@ def test_cursor_paging_is_total_and_gapless(engine):
     assert len({p["doc_id"] for p in pages}) == len(pages)
 
 
+def test_realtime_get_point_lookup(engine):
+    from lucene_solr_8_7_0_spark.operators.components import realtime_get
+
+    rows = realtime_get(engine, [3, 17, 55], fl=["lang", "nch"]).collect()
+    assert sorted(r["doc_id"] for r in rows) == [3, 17, 55]
+    meta = {
+        r["doc_id"]: (r["lang"], r["nch"])
+        for r in engine.spark.read.parquet(engine.docmeta_path)
+        .select("doc_id", "lang", "nch").collect()
+    }
+    for r in rows:
+        assert (r["lang"], r["nch"]) == meta[r["doc_id"]]
+    assert realtime_get(engine, [10**12]).count() == 0
+
+
+def test_luke_report_shape(engine):
+    from lucene_solr_8_7_0_spark.operators.components import luke_report
+
+    rep = luke_report(engine, top_terms=5)
+    assert rep["num_docs"] == N_FILES
+    assert rep["num_segments"] >= N_FILES // 32
+    assert len(rep["top_terms"]) == 5
+    dfs = [t["df"] for t in rep["top_terms"]]
+    assert dfs == sorted(dfs, reverse=True)
+    assert rep["fields"]["lang"] == "string"
+    td = engine.termdict.orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    ).limit(5).collect()
+    assert [t["term"] for t in rep["top_terms"]] == [r["term"] for r in td]
+
+
 def test_cursor_drained_returns_same_mark(engine):
     q = Q.TermQuery("public")
     sort = [Q.SortField("nch", reverse=False)]
