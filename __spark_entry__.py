@@ -7,14 +7,16 @@ queries()     -> one entry per implemented operator family
                  (SURVEY.md §2 + the training-data pipeline ops); each
                  runs the engine's real code path over the given
                  sf_dir.
-oracle_sql()  -> DuckDB-equivalent ANSI SQL for every query that is
-                 SQL-expressible — including the near-dup ops: minhash
-                 verifies against the all-pairs exact-Jaccard set,
-                 simhash (md5 variant) against a full fingerprint +
-                 hamming replay, IVF via the full-probe == brute-force
-                 identity.  Only the intrinsically approximate
-                 LSH/partial-probe ANN rows remain rows-only; their
-                 recall bars are pytest-asserted instead.
+oracle_sql()  -> DuckDB-equivalent ANSI SQL for ALL 50 queries —
+                 including the near-dup ops (minhash verifies against
+                 the all-pairs exact-Jaccard set, simhash against a
+                 full fingerprint + hamming replay, IVF via the
+                 full-probe == brute-force identity) and, since round
+                 5, the intrinsically approximate ANN paths: LSH and
+                 partial-probe IVF emit deterministic (query_id,
+                 recall@5) rows against the exact brute-force top-5,
+                 which the oracle replays in SQL, so a silent recall
+                 regression trips the driver hash.
 """
 
 from __future__ import annotations
