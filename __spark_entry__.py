@@ -934,15 +934,63 @@ def _q_group_topk(spark, sf_dir):
 
 
 def _q_join_query(spark, sf_dir):
-    """Join module surface (JoinUtil ScoreMode.None): docs matching
-    'data' whose lang equals the lang of SOME doc matching 'vector'."""
-    from lucene_solr_8_7_0_spark.operators.joinq import join_query_docs
+    """Join module surface, tagged union (round 5 adds block join):
+
+    - fk: JoinUtil.createJoinQuery ScoreMode.None (JoinUtil.java) —
+      docs matching 'data' whose lang equals the lang of SOME doc
+      matching 'vector'.
+    - to_parent: ToParentBlockJoinQuery analog — parents filter
+      lang='de' over the index doc order (children precede their
+      parent; a child's parent is the next parent-marked doc), parents
+      with >= 1 child matching 'data', plus the child count
+      (ScoreMode.Total under constant child scores).
+    - to_child: ToChildBlockJoinQuery analog — the children of every
+      parent-marked doc matching 'data'.
+
+    path encodes doc_id zero-padded, so internal doc order ==
+    documents.doc_id order and the oracle replays parent assignment
+    with one window min over following rows."""
+    from lucene_solr_8_7_0_spark.operators.joinq import (
+        join_query_docs,
+        to_child_block_join,
+        to_parent_block_join,
+    )
 
     s = _searcher(spark, sf_dir)
-    out = join_query_docs(
-        s, Q.TermQuery("vector"), "lang", to_query=Q.TermQuery("data")
+    is_parent = F.col("lang") == "de"
+    null_l = F.lit(None).cast("long")
+    fk = _orig_ids(
+        s,
+        join_query_docs(
+            s, Q.TermQuery("vector"), "lang", to_query=Q.TermQuery("data")
+        ),
+    ).select(
+        F.lit("fk").alias("variant"), "doc_id",
+        null_l.alias("n_children"), null_l.alias("parent_doc"),
     )
-    return _orig_ids(s, out).select("doc_id")
+    tp = _orig_ids(
+        s, to_parent_block_join(s, Q.TermQuery("data"), is_parent)
+    ).select(
+        F.lit("to_parent").alias("variant"), "doc_id",
+        F.col("n_children"), null_l.alias("parent_doc"),
+    )
+    meta = spark.read.parquet(s.docmeta_path).select(
+        "doc_id", F.col("path").cast("long").alias("_orig")
+    )
+    tc = (
+        to_child_block_join(s, Q.TermQuery("data"), is_parent)
+        .join(meta, "doc_id")
+        .drop("doc_id")
+        .withColumnRenamed("_orig", "doc_id")
+        .join(meta.withColumnRenamed("doc_id", "parent_doc"), "parent_doc")
+        .drop("parent_doc")
+        .withColumnRenamed("_orig", "parent_doc")
+        .select(
+            F.lit("to_child").alias("variant"), "doc_id",
+            null_l.alias("n_children"), F.col("parent_doc").cast("long"),
+        )
+    )
+    return fk.unionByName(tp).unionByName(tc)
 
 
 def _q_highlight_topk(spark, sf_dir):
@@ -2404,12 +2452,46 @@ def oracle_sql() -> dict[str, str]:
             FROM expcand e JOIN cpage p ON e.lang = p.lang
             WHERE e.doc_rank <= 2""",
         "join_query": f"""
-            SELECT DISTINCT t.doc_id
-            FROM ({_TOKS}) t JOIN documents d ON t.doc_id = d.doc_id
-            WHERE t.tok = 'data' AND d.lang IN (
-              SELECT DISTINCT d2.lang
-              FROM ({_TOKS}) t2 JOIN documents d2 ON t2.doc_id = d2.doc_id
-              WHERE t2.tok = 'vector')""",
+            WITH pmap AS (
+              SELECT doc_id, (lang = 'de') AS is_parent,
+                     min(CASE WHEN lang = 'de' THEN doc_id END) OVER
+                       (ORDER BY doc_id ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING) AS parent_doc
+              FROM documents),
+            child_hits AS (
+              SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok = 'data'),
+            fk AS (
+              SELECT DISTINCT t.doc_id
+              FROM ({_TOKS}) t JOIN documents d ON t.doc_id = d.doc_id
+              WHERE t.tok = 'data' AND d.lang IN (
+                SELECT DISTINCT d2.lang
+                FROM ({_TOKS}) t2 JOIN documents d2 ON t2.doc_id = d2.doc_id
+                WHERE t2.tok = 'vector')),
+            tp AS (
+              SELECT p.parent_doc AS doc_id, count(*) AS n_children
+              FROM child_hits c JOIN pmap p ON c.doc_id = p.doc_id
+              WHERE NOT p.is_parent AND p.parent_doc IS NOT NULL
+              GROUP BY p.parent_doc),
+            phits AS (
+              SELECT DISTINCT c.doc_id
+              FROM child_hits c JOIN pmap p ON c.doc_id = p.doc_id
+              WHERE p.is_parent),
+            tc AS (
+              SELECT p.doc_id, p.parent_doc FROM pmap p
+              WHERE NOT p.is_parent
+                AND p.parent_doc IN (SELECT doc_id FROM phits))
+            SELECT 'fk' AS variant, doc_id,
+                   CAST(NULL AS BIGINT) AS n_children,
+                   CAST(NULL AS BIGINT) AS parent_doc
+            FROM fk
+            UNION ALL
+            SELECT 'to_parent', doc_id, CAST(n_children AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM tp
+            UNION ALL
+            SELECT 'to_child', doc_id, CAST(NULL AS BIGINT),
+                   CAST(parent_doc AS BIGINT)
+            FROM tc""",
         "winnow_fingerprint": """
             WITH t AS (SELECT doc_id, lower(text) AS s, length(text) AS n
                        FROM documents WHERE length(text) >= 5),

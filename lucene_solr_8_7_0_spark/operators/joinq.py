@@ -15,9 +15,14 @@ result composes with another query by intersecting hit sets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["join_query_docs"]
+__all__ = [
+    "join_query_docs",
+    "block_parent_map",
+    "to_parent_block_join",
+    "to_child_block_join",
+]
 
 
 def join_query_docs(
@@ -46,3 +51,140 @@ def join_query_docs(
     if to_query is not None:
         out = out.join(searcher.matches_df(to_query), "doc_id", "left_semi")
     return out
+
+
+# ---------------------------------------------------------------- block join
+#
+# Reference: lucene/join/src/java/org/apache/lucene/search/join/
+# ToParentBlockJoinQuery.java (match parents whose doc BLOCK contains a
+# child matching the inner query; :61 "child documents must appear
+# before the parent document") and ToChildBlockJoinQuery.java (the
+# other direction).  Lucene's blocks are created by addDocuments():
+# children first, parent LAST, all in one segment; the parents filter
+# (BitSetProducer / QueryBitSetProducer.java) marks parent docs, and a
+# child's parent is the NEXT parent-marked doc id at or after it.
+#
+# Spark-first shape: parent assignment is a per-segment running min
+# (window over segment_id — bounded by segment_size rows per
+# partition), plus a cross-segment fixup for the tail of a segment
+# whose block closes in a later segment: the fixup input is ONE row
+# per segment (metadata scale — ~docs/segment_size), so its
+# unpartitioned ordering window is never the bottleneck.  The joins
+# are declared equi-joins; AQE broadcasts the (small) parent side.
+
+
+def block_parent_map(searcher, is_parent: Column) -> DataFrame:
+    """(doc_id, is_parent, parent_doc): every doc's enclosing block's
+    parent doc id, where ``is_parent`` is a Column predicate over
+    docmeta (the QueryBitSetProducer analog).  A parent doc is its own
+    block's parent (Lucene's ParentChildrenBlockJoinQuery uses the same
+    convention when slicing a block).  Docs after the LAST parent of
+    the index have no block and get a NULL parent_doc."""
+    from pyspark.sql import Window
+
+    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+        "doc_id", "segment_id", is_parent.alias("is_parent")
+    )
+    # in-segment: nearest parent at-or-after each doc = running min of
+    # parent ids over doc_id DESC (bounded: segment_size rows/partition)
+    w = (
+        Window.partitionBy("segment_id")
+        .orderBy(F.col("doc_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = meta.withColumn(
+        "_in_seg",
+        F.min(F.when(F.col("is_parent"), F.col("doc_id"))).over(w),
+    )
+    # cross-segment fixup: first parent of each LATER segment (one row
+    # per segment; running min over segment_id DESC on metadata scale)
+    seg_first = (
+        meta.filter(F.col("is_parent"))
+        .groupBy("segment_id")
+        .agg(F.min("doc_id").alias("_first_p"))
+    )
+    # segments with no parent at all are absent from seg_first; give
+    # every segment a row so their docs can still resolve forward
+    all_segs = meta.select("segment_id").distinct()
+    seg_next = all_segs.join(seg_first, "segment_id", "left").select(
+        "segment_id",
+        F.min(F.col("_first_p")).over(
+            Window.orderBy(F.col("segment_id").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("_next_p"),
+    )
+    return (
+        assigned.join(seg_next, "segment_id", "left")
+        .select(
+            "doc_id",
+            "is_parent",
+            F.coalesce(F.col("_in_seg"), F.col("_next_p")).alias("parent_doc"),
+        )
+    )
+
+
+def to_parent_block_join(
+    searcher, child_query, is_parent: Column, score_mode: str = "none"
+) -> DataFrame:
+    """ToParentBlockJoinQuery: parent docs whose block contains >= 1
+    child matching ``child_query``, plus the matching child count and
+    (for scored modes) the block-joined score.
+
+    ``score_mode`` mirrors lucene/join ScoreMode (BlockJoinScorer's
+    per-block aggregation): 'none' (constant score — score column
+    NULL), 'total' (sum of child scores), 'max', 'avg', 'min'.  Child
+    hits that are themselves parents are excluded (the reference
+    requires the child query to never match a parent —
+    ToParentBlockJoinQuery.java:235 throws on overlap; the rebuild
+    filters instead of throwing).  Returns
+    (doc_id, n_children, score)."""
+    aggs = {
+        # 'none' carries an all-NULL score column; max(NULL) stays NULL
+        # (lit(NULL) would not be a valid aggregate expression)
+        "none": F.max("score"),
+        "total": F.sum("score"),
+        "max": F.max("score"),
+        "min": F.min("score"),
+        "avg": F.avg("score"),
+    }
+    if score_mode not in aggs:
+        raise ValueError(f"block join: unknown ScoreMode {score_mode!r}")
+    pm = block_parent_map(searcher, is_parent)
+    if score_mode == "none":
+        hits = searcher.matches_df(child_query).withColumn(
+            "score", F.lit(None).cast("float")
+        )
+    else:
+        hits = searcher.score_all_df(child_query)
+    child_hits = (
+        hits.join(pm, "doc_id")
+        .filter(~F.col("is_parent"))
+        .filter(F.col("parent_doc").isNotNull())
+    )
+    return (
+        child_hits.groupBy(F.col("parent_doc").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_children"),
+            aggs[score_mode].cast("float").alias("score"),
+        )
+    )
+
+
+def to_child_block_join(
+    searcher, parent_query, is_parent: Column
+) -> DataFrame:
+    """ToChildBlockJoinQuery: the child docs of every parent matching
+    ``parent_query`` (parent hits that are not parent-marked are
+    dropped, mirroring the reference's parents-filter gate).  Returns
+    (doc_id, parent_doc)."""
+    pm = block_parent_map(searcher, is_parent)
+    parents = (
+        searcher.matches_df(parent_query)
+        .join(pm.filter(F.col("is_parent")), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("parent_doc"))
+    )
+    return (
+        pm.filter(~F.col("is_parent"))
+        .join(parents, "parent_doc", "left_semi")
+        .select("doc_id", "parent_doc")
+    )
