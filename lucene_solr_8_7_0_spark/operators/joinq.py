@@ -22,6 +22,7 @@ __all__ = [
     "block_parent_map",
     "to_parent_block_join",
     "to_child_block_join",
+    "parent_children",
 ]
 
 
@@ -187,4 +188,58 @@ def to_child_block_join(
         pm.filter(~F.col("is_parent"))
         .join(parents, "parent_doc", "left_semi")
         .select("doc_id", "parent_doc")
+    )
+
+
+def parent_children(
+    searcher,
+    parent_query,
+    is_parent: Column,
+    child_query=None,
+    child_limit: int = 10,
+) -> DataFrame:
+    """ParentChildrenBlockJoinQuery / Solr's ``[child]`` doc
+    transformer analog (lucene/join/src/java/org/apache/lucene/search/
+    join/ParentChildrenBlockJoinQuery.java:47 — "return the matching
+    children documents of a given parent document"): for every parent
+    matching ``parent_query``, its block's children (optionally
+    restricted to ``child_query``, the transformer's childFilter),
+    collected doc-id-ascending and capped at ``child_limit`` (the
+    transformer's limit=10 default).
+
+    Returns (doc_id, n_children, children array<bigint>) — one row per
+    matching parent, including childless parents (n_children 0, empty
+    array), like the transformer's empty child list.  The per-parent
+    collect is bounded by the block size times the childFilter, and
+    the cap is applied inside the aggregation (slice after
+    array_sort), so no unbounded row ever reaches the driver."""
+    pm = block_parent_map(searcher, is_parent)
+    parents = (
+        searcher.matches_df(parent_query)
+        .join(pm.filter(F.col("is_parent")), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("parent_doc"))
+    )
+    kids = pm.filter(~F.col("is_parent"))
+    if child_query is not None:
+        kids = kids.join(searcher.matches_df(child_query), "doc_id", "left_semi")
+    grouped = (
+        kids.join(parents, "parent_doc", "left_semi")
+        .groupBy("parent_doc")
+        .agg(
+            F.count("*").cast("long").alias("n_children"),
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, child_limit
+            ).alias("children"),
+        )
+    )
+    return (
+        parents.join(grouped, "parent_doc", "left")
+        .select(
+            F.col("parent_doc").alias("doc_id"),
+            F.coalesce(F.col("n_children"), F.lit(0).cast("long"))
+            .alias("n_children"),
+            F.coalesce(
+                F.col("children"), F.array().cast("array<bigint>")
+            ).alias("children"),
+        )
     )

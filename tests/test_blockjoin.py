@@ -159,3 +159,41 @@ def test_unknown_score_mode_raises(engine):
         to_parent_block_join(
             engine, Q.TermQuery("data"), _is_parent(), score_mode="geo"
         )
+
+
+def test_parent_children(engine):
+    from lucene_solr_8_7_0_spark.operators.joinq import parent_children
+
+    parent, is_par = _replay_parent_map(engine)
+    phits = {d for d in _match_ids(engine, Q.TermQuery("data")) if is_par[d]}
+    childs = _match_ids(engine, Q.TermQuery("join"))
+    want = {
+        p: sorted(
+            d for d in parent
+            if not is_par[d] and parent[d] == p and d in childs
+        )[:3]
+        for p in phits
+    }
+    got = {
+        int(r["doc_id"]): (int(r["n_children"]), list(r["children"]))
+        for r in parent_children(
+            engine, Q.TermQuery("data"), _is_parent(),
+            child_query=Q.TermQuery("join"), child_limit=3,
+        ).collect()
+    }
+    assert set(got) == set(want) and want
+    full = {
+        p: sum(
+            1 for d in parent
+            if not is_par[d] and parent[d] == p and d in childs
+        )
+        for p in phits
+    }
+    for p, kids in want.items():
+        n, arr = got[p]
+        assert arr == kids
+        assert n == full[p]
+    # at least one childless parent exercises the empty-array path OR
+    # every parent has children (both are valid corpora); assert the
+    # schema contract either way
+    assert all(isinstance(v[1], list) for v in got.values())
