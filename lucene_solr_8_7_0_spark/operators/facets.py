@@ -147,3 +147,87 @@ def facet_ranges(
         .agg(F.count("*").alias("count"))
         .orderBy(F.col("range").asc())
     )
+
+
+def drill_sideways(
+    searcher: IndexSearcher,
+    query,
+    facet_col: str,
+    drilldowns: dict[str, tuple],
+) -> DataFrame:
+    """DrillSideways — sibling counts for every drilled dimension.
+
+    Reference: lucene/facet/src/java/org/apache/lucene/facet/
+    DrillSideways.java:58 (class doc) + DrillSidewaysScorer.java: for a
+    DrillDownQuery over dims d1..dn, the HITS match base AND every
+    dim's filter, while dim di's facet counts are computed over the
+    near-miss set — base AND every dim EXCEPT di — so the UI can show
+    what swapping di's value would yield.  Counts for di are its
+    drilled path's SIBLINGS (children of the drilled path's parent).
+
+    ``drilldowns`` maps a dimension name (the path's first component)
+    to the drilled path tuple, e.g. ``{"topic": ("topic", "k3"),
+    "lang": ("en", "t1")}`` — the dim name is only a label; the filter
+    is the path prefix.
+
+    Returns (dim, label, count) for every drilled dim's sibling row,
+    plus one ('$hits', '$total', n) row with the fully-drilled hit
+    count.  Spark-first: ONE docmeta scan builds a per-doc boolean per
+    dim (conditional aggregation over the exploded paths), the base
+    hit set joins once, and each dim's counts are a filtered groupBy
+    over that same frame — Catalyst shares the scan; no per-dim
+    re-query of the engine."""
+    from pyspark.sql.types import ArrayType
+
+    spark = searcher.spark
+    meta = spark.read.parquet(searcher.docmeta_path).select(
+        "doc_id", facet_col
+    )
+    if isinstance(meta.schema[facet_col].dataType, ArrayType):
+        meta = meta.select("doc_id", F.explode(facet_col).alias(facet_col))
+    parts = F.split(F.col(facet_col), "/")
+
+    def prefix_cond(path: tuple):
+        cond = F.size(parts) >= len(path)
+        for i, comp in enumerate(path):
+            cond = cond & (parts.getItem(i) == comp)
+        return cond
+
+    dims = sorted(drilldowns)
+    # one pass: per-doc indicator per dim + the path column for counting
+    flags = meta.groupBy("doc_id").agg(
+        *[
+            F.max(prefix_cond(drilldowns[d]).cast("int")).alias(f"_in_{d}")
+            for d in dims
+        ]
+    )
+    hits = searcher.matches_df(query).join(flags, "doc_id")
+
+    out = None
+    for d in dims:
+        others = [f"_in_{o}" for o in dims if o != d]
+        near = hits
+        for o in others:
+            near = near.filter(F.col(o) == 1)
+        parent = drilldowns[d][:-1]
+        labels = meta.filter(prefix_cond(parent) if parent else F.lit(True))
+        labels = labels.filter(F.size(parts) > len(parent)).select(
+            "doc_id", parts.getItem(len(parent)).alias("label")
+        )
+        counts = (
+            near.select("doc_id")
+            .join(labels, "doc_id")
+            .distinct()
+            .groupBy("label")
+            .agg(F.count("*").alias("count"))
+            .select(F.lit(d).alias("dim"), "label", "count")
+        )
+        out = counts if out is None else out.unionByName(counts)
+
+    full = hits
+    for d in dims:
+        full = full.filter(F.col(f"_in_{d}") == 1)
+    total = full.agg(F.count("*").alias("count")).select(
+        F.lit("$hits").alias("dim"), F.lit("$total").alias("label"), "count"
+    )
+    return out.unionByName(total)

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["function_score_topk"]
+__all__ = ["function_score_topk", "expression_score_topk"]
 
 
 def _transform(col, transform: str):
@@ -84,6 +84,45 @@ def function_score_topk(
         scored.join(meta, "doc_id")
         .select("doc_id", F.round(blended, 4).alias("fscore"))
     )
+    topk = hits.orderBy(F.col("fscore").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("fscore").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "fscore")
+        .orderBy("rank")
+    )
+
+
+def expression_score_topk(
+    searcher,
+    query,
+    jsexpr: str,
+    k: int = 10,
+    similarity: str | None = None,
+) -> DataFrame:
+    """Top-k ranked by a lucene/expressions Javascript expression over
+    ``_score`` and docmeta columns — the ExpressionRescorer /
+    expression-Sort surface (lucene/expressions/.../Expression.java:
+    30-55 sample usage; JavascriptCompiler compiles the same grammar
+    to per-doc bytecode, here it compiles to ONE whole-stage-codegen
+    Column via plans/exprparser.parse_js).  Same distributed
+    TakeOrdered shape and round-4/doc-asc tie policy as
+    function_score_topk.  Returns (rank, doc_id, fscore)."""
+    from pyspark.sql import Window
+
+    from ..plans.exprparser import parse_js
+
+    expr, names = parse_js(jsexpr)
+    fields = sorted(n for n in names if n != "_score")
+    scored = searcher.score_all_df(query, similarity=similarity).withColumn(
+        "_score", F.col("score").cast("double")
+    )
+    if fields:
+        meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+            "doc_id", *fields
+        )
+        scored = scored.join(meta, "doc_id")
+    hits = scored.select("doc_id", F.round(expr, 4).alias("fscore"))
     topk = hits.orderBy(F.col("fscore").desc(), F.col("doc_id").asc()).limit(k)
     w = Window.orderBy(F.col("fscore").desc(), F.col("doc_id").asc())
     return (

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["group_topk"]
+__all__ = ["group_topk", "diversified_topk"]
 
 
 def group_topk(
@@ -84,4 +84,61 @@ def group_topk(
         ranked.join(top_groups, group_field)
         .select("group_rank", group_field, "doc_rank", "doc_id")
         .orderBy("group_rank", "doc_rank")
+    )
+
+
+def diversified_topk(
+    searcher,
+    query,
+    key_field: str,
+    k: int = 10,
+    max_per_key: int = 1,
+) -> DataFrame:
+    """DiversifiedTopDocsCollector analog — top-k with at most
+    ``max_per_key`` documents per key value.
+
+    Reference: lucene/misc/src/java/org/apache/lucene/search/
+    DiversifiedTopDocsCollector.java:95-140 — a global top-k PQ plus a
+    bounded per-key PQ; a document evicted from its key's queue is
+    removed from the global queue, so only each key's best
+    ``maxHitsPerKey`` docs are ever eligible globally.  Tie order is
+    (score, then doc id: lower doc wins — ScoreDocKeyQueue.lessThan
+    :214-219); a doc with NO key value keys on 0 (:116-119), mirrored
+    here as the null group.
+
+    Spark-first batch form of the same semantics: a per-key rank
+    window caps eligibility, then TakeOrderedAndProject picks the
+    global k — two bounded windows, no driver loop.  Scores round to 4
+    first (the engine's SQL-replay tie policy), so output is
+    total-ordered.  The per-key window partitions by the key: bounded
+    by the hit set's key cardinality; a dominant key still streams
+    through one partition, but the window keeps only max_per_key rows
+    per task — the same de-skew bound as the reference's fixed-size
+    per-key queue.
+
+    Returns (rank, doc_id, <key_field>, score)."""
+    from pyspark.sql import Window
+
+    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+        "doc_id", key_field
+    )
+    hits = (
+        searcher.score_all_df(query)
+        .join(meta, "doc_id")
+        .withColumn("r", F.round(F.col("score").cast("double"), 4))
+    )
+    per_key = Window.partitionBy(key_field).orderBy(
+        F.col("r").desc(), F.col("doc_id").asc()
+    )
+    eligible = hits.withColumn(
+        "kr", F.row_number().over(per_key)
+    ).filter(F.col("kr") <= max_per_key)
+    top = eligible.orderBy(
+        F.col("r").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("r").desc(), F.col("doc_id").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", key_field, F.col("r").alias("score"))
+        .orderBy("rank")
     )
