@@ -18,7 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["suggest_prefix", "suggest_infix", "suggest_fuzzy"]
+__all__ = ["suggest_prefix", "suggest_infix", "suggest_fuzzy",
+           "build_freetext_model", "suggest_freetext", "FREETEXT_ALPHA"]
 
 
 def suggest_prefix(searcher, prefix: str, k: int = 10) -> DataFrame:
@@ -93,5 +94,161 @@ def suggest_fuzzy(
     return (
         top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "term", "df", "dist")
+        .orderBy("rank")
+    )
+
+
+# ---- FreeTextSuggester: n-gram language model with stupid backoff ----
+
+FREETEXT_ALPHA = 0.4  # FreeTextSuggester.ALPHA
+
+
+def build_freetext_model(
+    docs,
+    cfg,
+    grams: int = 2,
+    content_col: str = "content",
+) -> DataFrame:
+    """The FreeTextSuggester build: n-gram counts over the analyzed
+    corpus, orders 1..grams.
+
+    Reference: lucene/suggest/src/java/org/apache/lucene/search/
+    suggest/analyzing/FreeTextSuggester.java:64-75 (class doc: "A
+    free-text suggester that predicts the next token using an n-gram
+    language model with stupid backoff", Brants et al. 2007 [public
+    paper], default grams=2), :176-212 (build indexes ShingleFilter
+    output and stores each gram's totalTermFreq as its weight;
+    totTokens = sum of unigram counts).
+
+    Returns (ord, ctx, token, cnt): ``ctx`` is the space-joined
+    (ord-1)-token context ('' for unigrams), ``cnt`` the corpus count
+    of the full gram.  Spark-first: tokenization + shingling are one
+    JVM/Arrow map, the model is ONE groupBy over the exploded grams —
+    partial aggregation makes the shuffle key (gram) carry map-side
+    combined counts, the exact plan you'd run at 100 TB."""
+    from ..functions.analysis import jvm_token_array
+
+    toks = jvm_token_array(content_col, cfg.analyzer)
+    if cfg.analyzer == "standard":
+        toks = F.transform(
+            F.filter(toks, lambda t: F.length(t) <= cfg.max_token_length),
+            F.lower,
+        )
+    out = None
+    base = docs.select(toks.alias("t"))
+    def _gram_struct(n):
+        # one-arg lambda for F.transform (pyspark introspects arity)
+        def gram_struct(i):
+            ctx = (
+                F.array_join(F.slice("t", i + 1, n - 1), " ")
+                if n > 1 else F.lit("")
+            )
+            return F.struct(
+                ctx.alias("ctx"), F.element_at("t", i + n).alias("token")
+            )
+        return gram_struct
+
+    for n in range(1, grams + 1):
+        # positions 0..len-n; gram i = tokens[i : i+n]
+        idx = F.when(
+            F.size("t") >= n, F.sequence(F.lit(0), F.size("t") - n)
+        ).otherwise(F.array().cast("array<int>"))
+        g = base.select(
+            F.explode(F.transform(idx, _gram_struct(n))).alias("g")
+        ).select(
+            F.lit(n).alias("ord"), F.col("g.ctx"), F.col("g.token")
+        )
+        out = g if out is None else out.unionByName(g)
+    return out.groupBy("ord", "ctx", "token").agg(F.count("*").alias("cnt"))
+
+
+def suggest_freetext(
+    model: DataFrame,
+    key: str,
+    cfg,
+    k: int = 10,
+    grams: int = 2,
+) -> DataFrame:
+    """FreeTextSuggester.lookup (:404-510): split the key into a
+    context + a last-token prefix (a trailing separator means the last
+    token ENDED and the prefix is empty, :455-470); then from the
+    highest gram order down, score completions of the prefix by
+    ``backoff * count(gram) / count(context)`` — contextCount is the
+    (g-1)-gram's own count, totTokens at order 1 (:540-551) — with
+    backoff starting at 1.0 and multiplying by ALPHA=0.4 per order
+    descended (:504); a token already suggested by a higher order is
+    skipped (the ``seen`` set, :575-580).
+
+    Declarative form: each order is one pushed-down filter of the
+    model table; the cross-order dedup is an anti-join; ranking is
+    (score desc, token asc), score rounded to 9.  Returns
+    (rank, token, score)."""
+    from pyspark.sql import Window
+
+    from ..functions.analysis import SIMPLE_TOKEN_RE, tokenize_text
+
+    sep_ended = bool(key) and not SIMPLE_TOKEN_RE.match(key[-1].lower())
+    tokens = tokenize_text(key, cfg.analyzer, cfg.max_token_length,
+                           tuple(cfg.stopwords))
+    if sep_ended:
+        context, prefix = tokens, ""
+    else:
+        if not tokens:
+            raise ValueError("no tokens produced by analyzer")
+        context, prefix = tokens[:-1], tokens[-1]
+
+    spark = model.sparkSession
+    tot = model.filter(F.col("ord") == 1).agg(F.sum("cnt")).collect()[0][0]
+    levels = []
+    backoff = 1.0
+    for g in range(grams, 0, -1):
+        ctx_toks = context[-(g - 1):] if g > 1 else []
+        if g > 1 and len(context) < g - 1:
+            backoff *= FREETEXT_ALPHA
+            continue
+        ctx = " ".join(ctx_toks)
+        cand = model.filter(
+            (F.col("ord") == g) & (F.col("ctx") == ctx)
+            & F.col("token").startswith(prefix)
+        )
+        if g > 1:
+            # contextCount = the (g-1)-gram's own count (:540-551)
+            cctx = " ".join(ctx_toks[:-1])
+            ctx_cnt = (
+                model.filter(
+                    (F.col("ord") == g - 1) & (F.col("ctx") == cctx)
+                    & (F.col("token") == ctx_toks[-1])
+                ).agg(F.sum("cnt")).collect()[0][0]
+            )
+            if not ctx_cnt:
+                backoff *= FREETEXT_ALPHA
+                continue
+        else:
+            ctx_cnt = tot
+        levels.append(
+            cand.select(
+                F.lit(g).alias("lvl"), "token",
+                (F.lit(backoff) * F.col("cnt") / F.lit(float(ctx_cnt)))
+                .alias("score"),
+            )
+        )
+        backoff *= FREETEXT_ALPHA
+    if not levels:
+        return spark.createDataFrame([], "rank int, token string, score double")
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    # higher order wins for a repeated token (the seen set)
+    w = Window.partitionBy("token").orderBy(F.col("lvl").desc())
+    dedup = out.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    rank_w = Window.orderBy(
+        F.round("score", 9).desc(), F.col("token").asc()
+    )
+    return (
+        dedup.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", F.round("score", 9).alias("score"))
         .orderBy("rank")
     )
