@@ -78,14 +78,16 @@ def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a synthetic but SQL-replayable lat/lon per doc
         ((d * 37 % 1800) / 10.0 - 90.0).alias("lat"),
         ((d * 73 % 3600) / 10.0 - 180.0).alias("lon"),
+        # per-doc minimumNumberMatch (the CoveringQuery LongValuesSource)
+        (d % 3).cast("long").alias("mm"),
         F.col("text").alias("content"),
     )
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Build (or resume) the engine index for this sf_dir; cached."""
-    # v8: + lat/lon geo point columns (LatLonPoint surface)
-    key = hashlib.md5(f"{sf_dir}:v8".encode()).hexdigest()[:10]
+    # v9: + mm covering min-match column
+    key = hashlib.md5(f"{sf_dir}:v9".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
@@ -102,7 +104,7 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     sort (IndexWriterConfig.setIndexSort analog): doc ids assigned by
     (n_chars desc, repo, path), enabling early-terminated sorted top-k
     (TopFieldCollector.canEarlyTerminate)."""
-    key = hashlib.md5(f"{sf_dir}:v8sorted".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:v9sorted".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
@@ -290,24 +292,85 @@ def _q_std_bool_and(spark, sf_dir):
     return hits.unionByName(fp)
 
 
-def _q_bool_and(spark, sf_dir):
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(s, s.matches_df(Q.term_and(["data", "join"]))).select("doc_id")
+def _q_bool_family(spark, sf_dir):
+    """The Boolean occur family + the sandbox CoveringQuery as ONE
+    tagged hit-set union:
 
+    - and / and_not / msm2: the former bool_and / bool_and_not /
+      bool_or_msm2 stable rows (ConjunctionDISI, ReqExclScorer,
+      MinShouldMatchSumScorer), unchanged semantics.
+    - covering: CoveringQuery (sandbox/search/CoveringQuery.java) —
+      four term clauses with the per-document minimumNumberMatch read
+      from the ``mm`` docmeta column (values < 1 clamp to 1).
+    """
+    from lucene_solr_8_7_0_spark.operators.covering import (
+        covering_score_all,
+    )
 
-def _q_bool_or_msm2(spark, sf_dir):
-    s = _searcher(spark, sf_dir)
-    return _orig_ids(
-        s, s.matches_df(Q.term_or(["data", "join", "vector"], 2))
-    ).select("doc_id")
-
-
-def _q_bool_and_not(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     b = Q.Builder()
     b.add(Q.TermQuery("data"), Q.Occur.MUST)
     b.add(Q.TermQuery("join"), Q.Occur.MUST_NOT)
-    return _orig_ids(s, s.matches_df(b.build())).select("doc_id")
+    base = _variant_union(s, {
+        "and": Q.term_and(["data", "join"]),
+        "and_not": b.build(),
+        "msm2": Q.term_or(["data", "join", "vector"], 2),
+    })
+    cov = covering_score_all(
+        s, [Q.TermQuery(t) for t in ("data", "join", "vector", "table")],
+        "mm",
+    )
+    covering = _orig_ids(s, cov).select(
+        F.lit("covering").alias("variant"), "doc_id"
+    )
+    return base.unionByName(covering)
+
+
+def _q_classify(spark, sf_dir):
+    """lucene/classification over the index as training set, tagged:
+
+    - nb: SimpleNaiveBayesClassifier — add-1-smoothed class posteriors
+      from class-conditional document frequencies, softmax-normalized
+      (SimpleNaiveBayesClassifier.java:205-305).
+    - knn: KNearestNeighborClassifier — MoreLikeThis term selection
+      with score/bestScore boosts, BM25 top-10, vote
+      sum(score/maxScore)/sumdoc (KNearestNeighborClassifier.java:
+      159-235).
+
+    Inputs: every document with doc_id % 41 == 3 (deterministic,
+    SQL-replayable); both classifiers run as ONE batched job graph.
+    """
+    from lucene_solr_8_7_0_spark.operators.classify import (
+        knn_classify, naive_bayes_classify,
+    )
+
+    s = _searcher(spark, sf_dir)
+    inputs = _docs(spark, sf_dir).filter(F.col("doc_id") % 41 == 3).select(
+        F.col("doc_id").alias("input_id"), "text"
+    )
+    nb = naive_bayes_classify(s, inputs, "lang").select(
+        F.lit("nb").alias("variant"),
+        F.col("input_id").alias("doc_id"), "label", "score",
+    )
+    kn = knn_classify(s, inputs, "lang", k=10).select(
+        F.lit("knn").alias("variant"),
+        F.col("input_id").alias("doc_id"), "label", "score",
+    )
+    return nb.unionByName(kn)
+
+
+def _q_freetext_suggest(spark, sf_dir):
+    """FreeTextSuggester: bigram stupid-backoff next-token prediction
+    for the key 'data s' (context 'data', prefix 's') over the corpus
+    LM (suggest/analyzing/FreeTextSuggester.java, ALPHA=0.4)."""
+    from lucene_solr_8_7_0_spark.operators.suggest import (
+        build_freetext_model, suggest_freetext,
+    )
+
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(F.col("text").alias("content"))
+    model = build_freetext_model(docs, s.cfg, grams=2)
+    return suggest_freetext(model, "data s", s.cfg, k=10)
 
 
 def _q_parsed_query(spark, sf_dir):
@@ -930,7 +993,20 @@ def _q_group_topk(spark, sf_dir):
         F.lit("expanded").alias("variant"),
         "group_rank", "lang", "doc_rank", "doc_id",
     )
-    return grouped.unionByName(collapsed).unionByName(expanded)
+    # diversified: DiversifiedTopDocsCollector — top-4 with at most one
+    # doc per lang (misc/search/DiversifiedTopDocsCollector.java)
+    from lucene_solr_8_7_0_spark.operators.grouping import diversified_topk
+
+    div = diversified_topk(s, q, "lang", k=4, max_per_key=1)
+    diversified = _orig_ids(s, div).select(
+        F.lit("diversified").alias("variant"),
+        F.col("rank").alias("group_rank"), "lang",
+        F.lit(None).cast("int").alias("doc_rank"), "doc_id",
+    )
+    return (
+        grouped.unionByName(collapsed).unionByName(expanded)
+        .unionByName(diversified)
+    )
 
 
 def _q_join_query(spark, sf_dir):
@@ -1346,11 +1422,29 @@ def _q_boosted_by_field_topk(spark, sf_dir):
     )
 
     s = _searcher(spark, sf_dir)
+    q = Q.term_or(["data", "join"], 1)
     out = function_score_topk(
-        s, Q.term_or(["data", "join"], 1), "length", k=10,
-        combine="multiply", weight=0.5,
+        s, q, "length", k=10, combine="multiply", weight=0.5,
     )
-    return _orig_ids(s, out).select("rank", "doc_id", "fscore")
+    func = _orig_ids(s, out).select(
+        F.lit("func").alias("variant"), "rank", "doc_id", "fscore"
+    )
+    # expr: the SAME blend plus a ternary step, written in the
+    # lucene/expressions Javascript dialect and compiled to one
+    # whole-stage-codegen Column (plans/exprparser.py)
+    from lucene_solr_8_7_0_spark.operators.functionscore import (
+        expression_score_topk,
+    )
+
+    ex = expression_score_topk(
+        s, q,
+        "_score * (0.5 * ln(1 + length)) + (n_chars > 200 ? 0.1 : 0)",
+        k=10,
+    )
+    expr = _orig_ids(s, ex).select(
+        F.lit("expr").alias("variant"), "rank", "doc_id", "fscore"
+    )
+    return func.unionByName(expr)
 
 
 def _q_facet_tags(spark, sf_dir):
@@ -1385,11 +1479,23 @@ def _q_facet_tags(spark, sf_dir):
         F.lit("drill").alias("variant"),
         F.lit("topic/k3").alias("label"), "count",
     )
+    # DrillSideways: per-dim sibling counts with that dim's filter
+    # relaxed (facet/DrillSideways.java) — dims (en, t1) and (topic, k3)
+    from lucene_solr_8_7_0_spark.operators.facets import drill_sideways
+
+    sw = drill_sideways(
+        s, q, "taxo", {"lang": ("en", "t1"), "topic": ("topic", "k3")}
+    ).select(
+        F.concat(F.lit("sideways_"), F.regexp_replace("dim", r"^\$", ""))
+        .alias("variant"),
+        "label", "count",
+    )
     return (
         flat.unionByName(taxo("taxo_root", ()))
         .unionByName(taxo("taxo_en", ("en",)))
         .unionByName(taxo("taxo_en_t1", ("en", "t1")))
         .unionByName(drill)
+        .unionByName(sw)
     )
 
 
@@ -1497,9 +1603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "term_freqs": _q_term_freqs,
         "std_bool_and": _q_std_bool_and,
-        "bool_and": _q_bool_and,
-        "bool_or_msm2": _q_bool_or_msm2,
-        "bool_and_not": _q_bool_and_not,
+        "bool_family": _q_bool_family,
+        "classify": _q_classify,
+        "freetext_suggest": _q_freetext_suggest,
         "phrase_slop": _q_phrase_slop,
         "range_filter": _q_range_filter,
         "lang_filter": _q_lang_filter,
@@ -1751,10 +1857,24 @@ def oracle_sql() -> dict[str, str]:
             blended AS (
               SELECT s.doc_id,
                      round(s.score * (0.5 * ln(1 + x.elen)), 4) AS fscore
-              FROM scored s JOIN exact x USING (doc_id))
-            SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id) AS INT) AS rank,
-                   doc_id, fscore
-            FROM blended ORDER BY fscore DESC, doc_id LIMIT 10""",
+              FROM scored s JOIN exact x USING (doc_id)),
+            eblend AS (
+              -- the lucene/expressions variant: same blend + ternary
+              SELECT s.doc_id,
+                     round(s.score * (0.5 * ln(1 + x.elen))
+                           + (CASE WHEN length(d.text) > 200
+                                   THEN 0.1 ELSE 0 END), 4) AS fscore
+              FROM scored s JOIN exact x USING (doc_id)
+              JOIN documents d USING (doc_id))
+            SELECT 'func' AS variant, rank, doc_id, fscore FROM (
+              SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id) AS INT) AS rank,
+                     doc_id, fscore
+              FROM blended ORDER BY fscore DESC, doc_id LIMIT 10)
+            UNION ALL
+            SELECT 'expr', rank, doc_id, fscore FROM (
+              SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id) AS INT) AS rank,
+                     doc_id, fscore
+              FROM eblend ORDER BY fscore DESC, doc_id LIMIT 10)""",
         "facet_tags": f"""
             WITH hits AS (SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok = 'data'),
             vals AS (
@@ -1789,7 +1909,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c
             UNION ALL
             SELECT 'drill', 'topic/k3', count(*)
-            FROM hits WHERE doc_id % 7 = 3""",
+            FROM hits WHERE doc_id % 7 = 3
+            UNION ALL
+            -- DrillSideways: dim 'lang' drilled to (en, t1), dim
+            -- 'topic' drilled to (topic, k3); each dim counts with the
+            -- OTHER dim's filter applied (near-miss set); labels are
+            -- the drilled path's siblings (children of its parent)
+            SELECT 'sideways_lang', 't' || CAST(h.doc_id % 3 AS VARCHAR),
+                   count(*)
+            FROM hits h JOIN documents d USING (doc_id)
+            WHERE h.doc_id % 7 = 3 AND d.lang = 'en'
+            GROUP BY h.doc_id % 3
+            UNION ALL
+            SELECT 'sideways_topic', 'k' || CAST(h.doc_id % 7 AS VARCHAR),
+                   count(*)
+            FROM hits h JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en' AND h.doc_id % 3 = 1
+            GROUP BY h.doc_id % 7
+            UNION ALL
+            SELECT 'sideways_hits', '$total', count(*)
+            FROM hits h JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en' AND h.doc_id % 3 = 1 AND h.doc_id % 7 = 3""",
         "highlight_topk": _BM25_CTE.format(terms="'data','join'")
         + """,
             top10 AS (
@@ -2125,16 +2265,145 @@ def oracle_sql() -> dict[str, str]:
                        doc_id
                 FROM s1 WHERE doc_id NOT IN (42, 7, 3)
                 ORDER BY round(s1, 4) DESC, doc_id LIMIT 8))""",
-        "bool_and": f"""
-            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
-            HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2""",
-        "bool_or_msm2": f"""
-            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
-            HAVING count(DISTINCT CASE WHEN tok IN ('data','join','vector') THEN tok END) >= 2""",
-        "bool_and_not": f"""
-            SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
+        "bool_family": f"""
+            SELECT 'and' AS variant, doc_id FROM ({_TOKS}) GROUP BY doc_id
+            HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2
+            UNION ALL
+            SELECT 'and_not', doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
-               AND sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) = 0""",
+               AND sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) = 0
+            UNION ALL
+            SELECT 'msm2', doc_id FROM ({_TOKS}) GROUP BY doc_id
+            HAVING count(DISTINCT CASE WHEN tok IN ('data','join','vector') THEN tok END) >= 2
+            UNION ALL
+            -- CoveringQuery: per-doc minimumNumberMatch = max(1, doc_id % 3)
+            SELECT 'covering', doc_id FROM ({_TOKS}) GROUP BY doc_id
+            HAVING count(DISTINCT CASE WHEN tok IN ('data','join','vector','table') THEN tok END)
+                   >= greatest(doc_id % 3, 1)""",
+        "classify": f"""
+            WITH toks AS ({_TOKS}),
+            lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+            cs AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM lens),
+            nn AS (SELECT count(*) AS num_docs FROM documents),
+            cls AS (SELECT lang AS c, count(*) AS df_c FROM documents
+                    WHERE lang IS NOT NULL GROUP BY lang),
+            nl AS (SELECT sum(df_c) AS dwc FROM cls),
+            dtok AS (SELECT DISTINCT doc_id, tok FROM toks),
+            sdf AS (SELECT count(*) AS sum_df FROM dtok),
+            inputs AS (SELECT doc_id AS input_id FROM documents
+                       WHERE doc_id % 41 = 3),
+            itf AS (SELECT t.doc_id AS input_id, t.tok, count(*) AS tf
+                    FROM toks t JOIN inputs i ON t.doc_id = i.input_id
+                    GROUP BY t.doc_id, t.tok),
+            wc AS (SELECT dt.tok, d.lang AS c, count(*) AS hits
+                   FROM dtok dt JOIN documents d USING (doc_id)
+                   WHERE d.lang IS NOT NULL GROUP BY dt.tok, d.lang),
+            nbraw AS (
+              SELECT g.input_id, g.c,
+                     ln(CAST(g.df_c AS DOUBLE)) - ln(CAST(nl.dwc AS DOUBLE))
+                     + sum(g.tf * ln((g.hits + 1.0) /
+                         ((s.sum_df / CAST(cs.doc_count AS DOUBLE)) * g.df_c
+                          + nl.dwc))) AS raw
+              FROM (SELECT itf.input_id, c.c, c.df_c, itf.tf,
+                           COALESCE(wc.hits, 0) AS hits
+                    FROM itf CROSS JOIN cls c
+                    LEFT JOIN wc ON wc.tok = itf.tok AND wc.c = c.c) g
+              CROSS JOIN nl CROSS JOIN sdf s CROSS JOIN cs
+              GROUP BY g.input_id, g.c, g.df_c, nl.dwc, s.sum_df, cs.doc_count),
+            nbm AS (SELECT input_id, c, raw,
+                           max(raw) OVER (PARTITION BY input_id) AS mx
+                    FROM nbraw),
+            nbp AS (SELECT input_id, c,
+                           exp(raw - mx) / sum(exp(raw - mx))
+                               OVER (PARTITION BY input_id) AS p
+                    FROM nbm),
+            nbpick AS (SELECT input_id, c, p,
+                              row_number() OVER (PARTITION BY input_id
+                                  ORDER BY p DESC, c) AS rn
+                       FROM nbp),
+            quant AS (
+              SELECT doc_id, len,
+                CASE WHEN len < 40 THEN len
+                     ELSE 24 + (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3))
+                                 << (CAST(floor(log2(len - 24)) AS INT) - 3))
+                END AS dlen
+              FROM lens),
+            tdf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                    GROUP BY tok),
+            mltc AS (SELECT itf.input_id, itf.tok, itf.tf, tdf.df,
+                            itf.tf * (ln(CAST(n.num_docs AS DOUBLE)
+                                         / (tdf.df + 1)) + 1.0) AS mscore
+                     FROM itf JOIN tdf USING (tok) CROSS JOIN nn n
+                     WHERE itf.tf >= 2 AND tdf.df >= 5),
+            mlsel AS (SELECT *, row_number() OVER (PARTITION BY input_id
+                          ORDER BY round(mscore, 9) DESC, tok) AS rn
+                      FROM mltc),
+            msel AS (SELECT input_id, tok,
+                            mscore / min(mscore) OVER (PARTITION BY input_id)
+                                AS boost
+                     FROM mlsel WHERE rn <= 25),
+            ptf AS (SELECT doc_id, tok, count(*) AS freq FROM toks
+                    GROUP BY doc_id, tok),
+            kscore AS (
+              SELECT m.input_id, p.doc_id,
+                     round(sum(m.boost
+                       * ln(1 + (cs.doc_count - t.df + 0.5) / (t.df + 0.5))
+                       * (1 - 1 / (1 + p.freq * (1 / (1.2 * (0.25 + 0.75
+                           * q.dlen / (cs.sum_ttf
+                               / CAST(cs.doc_count AS DOUBLE)))))))), 4)
+                         AS score
+              FROM msel m JOIN ptf p USING (tok) JOIN tdf t USING (tok)
+              JOIN quant q ON p.doc_id = q.doc_id CROSS JOIN cs
+              GROUP BY m.input_id, p.doc_id),
+            ktop AS (SELECT *, row_number() OVER (PARTITION BY input_id
+                         ORDER BY score DESC, doc_id) AS rn
+                     FROM kscore),
+            k10 AS (SELECT input_id, doc_id, score,
+                           max(score) OVER (PARTITION BY input_id) AS mx
+                    FROM ktop WHERE rn <= 10),
+            votes AS (SELECT k.input_id, d.lang AS c,
+                             sum(k.score / k.mx) AS bsum, count(*) AS cnt
+                      FROM k10 k JOIN documents d USING (doc_id)
+                      WHERE d.lang IS NOT NULL GROUP BY k.input_id, d.lang),
+            vsum AS (SELECT input_id, c, bsum,
+                            sum(cnt) OVER (PARTITION BY input_id) AS sumdoc
+                     FROM votes),
+            vpick AS (SELECT input_id, c, bsum / sumdoc AS vote,
+                             row_number() OVER (PARTITION BY input_id
+                                 ORDER BY round(bsum / sumdoc, 9) DESC, c)
+                                 AS rn
+                      FROM vsum)
+            SELECT 'nb' AS variant, input_id AS doc_id, c AS label,
+                   round(p, 6) AS score
+            FROM nbpick WHERE rn = 1
+            UNION ALL
+            SELECT 'knn', input_id, c, round(vote, 6)
+            FROM vpick WHERE rn = 1""",
+        "freetext_suggest": f"""
+            WITH pos AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
+              FROM documents),
+            uni AS (SELECT tok, count(*) AS cnt FROM pos GROUP BY tok),
+            tot AS (SELECT sum(cnt) AS t FROM uni),
+            big AS (SELECT a.tok AS ctx, b.tok AS token, count(*) AS cnt
+                    FROM pos a JOIN pos b
+                      ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                    GROUP BY a.tok, b.tok),
+            l2 AS (SELECT token,
+                          CAST(cnt AS DOUBLE)
+                          / (SELECT cnt FROM uni WHERE tok = 'data') AS score
+                   FROM big WHERE ctx = 'data' AND token LIKE 's%'),
+            l1 AS (SELECT u.tok AS token, 0.4 * u.cnt / t.t AS score
+                   FROM uni u CROSS JOIN tot t
+                   WHERE u.tok LIKE 's%'
+                     AND u.tok NOT IN (SELECT token FROM l2)),
+            allc AS (SELECT * FROM l2 UNION ALL SELECT * FROM l1)
+            SELECT CAST(row_number() OVER
+                       (ORDER BY round(score, 9) DESC, token) AS INT) AS rank,
+                   token, round(score, 9) AS score
+            FROM allc ORDER BY round(score, 9) DESC, token LIMIT 10""",
         "phrase_slop": f"""
             SELECT DISTINCT a.doc_id FROM (
               SELECT doc_id,
@@ -2450,7 +2719,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'expanded', p.group_rank, e.lang, e.doc_rank, e.doc_id
             FROM expcand e JOIN cpage p ON e.lang = p.lang
-            WHERE e.doc_rank <= 2""",
+            WHERE e.doc_rank <= 2
+            UNION ALL
+            -- DiversifiedTopDocsCollector: top-4, at most 1 doc per lang
+            SELECT 'diversified', group_rank, lang, CAST(NULL AS INT), doc_id
+            FROM (SELECT CAST(row_number() OVER
+                             (ORDER BY r DESC, doc_id) AS INT) AS group_rank,
+                         lang, doc_id
+                  FROM ranked WHERE doc_rank <= 1
+                  ORDER BY r DESC, doc_id LIMIT 4)""",
         "join_query": f"""
             WITH pmap AS (
               SELECT doc_id, (lang = 'de') AS is_parent,

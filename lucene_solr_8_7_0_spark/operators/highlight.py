@@ -32,7 +32,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["highlight_df", "highlight_hits", "highlight_offsets_df"]
+__all__ = ["highlight_df", "highlight_hits", "highlight_offsets_df",
+           "best_passages_df"]
 
 
 def highlight_df(
@@ -259,3 +260,152 @@ def highlight_offsets_df(
             "window_start int, snippet string"
         ),
     )
+
+
+def best_passages_df(
+    searcher,
+    docs: DataFrame,
+    terms: list[str],
+    max_passages: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    pivot: float = 87.0,
+    max_passage_chars: int = 360,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> DataFrame:
+    """UnifiedHighlighter passage tier: sentence passages scored by
+    PassageScorer, top ``max_passages`` per doc.
+
+    Reference: lucene/highlighter/src/java/org/apache/lucene/search/
+    uhighlight/FieldHighlighter.java (passages = sentence
+    BreakIterator spans containing query matches; a bounded PQ keeps
+    the best maxPassages, final output re-sorted by offset) and
+    PassageScorer.java:62-101 — per passage,
+    ``score = norm(start) * sum over unique matched terms of
+    tf(freqInPassage, passageLen) * weight(contentLength,
+    freqInDoc)`` with ``tf = f/(f + k1*((1-b) + b*len/pivot))``,
+    ``weight = (k1+1)*ln(1 + (1 + contentLen/pivot + 0.5)/(ttf+0.5))``
+    and ``norm = 1 + 1/ln(pivot + start)`` (defaults k1=1.2, b=0.75,
+    pivot=87 — "typical average english sentence length").
+
+    Engine specifics, documented: sentence boundaries are the
+    deterministic regex analog of BreakIterator.getSentenceInstance —
+    a break after ``.!?`` + whitespace or at a newline — and any
+    sentence longer than ``max_passage_chars`` is chunked at that
+    length (the LengthGoalBreakIterator fallback); arithmetic is
+    float64 with scores rounded to 6 (the engine's SQL-replay policy
+    rather than the reference's float32).  Match offsets come from
+    the index's doc-major termvectors table (OffsetSource
+    .TERM_VECTORS), freqInDoc from the same rows.
+
+    Returns (doc_id, passage_rank, start, end, score, snippet) —
+    passage_rank by (score desc, start asc), rows emitted in offset
+    order like the reference's final sort.  Plan: doc_id pushdown into
+    the doc-sorted termvectors parquet + one cogrouped kernel per hit
+    doc; no shuffle beyond the k-row join."""
+    import math
+    import re as _re
+
+    term_set = frozenset(terms)
+    tv_path = os.path.join(searcher.index_dir, "termvectors")
+    if not os.path.exists(os.path.join(tv_path, "_SUCCESS")):
+        raise ValueError(
+            "index has no termvectors table — build with "
+            "EngineConfig(index_offsets=True)"
+        )
+    tv = searcher.spark.read.parquet(tv_path)
+    hit_docs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    joined = tv.join(F.broadcast(hit_docs), "doc_id")
+    sent_re = _re.compile(r"(?<=[.!?])\s+|\n")
+    mp, mlen = int(max_passages), int(max_passage_chars)
+    k1f, bf, piv = float(k1), float(b), float(pivot)
+
+    def _boundaries(text: str) -> list[tuple[int, int]]:
+        spans, start = [], 0
+        for m in sent_re.finditer(text):
+            if m.start() > start:
+                spans.append((start, m.start()))
+            start = m.end()
+        if start < len(text):
+            spans.append((start, len(text)))
+        out = []
+        for s, e in spans:
+            while e - s > mlen:
+                out.append((s, s + mlen))
+                s += mlen
+            out.append((s, e))
+        return out
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "passage_rank", "start", "end", "score", "snippet"]
+        doc_id = int(key[0])
+        text = pdf["_text"].iloc[0]
+        if not bool(pdf["offsets_valid"].iloc[0]):
+            return pd.DataFrame(columns=cols)
+        mrows = pdf[pdf["term"].isin(term_set)]
+        if len(mrows) == 0:
+            return pd.DataFrame(columns=cols)
+        starts = np.concatenate(
+            [np.asarray(p, np.int64) for p in mrows["starts"]]
+        )
+        ends = np.concatenate([np.asarray(p, np.int64) for p in mrows["ends"]])
+        tname = np.repeat(
+            mrows["term"].to_numpy(dtype=object),
+            mrows["freq"].to_numpy(),
+        )
+        ttf_doc = dict(zip(mrows["term"], mrows["freq"].astype(int)))
+        order = np.argsort(starts)
+        starts, ends, tname = starts[order], ends[order], tname[order]
+        clen = len(text)
+        num_docs = 1.0 + clen / piv
+
+        cands = []
+        for ps, pe in _boundaries(text):
+            sel = (starts >= ps) & (starts < pe)
+            if not sel.any():
+                continue
+            plen = pe - ps
+            freqs: dict = {}
+            for t in tname[sel]:
+                freqs[t] = freqs.get(t, 0) + 1
+            score = 0.0
+            for t, f in freqs.items():
+                tf = f / (f + k1f * ((1 - bf) + bf * (plen / piv)))
+                w = (k1f + 1) * math.log(
+                    1 + (num_docs + 0.5) / (ttf_doc[t] + 0.5)
+                )
+                score += tf * w
+            score *= 1 + 1 / math.log(piv + ps)
+            cands.append((round(score, 6), ps, pe, sel))
+        if not cands:
+            return pd.DataFrame(columns=cols)
+        cands.sort(key=lambda c: (-c[0], c[1]))
+        top = cands[:mp]
+        ranks = {(c[1], c[2]): i + 1 for i, c in enumerate(top)}
+        rows = []
+        for score, ps, pe, sel in sorted(top, key=lambda c: c[1]):
+            frag, cur = [], ps
+            for ms, me in zip(starts[sel], ends[sel]):
+                ms, me = int(ms), int(min(me, pe))
+                if ms < cur:
+                    continue  # overlapping token (repeat offsets)
+                frag.append(text[cur:ms])
+                frag.append(pre + text[ms:me] + post)
+                cur = me
+            frag.append(text[cur:pe])
+            rows.append(
+                (doc_id, ranks[(ps, pe)], int(ps), int(pe), score,
+                 "".join(frag))
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "doc_id bigint, passage_rank int, start int, end int, "
+        "score double, snippet string"
+    )
+    return joined.groupBy("doc_id").applyInPandas(kern, schema=schema)
