@@ -628,14 +628,28 @@ def _q_sort_by_field(spark, sf_dir):
 
 
 def _q_parsed_synonym_topk(spark, sf_dir):
-    """Query-time synonyms through the PARSER (SynonymGraphFilter
-    surface): 'data' with synonym 'join' parses to the blended-stats
-    SynonymQuery — same oracle as the hand-built synonym query."""
+    """Query-time synonyms through the PARSER, tagged union:
+
+    - blended: 'data' with single-token synonym 'join' parses to the
+      blended-stats SynonymQuery (SynonymGraphFilter single-token
+      position).
+    - graph: 'data' with MULTI-WORD synonym 'fast scan' parses to the
+      graph side-path shape (QueryBuilder.analyzeGraphBoolean +
+      newGraphSynonymQuery): SHOULD(TermQuery(data),
+      PhraseQuery(fast scan)) — term BM25 + exact-phrase BM25 summed.
+    """
     from lucene_solr_8_7_0_spark.plans.queryparser import QueryParser
 
     s = _searcher(spark, sf_dir)
-    q = QueryParser(synonyms={"data": ["join"]}).parse("data")
-    return _ranked_topk(spark, s, q)
+    q1 = QueryParser(synonyms={"data": ["join"]}).parse("data")
+    blended = _ranked_topk(spark, s, q1).select(
+        F.lit("blended").alias("variant"), "rank", "doc_id"
+    )
+    q2 = QueryParser(synonyms={"data": ["fast scan"]}).parse("data")
+    graph = _ranked_topk(spark, s, q2).select(
+        F.lit("graph").alias("variant"), "rank", "doc_id"
+    )
+    return blended.unionByName(graph)
 
 
 def _q_dismax_topk(spark, sf_dir):
@@ -2499,8 +2513,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM idxall
             UNION ALL SELECT * FROM cur""",
         "parsed_synonym_topk": f"""
-            WITH toks AS ({_TOKS}),
-            lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+            WITH pos AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS p
+              FROM documents),
+            lens AS (SELECT doc_id, count(*) AS len FROM pos GROUP BY doc_id),
             cs AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM lens),
             quant AS (
               SELECT doc_id, len,
@@ -2509,20 +2527,57 @@ def oracle_sql() -> dict[str, str]:
                                  << (CAST(floor(log2(len - 24)) AS INT) - 3))
                 END AS dlen
               FROM lens),
-            tf AS (SELECT doc_id, count(*) AS freq FROM toks
-                   WHERE tok IN ('data','join') GROUP BY doc_id),
-            df AS (SELECT max(cnt) AS df FROM (
-                     SELECT tok, count(DISTINCT doc_id) AS cnt FROM toks
-                     WHERE tok IN ('data','join') GROUP BY tok) z),
-            scored AS (
-              SELECT tf.doc_id,
-                     ln(1 + (cs.doc_count - df.df + 0.5) / (df.df + 0.5))
-                     * (1 - 1 / (1 + tf.freq * (1 / (1.2 * (0.25 + 0.75 * q.dlen
-                         / (cs.sum_ttf / CAST(cs.doc_count AS DOUBLE))))))) AS score
-              FROM tf CROSS JOIN df JOIN quant q ON tf.doc_id = q.doc_id CROSS JOIN cs)
-            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
-                   doc_id
-            FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10""",
+            nrm AS (SELECT q.doc_id,
+                           1 / (1.2 * (0.25 + 0.75 * q.dlen
+                               / (cs.sum_ttf / CAST(cs.doc_count AS DOUBLE)))) AS ninv
+                    FROM quant q CROSS JOIN cs),
+            -- blended: SynonymQuery(data, join) — summed freq, max df
+            tfb AS (SELECT doc_id, count(*) AS freq FROM pos
+                    WHERE tok IN ('data','join') GROUP BY doc_id),
+            dfb AS (SELECT max(cnt) AS df FROM (
+                      SELECT tok, count(DISTINCT doc_id) AS cnt FROM pos
+                      WHERE tok IN ('data','join') GROUP BY tok) z),
+            bscore AS (
+              SELECT t.doc_id,
+                     ln(1 + (cs.doc_count - d.df + 0.5) / (d.df + 0.5))
+                     * (1 - 1 / (1 + t.freq * n.ninv)) AS score
+              FROM tfb t CROSS JOIN dfb d
+              JOIN nrm n ON t.doc_id = n.doc_id CROSS JOIN cs),
+            -- graph: SHOULD(TermQuery(data), PhraseQuery(fast scan))
+            tterm AS (SELECT doc_id, count(*) AS freq FROM pos
+                      WHERE tok = 'data' GROUP BY doc_id),
+            tdf AS (SELECT count(DISTINCT doc_id) AS df FROM pos
+                    WHERE tok = 'data'),
+            tscore AS (
+              SELECT t.doc_id,
+                     ln(1 + (cs.doc_count - d.df + 0.5) / (d.df + 0.5))
+                     * (1 - 1 / (1 + t.freq * n.ninv)) AS s
+              FROM tterm t CROSS JOIN tdf d
+              JOIN nrm n ON t.doc_id = n.doc_id CROSS JOIN cs),
+            pf AS (SELECT a.doc_id, count(*) AS freq
+                   FROM pos a JOIN pos b USING (doc_id)
+                   WHERE a.tok = 'fast' AND b.tok = 'scan' AND b.p = a.p + 1
+                   GROUP BY a.doc_id),
+            pdf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM pos
+                    WHERE tok IN ('fast','scan') GROUP BY tok),
+            pidf AS (SELECT sum(ln(1 + (cs.doc_count - df + 0.5) / (df + 0.5))) AS w
+                     FROM pdf CROSS JOIN cs),
+            pscore AS (
+              SELECT pf.doc_id, i.w * (1 - 1 / (1 + pf.freq * n.ninv)) AS s
+              FROM pf JOIN nrm n ON pf.doc_id = n.doc_id CROSS JOIN pidf i),
+            gscore AS (
+              SELECT COALESCE(t.doc_id, p.doc_id) AS doc_id,
+                     COALESCE(t.s, 0) + COALESCE(p.s, 0) AS score
+              FROM tscore t FULL OUTER JOIN pscore p ON t.doc_id = p.doc_id)
+            SELECT 'blended' AS variant, rank, doc_id FROM (
+              SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM bscore ORDER BY round(score, 4) DESC, doc_id LIMIT 10)
+            UNION ALL
+            SELECT 'graph', rank, doc_id FROM (
+              SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM gscore ORDER BY round(score, 4) DESC, doc_id LIMIT 10)""",
         "dismax_topk": _BM25_PER_TERM_CTE.format(terms="'data','join'")
         + """,
             agg AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm

@@ -43,6 +43,16 @@ whole DataFrame of inputs in one job graph, not one text at a time):
 * scale: both plans are one-or-two-shuffle aggregations whose keys are
   (term, class) / (input, doc); no driver materialization beyond the
   tiny class list and three collection-stats scalars.
+
+Out of scope, deliberately: BM25NBClassifier (its log-prior and
+per-token likelihood are the top-1 BM25 score of queries that SCORE
+the class keyword field — BM25NBClassifier.java:105-128 — which
+requires a second scored postings field, excluded by the
+single-scored-field design); KNearestFuzzyClassifier (KNN over
+fuzzified terms — same vote machinery, FuzzyQuery-expanded term sets);
+BooleanPerceptronClassifier (a sequential per-document training loop
+whose weight updates are order-dependent — not faithfully
+parallelizable as a batch plan).
 """
 
 from __future__ import annotations

@@ -243,7 +243,35 @@ class QueryParser:
         t = self._analyze_term(body)
         syns = self.synonyms.get(t)
         if syns:
-            group = tuple(dict.fromkeys([t, *syns]))  # dedup, keep order
+            from ..functions.analysis import tokenize_text
+
+            paths = [
+                tuple(tokenize_text(s, self.analyzer)) or (s.lower(),)
+                for s in syns
+            ]
+            if any(len(p) > 1 for p in paths):
+                # MULTI-WORD synonym -> the graph side-path shape
+                # (QueryBuilder.analyzeGraphBoolean:539-588 with
+                # GraphTokenStreamFiniteStrings side paths): every
+                # finite string becomes its own query — single tokens
+                # TermQuery, multi-token paths PhraseQuery (the
+                # autoGenerateMultiTermSynonymsPhraseQuery=true form,
+                # QueryBuilder.java:341 / createSpanQuery's ordered
+                # slop-0 contract :371) — combined SHOULD
+                # (newGraphSynonymQuery :714-724).
+                b = Q.Builder()
+                b.add(Q.TermQuery(t), Q.Occur.SHOULD)
+                seen = {(t,)}
+                for p in paths:
+                    if p in seen:
+                        continue
+                    seen.add(p)
+                    if len(p) == 1:
+                        b.add(Q.TermQuery(p[0]), Q.Occur.SHOULD)
+                    else:
+                        b.add(Q.PhraseQuery(p, slop=0), Q.Occur.SHOULD)
+                return b.build()
+            group = tuple(dict.fromkeys([t, *(p[0] for p in paths)]))
             return Q.SynonymQuery(group)
         return Q.TermQuery(t)
 

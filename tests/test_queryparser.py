@@ -134,3 +134,23 @@ def test_unterminated_quote_raises_valueerror():
         parse('lang:"unclosed')
     with pytest.raises(ValueError, match="malformed phrase"):
         parse('"unclosed')
+
+
+def test_multiword_synonym_graph_shape():
+    """A multi-word synonym parses to the QueryBuilder graph side-path
+    shape (analyzeGraphBoolean + newGraphSynonymQuery): SHOULD of the
+    original TermQuery and a slop-0 PhraseQuery per multi-token path;
+    single-token alternatives stay TermQuery clauses."""
+    from lucene_solr_8_7_0_spark.plans import queries as Q
+    from lucene_solr_8_7_0_spark.plans.queryparser import QueryParser
+
+    q = QueryParser(synonyms={"data": ["fast scan", "info"]}).parse("data")
+    assert isinstance(q, Q.BooleanQuery)
+    kinds = sorted(type(c.query).__name__ for c in q.clauses)
+    assert kinds == ["PhraseQuery", "TermQuery", "TermQuery"]
+    ph = [c.query for c in q.clauses if isinstance(c.query, Q.PhraseQuery)][0]
+    assert ph.terms == ("fast", "scan") and ph.slop == 0
+    assert all(c.occur == Q.Occur.SHOULD for c in q.clauses)
+    # single-token-only synonyms keep the blended-stats SynonymQuery
+    q2 = QueryParser(synonyms={"data": ["join"]}).parse("data")
+    assert isinstance(q2, Q.SynonymQuery)
