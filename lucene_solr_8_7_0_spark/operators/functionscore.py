@@ -99,6 +99,7 @@ def expression_score_topk(
     jsexpr: str,
     k: int = 10,
     similarity: str | None = None,
+    ascending: bool = False,
 ) -> DataFrame:
     """Top-k ranked by a lucene/expressions Javascript expression over
     ``_score`` and docmeta columns — the ExpressionRescorer /
@@ -107,7 +108,11 @@ def expression_score_topk(
     to per-doc bytecode, here it compiles to ONE whole-stage-codegen
     Column via plans/exprparser.parse_js).  Same distributed
     TakeOrdered shape and round-4/doc-asc tie policy as
-    function_score_topk.  Returns (rank, doc_id, fscore)."""
+    function_score_topk.  ``ascending=True`` is the
+    Expression-as-SortField form (Expression.getSortField(bindings,
+    reverse) / ExpressionComparator — sorting by a compiled expression
+    is the same plan with the order flipped).  Returns
+    (rank, doc_id, fscore)."""
     from pyspark.sql import Window
 
     from ..plans.exprparser import parse_js
@@ -123,8 +128,9 @@ def expression_score_topk(
         )
         scored = scored.join(meta, "doc_id")
     hits = scored.select("doc_id", F.round(expr, 4).alias("fscore"))
-    topk = hits.orderBy(F.col("fscore").desc(), F.col("doc_id").asc()).limit(k)
-    w = Window.orderBy(F.col("fscore").desc(), F.col("doc_id").asc())
+    order = F.col("fscore").asc() if ascending else F.col("fscore").desc()
+    topk = hits.orderBy(order, F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(order, F.col("doc_id").asc())
     return (
         topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "doc_id", "fscore")

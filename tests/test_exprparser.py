@@ -123,3 +123,29 @@ def test_expression_score_topk(spark, tmp_path_factory):
     ).toPandas()
     assert list(blend_expr.doc_id) == list(blend_fn.doc_id)
     assert list(blend_expr.fscore) == list(blend_fn.fscore)
+
+
+def test_expression_sort_ascending(spark, tmp_path_factory):
+    """Expression as SortField (Expression.getSortField /
+    ExpressionComparator): ascending=True flips the order; the result
+    is the reverse-ranked tail of the same expression values."""
+    from lucene_solr_8_7_0_spark.config import EngineConfig
+    from lucene_solr_8_7_0_spark.operators.build import build_index
+    from lucene_solr_8_7_0_spark.operators.functionscore import (
+        expression_score_topk,
+    )
+    from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+    from lucene_solr_8_7_0_spark.plans import queries as Q
+    from lucene_solr_8_7_0_spark.sources.corpus import corpus_df
+
+    d = str(tmp_path_factory.mktemp("idx_esort"))
+    build_index(spark, corpus_df(spark, 120, seed=9), d,
+                EngineConfig(segment_size=64))
+    s = IndexSearcher(spark, d)
+    q = Q.TermQuery("public")
+    n = s.count(q)
+    desc = expression_score_topk(s, q, "length", k=n).toPandas()
+    asc = expression_score_topk(s, q, "length", k=5, ascending=True).toPandas()
+    exp = sorted(zip(desc.fscore, desc.doc_id), key=lambda t: (t[0], t[1]))[:5]
+    assert [int(d_) for _, d_ in exp] == [int(x) for x in asc.doc_id]
+    assert list(asc.fscore) == sorted(asc.fscore)
