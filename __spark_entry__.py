@@ -1373,10 +1373,67 @@ def _q_range_filter(spark, sf_dir):
         Q.LatLonDistanceQuery("lat", "lon", 10.0, 20.0, 2.03e6),
         Q.Occur.FILTER,
     )
+    # "geo_poly": LatLonPoint.newPolygonQuery — bbox pushdown + an
+    # unrolled crossing-number ray cast in the same scan stage; the
+    # vertices sit at .05/.15/.25/.35 offsets off the corpus's
+    # 0.1-degree lat/lon grid so no point lies on an edge, and the
+    # oracle replays the literally identical float64 expression
+    b6 = Q.Builder()
+    b6.add(Q.MatchAllDocsQuery(), Q.Occur.MUST)
+    b6.add(
+        Q.LatLonPolygonQuery("lat", "lon", _GEO_POLY_VERTICES),
+        Q.Occur.FILTER,
+    )
     return _variant_union(
         s, {"index": b1.build(), "dv": b2.build(), "multidim": b3.build(),
-            "geo_box": b4.build(), "geo_dist": b5.build()}
+            "geo_box": b4.build(), "geo_dist": b5.build(),
+            "geo_poly": b6.build()}
     )
+
+
+#: the geo_poly contract polygon — a simple pentagon over the synthetic
+#: lat/lon grid; shared by the engine query and the SQL oracle so both
+#: sides evaluate term-for-term identical float64 constants
+_GEO_POLY_VERTICES = (
+    (5.05, -20.15),
+    (45.25, 0.05),
+    (30.15, 50.35),
+    (-10.05, 40.25),
+    (-25.35, 5.15),
+)
+
+
+def _geo_poly_sql(lat: str = "lat", lon: str = "lon") -> str:
+    """SQL predicate for point-in-_GEO_POLY_VERTICES — the SAME
+    unrolled crossing-number expression IndexSearcher._dv_cond builds
+    for LatLonPolygonQuery (bbox AND XOR-chain of per-edge crossing
+    tests), with every derived constant precomputed in Python float64
+    so DuckDB and Spark consume identical literals."""
+    verts = _GEO_POLY_VERTICES
+    lats = [v[0] for v in verts]
+    lons = [v[1] for v in verts]
+    box = (
+        f"{lat} >= {min(lats)!r} AND {lat} <= {max(lats)!r} "
+        f"AND {lon} >= {min(lons)!r} AND {lon} <= {max(lons)!r}"
+    )
+    n = len(verts)
+    edges = []
+    for i in range(n):
+        yi, xi = (float(c) for c in verts[i])
+        yj, xj = (float(c) for c in verts[(i + 1) % n])
+        if yi == yj:
+            continue  # horizontal edge never crosses the ray
+        edges.append(
+            f"(({yi!r} > {lat}) <> ({yj!r} > {lat}) AND "
+            f"{lon} < {xj - xi!r} * ({lat} - {yi!r}) / {yj - yi!r}"
+            f" + {xi!r})"
+        )
+    # XOR chain (odd crossings = inside), folded left with explicit
+    # parens — DuckDB's grammar rejects a bare a <> b <> c chain
+    inside = edges[0]
+    for e in edges[1:]:
+        inside = f"({inside} <> {e})"
+    return f"({box}) AND ({inside})"
 
 
 def _q_multi_phrase(spark, sf_dir):
@@ -2083,7 +2140,14 @@ def oracle_sql() -> dict[str, str]:
                     pow(sin(radians(lat - 10.0) / 2), 2)
                     + cos(radians(10.0)) * cos(radians(lat))
                       * pow(sin(radians(lon - 20.0) / 2), 2)
-                  )) <= 2030000.0""",
+                  )) <= 2030000.0
+            UNION ALL
+            SELECT 'geo_poly', doc_id FROM (
+              SELECT doc_id,
+                     (doc_id * 37 % 1800) / 10.0 - 90.0 AS lat,
+                     (doc_id * 73 % 3600) / 10.0 - 180.0 AS lon
+              FROM documents)
+            WHERE {_geo_poly_sql("lat", "lon")}""",
         "multi_phrase": r"""
             SELECT 'alt' AS variant, doc_id FROM documents
             WHERE regexp_matches(lower(text),

@@ -975,10 +975,24 @@ class IndexSearcher:
         from ..plans.queries import (
             EARTH_MEAN_RADIUS_METERS,
             LatLonDistanceQuery,
+            LatLonPolygonQuery,
             MultiDimPointRangeQuery,
             PointRangeQuery,
         )
 
+        if isinstance(q, LatLonPolygonQuery):
+            # estimate via the bounding box (the BKD region the
+            # reference visits, LatLonPointInPolygonQuery's
+            # estimatePointCount); the ray cast only shrinks it
+            min_la, max_la, min_lo, max_lo = q.bbox()
+            return min(
+                self._estimate_point_cost(
+                    PointRangeQuery(q.lat_field, min_la, max_la)
+                ),
+                self._estimate_point_cost(
+                    PointRangeQuery(q.lon_field, min_lo, max_lo)
+                ),
+            )
         if isinstance(q, LatLonDistanceQuery):
             # estimate via the latitude band (the BKD box the reference
             # visits); the haversine verify only shrinks it
@@ -1112,8 +1126,42 @@ class IndexSearcher:
             EARTH_MEAN_RADIUS_METERS,
             FieldTermQuery,
             LatLonDistanceQuery,
+            LatLonPolygonQuery,
             MultiDimPointRangeQuery,
         )
+
+        if isinstance(q, LatLonPolygonQuery):
+            # two-phase polygon filter (LatLonPointInPolygonQuery.java +
+            # geo/Polygon2D.java): the polygon's bounding box pushes
+            # into the parquet scan as plain range predicates, ANDed
+            # with the crossing-number ray cast — the vertex list is a
+            # query-time constant, so the edge loop unrolls into one
+            # codegen'd expression (an XOR chain of per-edge crossing
+            # tests); no UDF, whole plan stays in one scan stage
+            min_la, max_la, min_lo, max_lo = q.bbox()
+            lat, lon = F.col(q.lat_field), F.col(q.lon_field)
+            box = (
+                (lat >= min_la) & (lat <= max_la)
+                & (lon >= min_lo) & (lon <= max_lo)
+            )
+            verts = list(q.vertices)
+            inside = F.lit(False)
+            n = len(verts)
+            for i in range(n):
+                yi, xi = (float(c) for c in verts[i])
+                yj, xj = (float(c) for c in verts[(i + 1) % n])
+                if yi == yj:
+                    continue  # horizontal edge never crosses the ray
+                straddles = (F.lit(yi) > lat) != (F.lit(yj) > lat)
+                # lon of the edge at the point's latitude — the exact
+                # float64 form DuckDB's oracle replays term-for-term
+                x_at = (
+                    F.lit(xj - xi) * (lat - F.lit(yi)) / F.lit(yj - yi)
+                    + F.lit(xi)
+                )
+                crossing = straddles & (lon < x_at)
+                inside = inside != crossing  # XOR: odd crossings = inside
+            return box & inside
 
         if isinstance(q, LatLonDistanceQuery):
             # two-phase distance filter (LatLonPointDistanceQuery.java:

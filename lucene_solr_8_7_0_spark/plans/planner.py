@@ -18,6 +18,7 @@ from .queries import (
     DisjunctionMaxQuery,
     FieldTermQuery,
     LatLonDistanceQuery,
+    LatLonPolygonQuery,
     IntervalQuery,
     MultiPhraseQuery,
     MultiTermUnionQuery,
@@ -244,7 +245,8 @@ def collect_point_queries(q: Query) -> set:
     point index and fed to the kernel as constant pseudo-postings (see
     IndexSearcher._points_rows)."""
     if isinstance(q, (PointRangeQuery, MultiDimPointRangeQuery,
-                      LatLonDistanceQuery, FieldTermQuery)):
+                      LatLonDistanceQuery, LatLonPolygonQuery,
+                      FieldTermQuery)):
         return {q}
     if isinstance(q, DisjunctionMaxQuery):
         out: set[PointRangeQuery] = set()
@@ -317,7 +319,8 @@ def _make_clause(
             span_specs=tuple(q.terms), span_range=span_range,
         )
     if isinstance(q, (PointRangeQuery, MultiDimPointRangeQuery,
-                      LatLonDistanceQuery, FieldTermQuery)):
+                      LatLonDistanceQuery, LatLonPolygonQuery,
+                      FieldTermQuery)):
         # constant-score doc-value clause: PointRangeQuery's weight is
         # a ConstantScoreWeight (PointRangeQuery.java:107); keyword
         # (StringField) equality scores the same way
@@ -449,7 +452,8 @@ def compile_query(
                       SpanNearQuery, SpanOrQuery, SpanNotQuery,
                       SpanPositionRangeQuery, IntervalQuery,
                       PointRangeQuery, MultiDimPointRangeQuery,
-                      LatLonDistanceQuery, FieldTermQuery,
+                      LatLonDistanceQuery, LatLonPolygonQuery,
+                      FieldTermQuery,
                       BoostQuery, ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
         return CompiledQuery([clause], [], [], [], 0)

@@ -597,6 +597,53 @@ class LatLonDistanceQuery(Query):
         )
 
 
+@dataclass(frozen=True)
+class LatLonPolygonQuery(Query):
+    """LatLonPoint.newPolygonQuery analog (L/document/LatLonPoint.java:
+    281, LatLonPointInPolygonQuery.java): constant-score filter matching
+    docs whose (lat, lon) point lies inside a simple polygon.
+
+    Spark-first analog of the reference's two-phase plan (BKD visit of
+    the polygon's bounding box + per-hit ``Polygon2D.contains`` test,
+    lucene/core/.../geo/Polygon2D.java): the bounding-box range
+    predicates over the docmeta lat/lon columns push into the parquet
+    scan (row-group pruning), ANDed with an unrolled crossing-number
+    (ray-cast) test evaluated JVM-side in the same scan stage — the
+    vertex count is fixed at query time, so the edge loop unrolls into
+    one codegen'd boolean expression (no UDF).
+
+    ``vertices`` is a tuple of (lat, lon) pairs forming a closed simple
+    ring (the closing edge back to vertex 0 is implicit, as in
+    Polygon.java's constructor contract).  Holes are out of scope (the
+    reference supports them via nested rings; the rebuilt surface keeps
+    the single-ring form every Solr ``IsWithin`` filter uses)."""
+
+    lat_field: str
+    lon_field: str
+    vertices: tuple  # ((lat, lon), ...) — at least 3, implicit closure
+    dv: bool = False  # per-candidate verify path permitted (IndexOrDocValues)
+
+    def __post_init__(self):
+        if len(self.vertices) < 3:
+            raise ValueError("polygon needs at least 3 vertices")
+
+    def bbox(self) -> tuple:
+        """(min_lat, max_lat, min_lon, max_lon) — the pushed-down box."""
+        lats = [v[0] for v in self.vertices]
+        lons = [v[1] for v in self.vertices]
+        return min(lats), max(lats), min(lons), max(lons)
+
+    def token_key(self) -> str:
+        body = ";".join(f"{la}:{lo}" for la, lo in self.vertices)
+        return f"\x01geopoly:{self.lat_field}:{self.lon_field}:{body}"
+
+    def __str__(self) -> str:
+        return (
+            f"geo({self.lat_field},{self.lon_field}) in polygon"
+            f"[{len(self.vertices)} vertices]"
+        )
+
+
 def multi_dim_range(*dims) -> MultiDimPointRangeQuery:
     """Convenience: dims as (field, lower, upper) triples (inclusive
     both sides, IntPoint.newRangeQuery's int[] form)."""

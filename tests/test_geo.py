@@ -85,6 +85,50 @@ def test_geo_distance_band_is_sound(geo_engine):
     assert hits == sorted(meta["doc_id"].to_numpy()[d <= 8e6].tolist())
 
 
+def _point_in_poly(lat, lon, verts):
+    """numpy crossing-number oracle (geo/Polygon2D.java contains)."""
+    inside = np.zeros_like(lat, dtype=bool)
+    n = len(verts)
+    for i in range(n):
+        yi, xi = verts[i]
+        yj, xj = verts[(i + 1) % n]
+        if yi == yj:
+            continue
+        straddles = (yi > lat) != (yj > lat)
+        x_at = (xj - xi) * (lat - yi) / (yj - yi) + xi
+        inside ^= straddles & (lon < x_at)
+    return inside
+
+
+def test_geo_polygon(geo_engine):
+    """LatLonPoint.newPolygonQuery analog vs a numpy ray-cast oracle —
+    convex and non-convex rings, both vertex orders."""
+    s, meta = geo_engine
+    la, lo = meta["lat"].to_numpy(), meta["lon"].to_numpy()
+    pent = ((5.05, -20.15), (45.25, 0.05), (30.15, 50.35),
+            (-10.05, 40.25), (-25.35, 5.15))
+    cases = [
+        pent,
+        tuple(reversed(pent)),  # winding order must not matter
+        # non-convex "arrowhead"
+        ((0.05, -30.15), (60.25, 0.05), (0.05, 30.15), (20.15, 0.05)),
+        # triangle with a horizontal edge (skipped edge path)
+        ((10.05, -50.15), (10.05, 50.15), (70.25, 0.05)),
+    ]
+    for verts in cases:
+        q = Q.LatLonPolygonQuery("lat", "lon", verts)
+        hits = _filter_hits(s, q)
+        exp = sorted(meta["doc_id"].to_numpy()[
+            _point_in_poly(la, lo, verts)].tolist())
+        assert hits == exp, verts
+        assert len(hits) > 0, verts
+
+
+def test_geo_polygon_rejects_degenerate():
+    with pytest.raises(ValueError):
+        Q.LatLonPolygonQuery("lat", "lon", ((0.0, 0.0), (1.0, 1.0)))
+
+
 def test_geo_with_term_conjunction(geo_engine):
     """geo FILTER composes with a scored term MUST (the common shape:
     text match within an area)."""
