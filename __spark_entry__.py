@@ -1384,10 +1384,21 @@ def _q_range_filter(spark, sf_dir):
         Q.LatLonPolygonQuery("lat", "lon", _GEO_POLY_VERTICES),
         Q.Occur.FILTER,
     )
+    # "frange": Solr {!frange} — a ValueSource function of two docmeta
+    # columns (mean token length = chars/tokens) range-tested per row
+    # in the same codegen'd scan; float64 division is bit-identical
+    # across engines, so the oracle replays the same ratio test
+    b7 = Q.Builder()
+    b7.add(Q.MatchAllDocsQuery(), Q.Occur.MUST)
+    b7.add(
+        Q.FunctionRangeQuery("div(n_chars, length)", 4.6, 5.0,
+                             include_upper=False),
+        Q.Occur.FILTER,
+    )
     return _variant_union(
         s, {"index": b1.build(), "dv": b2.build(), "multidim": b3.build(),
             "geo_box": b4.build(), "geo_dist": b5.build(),
-            "geo_poly": b6.build()}
+            "geo_poly": b6.build(), "frange": b7.build()}
     )
 
 
@@ -2147,7 +2158,16 @@ def oracle_sql() -> dict[str, str]:
                      (doc_id * 37 % 1800) / 10.0 - 90.0 AS lat,
                      (doc_id * 73 % 3600) / 10.0 - 180.0 AS lon
               FROM documents)
-            WHERE {_geo_poly_sql("lat", "lon")}""",
+            WHERE {_geo_poly_sql("lat", "lon")}
+            UNION ALL
+            SELECT 'frange', doc_id FROM (
+              SELECT d.doc_id,
+                     CAST(length(d.text) AS DOUBLE)
+                       / CAST(t.len AS DOUBLE) AS ratio
+              FROM documents d
+              JOIN (SELECT doc_id, count(*) AS len FROM ({_TOKS})
+                    GROUP BY doc_id) t USING (doc_id))
+            WHERE ratio >= 4.6 AND ratio < 5.0""",
         "multi_phrase": r"""
             SELECT 'alt' AS variant, doc_id FROM documents
             WHERE regexp_matches(lower(text),

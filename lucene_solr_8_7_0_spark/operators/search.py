@@ -974,12 +974,19 @@ class IndexSearcher:
         cost is unknown)."""
         from ..plans.queries import (
             EARTH_MEAN_RADIUS_METERS,
+            FunctionRangeQuery,
             LatLonDistanceQuery,
             LatLonPolygonQuery,
             MultiDimPointRangeQuery,
             PointRangeQuery,
         )
 
+        if isinstance(q, FunctionRangeQuery):
+            # no per-function histogram exists — pessimistic num_docs,
+            # which biases toward the dv (per-candidate verify) path
+            # exactly as the reference's FunctionRangeQuery (no
+            # ScorerSupplier cost estimate; treated as match-all cost)
+            return self.stats.num_docs
         if isinstance(q, LatLonPolygonQuery):
             # estimate via the bounding box (the BKD region the
             # reference visits, LatLonPointInPolygonQuery's
@@ -1125,10 +1132,26 @@ class IndexSearcher:
         from ..plans.queries import (
             EARTH_MEAN_RADIUS_METERS,
             FieldTermQuery,
+            FunctionRangeQuery,
             LatLonDistanceQuery,
             LatLonPolygonQuery,
             MultiDimPointRangeQuery,
         )
+
+        if isinstance(q, FunctionRangeQuery):
+            # {!frange}: the compiled ValueSource Column range-tested
+            # per row in the docmeta scan (ValueSourceScorer.matches)
+            from ..plans.funcparser import parse_func
+
+            x, _ = parse_func(q.func)
+            cond = F.lit(True)
+            if q.lower is not None:
+                lo = F.lit(float(q.lower))
+                cond = cond & (x >= lo if q.include_lower else x > lo)
+            if q.upper is not None:
+                hi = F.lit(float(q.upper))
+                cond = cond & (x <= hi if q.include_upper else x < hi)
+            return cond
 
         if isinstance(q, LatLonPolygonQuery):
             # two-phase polygon filter (LatLonPointInPolygonQuery.java +

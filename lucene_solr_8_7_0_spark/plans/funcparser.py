@@ -105,8 +105,9 @@ class _P:
             "product": lambda a: _fold(a, lambda x, y: x * y),
             "mul": lambda a: _fold(a, lambda x, y: x * y),
             "sub": lambda a: a[0] - a[1],
-            "div": lambda a: a[0] / a[1],
-            "mod": lambda a: a[0] % a[1],
+            "div": lambda a: _jdiv(a[0], a[1]),
+            "mod": lambda a: F.when(a[1] != 0.0, a[0] % a[1])
+                              .otherwise(F.lit(float("nan"))),
             "abs": lambda a: F.abs(a[0]),
             "sqrt": lambda a: F.sqrt(a[0]),
             "log": lambda a: F.log10(a[0]),
@@ -115,7 +116,7 @@ class _P:
             "max": lambda a: F.greatest(*a),
             "min": lambda a: F.least(*a),
             "linear": lambda a: a[1] * a[0] + a[2],
-            "recip": lambda a: a[2] / (a[1] * a[0] + a[3]),
+            "recip": lambda a: _jdiv(a[2], a[1] * a[0] + a[3]),
         }
         arity = {
             "sub": (2, 2), "div": (2, 2), "mod": (2, 2), "pow": (2, 2),
@@ -130,6 +131,20 @@ class _P:
         cols = [a[0] for a in args]
         fields = set().union(*(a[1] for a in args))
         return simple[fn](cols), fields
+
+
+def _jdiv(x: Column, y: Column) -> Column:
+    """Java double division (the reference's DivFloatFunction /
+    ReciprocalFloatFunction evaluate in IEEE float math, where x/0 is
+    ±Infinity and 0/0 is NaN) — Spark's ANSI mode would instead raise
+    DIVIDE_BY_ZERO, so the zero-divisor cases are branched explicitly;
+    the division only evaluates on the nonzero branch."""
+    return (
+        F.when(y != 0.0, x / y)
+        .when(x > 0.0, F.lit(float("inf")))
+        .when(x < 0.0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
 
 
 def _fold(cols, op):

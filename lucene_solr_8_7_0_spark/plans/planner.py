@@ -19,6 +19,7 @@ from .queries import (
     FieldTermQuery,
     LatLonDistanceQuery,
     LatLonPolygonQuery,
+    FunctionRangeQuery,
     IntervalQuery,
     MultiPhraseQuery,
     MultiTermUnionQuery,
@@ -246,7 +247,7 @@ def collect_point_queries(q: Query) -> set:
     IndexSearcher._points_rows)."""
     if isinstance(q, (PointRangeQuery, MultiDimPointRangeQuery,
                       LatLonDistanceQuery, LatLonPolygonQuery,
-                      FieldTermQuery)):
+                      FunctionRangeQuery, FieldTermQuery)):
         return {q}
     if isinstance(q, DisjunctionMaxQuery):
         out: set[PointRangeQuery] = set()
@@ -320,7 +321,7 @@ def _make_clause(
         )
     if isinstance(q, (PointRangeQuery, MultiDimPointRangeQuery,
                       LatLonDistanceQuery, LatLonPolygonQuery,
-                      FieldTermQuery)):
+                      FunctionRangeQuery, FieldTermQuery)):
         # constant-score doc-value clause: PointRangeQuery's weight is
         # a ConstantScoreWeight (PointRangeQuery.java:107); keyword
         # (StringField) equality scores the same way
@@ -453,7 +454,7 @@ def compile_query(
                       SpanPositionRangeQuery, IntervalQuery,
                       PointRangeQuery, MultiDimPointRangeQuery,
                       LatLonDistanceQuery, LatLonPolygonQuery,
-                      FieldTermQuery,
+                      FunctionRangeQuery, FieldTermQuery,
                       BoostQuery, ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
         return CompiledQuery([clause], [], [], [], 0)

@@ -644,6 +644,46 @@ class LatLonPolygonQuery(Query):
         )
 
 
+@dataclass(frozen=True)
+class FunctionRangeQuery(Query):
+    """Solr ``{!frange l=.. u=..}func`` analog (solr/core/src/java/org/
+    apache/solr/search/FunctionRangeQuery.java + FunctionQParser;
+    lucene/queries/.../function/ValueSourceScorer.java:60
+    ``matches(doc)``): constant-score filter matching docs where a
+    function of docmeta fields evaluates into [lower, upper].
+
+    Spark-first analog: the function string compiles through the
+    ValueSource dialect parser (plans/funcparser.py) into ONE codegen'd
+    Column over the docmeta scan — the range test runs per row in the
+    same stage, exactly where the reference evaluates per-doc
+    FunctionValues.  Rides the pseudo-postings plumbing like every
+    other doc-value clause."""
+
+    func: str
+    lower: float = None
+    upper: float = None
+    include_lower: bool = True
+    include_upper: bool = True
+    dv: bool = False  # per-candidate verify path permitted
+
+    def __post_init__(self):
+        # fail fast at construction, like FunctionQParser's parse
+        from .funcparser import parse_func
+
+        parse_func(self.func)
+
+    def token_key(self) -> str:
+        return (
+            f"\x01frange:{self.func}:{self.lower}:{self.upper}:"
+            f"{int(self.include_lower)}{int(self.include_upper)}"
+        )
+
+    def __str__(self) -> str:
+        lo = "*" if self.lower is None else self.lower
+        hi = "*" if self.upper is None else self.upper
+        return f"frange({self.func}) in [{lo} TO {hi}]"
+
+
 def multi_dim_range(*dims) -> MultiDimPointRangeQuery:
     """Convenience: dims as (field, lower, upper) triples (inclusive
     both sides, IntPoint.newRangeQuery's int[] form)."""

@@ -4,6 +4,7 @@ FunctionScoreQuery integration."""
 
 import math
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -62,6 +63,58 @@ def test_expression_parity(frame, expr, py):
 def test_bad_expressions_raise(bad):
     with pytest.raises(ValueError):
         parse_func(bad)
+
+
+def test_function_range_query(spark, tmp_path_factory):
+    """{!frange} analog (solr/.../search/FunctionRangeQuery.java):
+    filter hits == numpy evaluation of the same function range, both
+    standalone and conjoined with a scored term MUST."""
+    from lucene_solr_8_7_0_spark.config import EngineConfig
+    from lucene_solr_8_7_0_spark.operators.build import build_index
+    from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+    from lucene_solr_8_7_0_spark.plans import queries as Q
+    from lucene_solr_8_7_0_spark.sources.corpus import corpus_df
+
+    d = str(tmp_path_factory.mktemp("frangeidx"))
+    docs = corpus_df(spark, 80, seed=22).withColumn(
+        "nch", F.length("content").cast("long")
+    )
+    build_index(spark, docs, d, EngineConfig(segment_size=32))
+    s = IndexSearcher(spark, d)
+    meta = spark.read.parquet(s.docmeta_path).select(
+        "doc_id", "nch", "length"
+    ).toPandas()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = meta["nch"].to_numpy(float) / meta["length"].to_numpy(float)
+    # bounds from the data's own quantiles -> a nonempty strict subset
+    # (nanquantile: the corpus contains a zero-token doc, whose 0/0
+    # ratio is NaN on BOTH sides — Java float semantics — and NaN
+    # compares false out of any range)
+    lo, hi = (float(np.nanquantile(ratio, p)) for p in (0.25, 0.75))
+
+    frq = Q.FunctionRangeQuery("div(nch, length)", lo, hi,
+                               include_upper=False)
+    b = Q.Builder()
+    b.add(Q.MatchAllDocsQuery(), Q.Occur.MUST)
+    b.add(frq, Q.Occur.FILTER)
+    hits = sorted(s.matches_df(b.build()).toPandas()["doc_id"].tolist())
+    exp = sorted(meta["doc_id"].to_numpy()[(ratio >= lo) & (ratio < hi)]
+                 .tolist())
+    assert hits == exp
+    assert 0 < len(hits) < len(meta)
+
+    # unbounded-above variant + term conjunction
+    b2 = Q.Builder()
+    b2.add(Q.TermQuery("public"), Q.Occur.MUST)
+    b2.add(Q.FunctionRangeQuery("linear(length, 2, 0)", lower=100.0),
+           Q.Occur.FILTER)
+    td = s.search(b2.build(), k=100)
+    ok = set(meta["doc_id"].to_numpy()[
+        2.0 * meta["length"].to_numpy(float) >= 100.0].tolist())
+    assert set(td.doc_ids.tolist()) <= ok
+
+    with pytest.raises(ValueError):
+        Q.FunctionRangeQuery("nosuchfn(a)", 0.0, 1.0)
 
 
 def test_function_score_integration(spark, tmp_path_factory):
