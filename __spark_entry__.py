@@ -1448,11 +1448,15 @@ def _geo_poly_sql(lat: str = "lat", lon: str = "lon") -> str:
 
 
 def _q_multi_phrase(spark, sf_dir):
-    """MultiPhraseQuery, plain alternatives + multi-term repeat."""
+    """MultiPhraseQuery, plain alternatives + multi-term repeat +
+    PhraseWildcardQuery (sandbox): the "wildcard" variant's s* slot
+    expands against the term dictionary (6 terms in this corpus, well
+    under the 32 budget) before riding the same multi-phrase kernel."""
     s = _searcher(spark, sf_dir)
     return _variant_union(s, {
         "alt": Q.MultiPhraseQuery((("data", "big"), ("join",))),
         "rpt": Q.MultiPhraseQuery((("data", "join"), ("join",))),
+        "wildcard": Q.PhraseWildcardQuery((Q.PrefixQuery("s"), "join")),
     })
 
 
@@ -2175,7 +2179,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'rpt', doc_id FROM documents
             WHERE regexp_matches(lower(text),
-                  '(^|[^a-z0-9_])(data|join)[^a-z0-9_]+join($|[^a-z0-9_])')""",
+                  '(^|[^a-z0-9_])(data|join)[^a-z0-9_]+join($|[^a-z0-9_])')
+            UNION ALL
+            SELECT 'wildcard', doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                  '(^|[^a-z0-9_])s[a-z0-9_]*[^a-z0-9_]+join($|[^a-z0-9_])')""",
         "field_stats": f"""
             WITH hits AS (SELECT DISTINCT doc_id FROM ({_TOKS})
                           WHERE tok = 'data'),

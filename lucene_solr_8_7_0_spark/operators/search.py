@@ -369,6 +369,8 @@ class IndexSearcher:
 
         if isinstance(q, Qs.CommonTermsQuery):
             return self._build_common_terms(q)
+        if isinstance(q, Qs.PhraseWildcardQuery):
+            return self._build_phrase_wildcard(q)
         if isinstance(q, Qs.BooleanQuery):
             cl = tuple(
                 Qs.BooleanClause(c.occur, self._reader_rewrite(c.query))
@@ -455,6 +457,40 @@ class IndexSearcher:
             g.set_minimum_number_should_match(high_msm)
             b.add(Qs.BoostQuery(g.build(), q.high_freq_boost), Qs.Occur.SHOULD)
         return b.build()
+
+    def _build_phrase_wildcard(self, q) -> Query:
+        """PhraseWildcardQuery expansion (PhraseWildcardQuery.java:
+        170-240 createWeight: each multi-term slot's terms are
+        collected from the term dictionary under the shared expansion
+        budget, then the phrase matches like a MultiPhraseQuery).
+
+        Each pattern slot costs ONE pushed-down termdict probe (the
+        sorted term column's min/max stats prune row groups — the FST
+        seek analog); the budget bounds what reaches the driver, so an
+        adversarial ``*`` slot collects at most
+        max_multi_term_expansions + 1 rows, never the dictionary."""
+        from ..plans import queries as Qs
+
+        budget = q.max_multi_term_expansions
+        slots = []
+        for slot in q.terms:
+            if isinstance(slot, str):
+                slots.append((slot,))
+                continue
+            rows = (
+                self.termdict.filter(self._mt_cond(slot))
+                .select("term").sort("term").limit(budget + 1).collect()
+            )
+            # exact Python-semantics re-check (regexp dialect, fuzzy
+            # edit distance) — _mt_cond may be a superset
+            terms = rw.expand_terms(slot, sorted(r["term"] for r in rows))
+            if not terms:
+                # an unmatchable slot kills the phrase (noMatch :200)
+                return Qs.MatchNoDocsQuery()
+            # budget exhausted -> truncate in term order (the reference
+            # stops expanding, trading recall, never raising :378-392)
+            slots.append(tuple(terms[:budget]))
+        return Qs.MultiPhraseQuery(tuple(slots))
 
     def _term_lookup(self, q: Query) -> list[str] | None:
         """Driver-side probe of the term dictionary for a multi-term

@@ -830,6 +830,46 @@ class CommonTermsQuery(Query):
             )
 
 
+@dataclass(frozen=True)
+class PhraseWildcardQuery(Query):
+    """lucene/sandbox/src/java/org/apache/lucene/search/
+    PhraseWildcardQuery.java:66 — a phrase where some positions are
+    multi-term (wildcard/prefix/...) sub-queries, each expanded against
+    the term dictionary under a shared ``max_multi_term_expansions``
+    budget, then matched as a multi-phrase.
+
+    Spark-first analog: the expansion is a reader-dependent rewrite
+    (IndexSearcher._reader_rewrite) — ONE pushed-down termdict probe
+    per pattern slot (prefix ranges prune row groups on the sorted term
+    column), truncated to the budget in term order exactly as the
+    reference stops expanding when the budget is exhausted (:378-392,
+    reduced recall, never an error) — followed by the existing
+    MultiPhraseQuery kernel.  A slot with zero matching terms makes the
+    whole phrase unmatchable (MatchNoDocs), as the reference's
+    noMatch (:200-208).
+
+    ``terms``: tuple of slots, each a literal term string or a
+    multi-term Query (PrefixQuery/WildcardQuery/RegexpQuery/
+    TermRangeQuery/TermInSetQuery/FuzzyQuery)."""
+
+    terms: tuple
+    max_multi_term_expansions: int = 32
+
+    def __post_init__(self):
+        if not self.terms:
+            raise ValueError("phrase needs at least one slot")
+        for slot in self.terms:
+            if not isinstance(slot, (str, PrefixQuery, WildcardQuery,
+                                     RegexpQuery, TermRangeQuery,
+                                     TermInSetQuery, FuzzyQuery)):
+                raise TypeError(
+                    f"bad phrase slot {slot!r}: want str or multi-term query"
+                )
+
+    def __str__(self) -> str:
+        return 'phraseWildcard"' + " ".join(str(t) for t in self.terms) + '"'
+
+
 def term_or(terms: list[str], min_should_match: int = 0) -> BooleanQuery:
     b = Builder()
     for t in terms:

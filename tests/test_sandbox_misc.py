@@ -143,6 +143,74 @@ def test_diversified_topk(engine):
     assert got.groupby("lang").size().max() <= 2
 
 
+def _vocab(searcher):
+    return sorted(
+        r["term"] for r in searcher.termdict.select("term").collect()
+    )
+
+
+def test_phrase_wildcard_matches_expanded_multiphrase(engine):
+    """PhraseWildcardQuery == MultiPhraseQuery over the full expansion
+    of each pattern slot (PhraseWildcardQuery.java:170-240), hits and
+    scores, via the float32 oracle."""
+    from lucene_solr_8_7_0_spark.plans.rewrite import expand_terms
+
+    searcher, corpus, oi = engine
+    vocab = _vocab(searcher)
+    cases = [
+        (Q.PrefixQuery("pu"), "static"),
+        ("if", Q.PrefixQuery("pu")),
+        (Q.WildcardQuery("re?urn"), Q.PrefixQuery("pub")),
+    ]
+    for slots in cases:
+        pw = Q.PhraseWildcardQuery(tuple(slots),
+                                   max_multi_term_expansions=256)
+        got = sorted(
+            searcher.matches_df(pw).toPandas()["doc_id"].tolist()
+        )
+        expanded = tuple(
+            (s,) if isinstance(s, str)
+            else tuple(expand_terms(s, vocab)[:256])
+            for s in slots
+        )
+        exp = sorted(
+            oracle_matches(oi, Q.MultiPhraseQuery(expanded)).tolist()
+        )
+        assert got == exp, slots
+        assert len(got) > 0, slots
+
+
+def test_phrase_wildcard_budget_truncates_in_term_order(engine):
+    """Budget exhaustion keeps the FIRST max_multi_term_expansions
+    terms in term order and trades recall, never raising (:378-392)."""
+    from lucene_solr_8_7_0_spark.plans.rewrite import expand_terms
+
+    searcher, corpus, oi = engine
+    vocab = _vocab(searcher)
+    slot = Q.PrefixQuery("s")  # many expansions in this corpus
+    full = expand_terms(slot, vocab)
+    assert len(full) > 2
+    pw = Q.PhraseWildcardQuery(("public", slot), max_multi_term_expansions=2)
+    got = sorted(searcher.matches_df(pw).toPandas()["doc_id"].tolist())
+    exp = sorted(oracle_matches(
+        oi, Q.MultiPhraseQuery((("public",), tuple(full[:2])))
+    ).tolist())
+    assert got == exp
+
+
+def test_phrase_wildcard_unmatchable_slot(engine):
+    searcher, _, _ = engine
+    pw = Q.PhraseWildcardQuery(("word", Q.PrefixQuery("zzzzqq")))
+    assert searcher.matches_df(pw).count() == 0
+
+
+def test_phrase_wildcard_rejects_bad_slot():
+    with pytest.raises(TypeError):
+        Q.PhraseWildcardQuery(("ok", 3.5))
+    with pytest.raises(ValueError):
+        Q.PhraseWildcardQuery(())
+
+
 def test_drill_sideways(engine):
     searcher, corpus, oi = engine
     base = Q.TermQuery("public")
