@@ -1462,8 +1462,9 @@ def _q_multi_phrase(spark, sf_dir):
 
 def _q_suggest(spark, sf_dir):
     """Suggest module: prefix completion + DirectSpellChecker fuzzy
-    "did you mean", tagged."""
+    "did you mean" + SpellCheckCollator verified collation, tagged."""
     from lucene_solr_8_7_0_spark.operators.suggest import (
+        collate_spellcheck,
         suggest_fuzzy,
         suggest_infix,
         suggest_prefix,
@@ -1479,7 +1480,16 @@ def _q_suggest(spark, sf_dir):
     fuz = suggest_fuzzy(s, "sta", k=10).select(
         F.lit("fuzzy").alias("variant"), "rank", "term", "df"
     )
-    return pre.unionByName(inf).unionByName(fuz)
+    # "collate": 'vectr' is misspelled -> fuzzy candidates tried in
+    # rank order, each verified by running the corrected conjunction;
+    # hit counts ride the df column
+    col = collate_spellcheck(
+        s, ["vectr", "join"], k=5, max_collations=3, max_tries=10
+    ).select(
+        F.lit("collate").alias("variant"), "rank",
+        F.col("collation").alias("term"), F.col("hits").alias("df"),
+    )
+    return pre.unionByName(inf).unionByName(fuz).unionByName(col)
 
 
 def _q_tfidf_topk(spark, sf_dir):
@@ -1894,7 +1904,24 @@ def oracle_sql() -> dict[str, str]:
                      term, df
               FROM td
               WHERE term != 'sta' AND levenshtein(term, 'sta') <= 2
-              ORDER BY levenshtein(term, 'sta'), df DESC, term LIMIT 10)""",
+              ORDER BY levenshtein(term, 'sta'), df DESC, term LIMIT 10)
+            UNION ALL
+            SELECT 'collate', rank, term, df FROM (
+              SELECT CAST(row_number() OVER (ORDER BY r) AS INT) AS rank,
+                     term || ' join' AS term, hits AS df
+              FROM (
+                SELECT c.r, c.term,
+                       (SELECT count(DISTINCT a.doc_id) FROM ({_TOKS}) a
+                        WHERE a.tok = c.term AND a.doc_id IN
+                          (SELECT doc_id FROM ({_TOKS}) WHERE tok = 'join')
+                       ) AS hits
+                FROM (
+                  SELECT term,
+                         CAST(row_number() OVER (ORDER BY levenshtein(term, 'vectr'), df DESC, term) AS INT) AS r
+                  FROM td
+                  WHERE term != 'vectr' AND levenshtein(term, 'vectr') <= 2
+                  ORDER BY r LIMIT 5) c)
+              WHERE hits > 0 ORDER BY r LIMIT 3)""",
         "tfidf_topk": f"""
             WITH toks AS ({_TOKS}),
             lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["suggest_prefix", "suggest_infix", "suggest_fuzzy",
+           "collate_spellcheck",
            "build_freetext_model", "suggest_freetext", "FREETEXT_ALPHA"]
 
 
@@ -96,6 +97,79 @@ def suggest_fuzzy(
         .select("rank", "term", "df", "dist")
         .orderBy("rank")
     )
+
+
+def collate_spellcheck(
+    searcher,
+    terms: list[str],
+    k: int = 5,
+    max_collations: int = 1,
+    max_tries: int = 10,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Spellcheck collation — solr/core/src/java/org/apache/solr/
+    spelling/SpellCheckCollator.java:79-177 (collate): terms absent
+    from the dictionary get DirectSpellChecker suggestions; candidate
+    corrected queries ("possibilities", PossibilityIterator.java) are
+    tried in suggestion-rank order, each VERIFIED by actually running
+    the rewritten conjunction, and only combinations with hits survive
+    (:123-158 — hit count recorded per collation).  Terms present in
+    the dictionary are kept verbatim (rank-0 candidate).
+
+    Spark-first shape: one termdict probe classifies the terms, one
+    pushed-down fuzzy probe per misspelled term collects its k
+    candidates, then at most ``max_tries`` distributed conjunction
+    counts verify combinations (the reference likewise re-executes the
+    query per try).  Combination order is rank-sum ascending with the
+    candidate tuple as tie-break — PossibilityIterator's ranked queue.
+    Returns (rank, collation, hits); empty when nothing is misspelled
+    (the reference only collates when corrections exist)."""
+    import heapq
+
+    from ..plans.queries import term_and
+
+    spark = searcher.spark
+    out_schema = "rank int, collation string, hits bigint"
+    dfs = searcher._term_stats(set(terms))
+    if all(dfs.get(t, (0, 0))[0] > 0 for t in terms):
+        return spark.createDataFrame([], out_schema)
+    cands: list[list[tuple[int, str]]] = []
+    for t in terms:
+        if dfs.get(t, (0, 0))[0] > 0:
+            cands.append([(0, t)])
+            continue
+        sugg = suggest_fuzzy(searcher, t, k=k, max_edits=max_edits).collect()
+        if not sugg:
+            # an uncorrectable term: no collation can match (:101-108)
+            return spark.createDataFrame([], out_schema)
+        cands.append([(r["rank"], r["term"]) for r in sugg])
+    # ranked-possibility sweep: pop combinations by (rank sum, terms)
+    heap = [(
+        sum(c[0][0] for c in cands),
+        tuple(c[0][1] for c in cands),
+        (0,) * len(cands),
+    )]
+    seen = {(0,) * len(cands)}
+    rows, tries = [], 0
+    while heap and tries < max_tries and len(rows) < max_collations:
+        _, combo, idx = heapq.heappop(heap)
+        tries += 1
+        hits = searcher.matches_df(term_and(list(combo))).count()
+        if hits > 0:
+            rows.append((len(rows) + 1, " ".join(combo), hits))
+        for slot in range(len(cands)):
+            nxt = list(idx)
+            nxt[slot] += 1
+            nxt = tuple(nxt)
+            if nxt in seen or nxt[slot] >= len(cands[slot]):
+                continue
+            seen.add(nxt)
+            heapq.heappush(heap, (
+                sum(cands[s][i][0] for s, i in enumerate(nxt)),
+                tuple(cands[s][i][1] for s, i in enumerate(nxt)),
+                nxt,
+            ))
+    return spark.createDataFrame(rows, out_schema)
 
 
 # ---- FreeTextSuggester: n-gram language model with stupid backoff ----

@@ -65,6 +65,52 @@ def test_suggest_fuzzy_pandas(idx):
     assert got["dist"].tolist() == exp["dist"].tolist()
 
 
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_collate_spellcheck(idx):
+    """SpellCheckCollator analog: candidate ranking recomputed in
+    pandas (dist asc, df desc, term asc), combinations tried in rank
+    order, only verified (hits > 0) collations returned."""
+    from lucene_solr_8_7_0_spark.operators.suggest import collate_spellcheck
+
+    td = idx.termdict.toPandas()
+    cand = td.copy()
+    cand["dist"] = cand["term"].map(lambda t: _lev(t, "publc"))
+    cand = (
+        cand[(cand["dist"] <= 2) & (cand["term"] != "publc")]
+        .sort_values(["dist", "df", "term"], ascending=[True, False, True])
+        .head(5)["term"].tolist()
+    )
+    assert cand, "corpus should offer corrections for 'publc'"
+    exp_rows = []
+    for c in cand:
+        hits = idx.matches_df(Q.term_and([c, "return"])).count()
+        if hits > 0:
+            exp_rows.append((len(exp_rows) + 1, f"{c} return", hits))
+        if len(exp_rows) == 2:
+            break
+    got = collate_spellcheck(
+        idx, ["publc", "return"], k=5, max_collations=2, max_tries=10
+    ).collect()
+    assert [(r["rank"], r["collation"], r["hits"]) for r in got] == exp_rows
+    assert len(got) > 0
+
+    # nothing misspelled -> no collation (the reference only collates
+    # when corrections exist)
+    assert collate_spellcheck(idx, ["public", "return"]).count() == 0
+    # uncorrectable term -> no possible collation
+    assert collate_spellcheck(idx, ["zzzzqqqq", "return"]).count() == 0
+
+
 def test_group_topk(idx, spark):
     out = group_topk(idx, Q.TermQuery("public"), "lang",
                      k_groups=2, per_group=2).toPandas()
