@@ -80,14 +80,27 @@ def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((d * 73 % 3600) / 10.0 - 180.0).alias("lon"),
         # per-doc minimumNumberMatch (the CoveringQuery LongValuesSource)
         (d % 3).cast("long").alias("mm"),
+        # association facet field (IntAssociationFacetField): each doc
+        # carries (category, int value) pairs over the tag categories —
+        # deterministic and SQL-replayable
+        F.array(
+            F.struct(
+                F.concat(F.lit("t"), (d % 3).cast("string")).alias("cat"),
+                (d % 7 + 1).cast("long").alias("val"),
+            ),
+            F.struct(
+                F.concat(F.lit("u"), (d % 5).cast("string")).alias("cat"),
+                (d % 11 + 1).cast("long").alias("val"),
+            ),
+        ).alias("assoc"),
         F.col("text").alias("content"),
     )
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Build (or resume) the engine index for this sf_dir; cached."""
-    # v9: + mm covering min-match column
-    key = hashlib.md5(f"{sf_dir}:v9".encode()).hexdigest()[:10]
+    # v10: + assoc association-facet column
+    key = hashlib.md5(f"{sf_dir}:v10".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
@@ -1586,12 +1599,21 @@ def _q_facet_tags(spark, sf_dir):
         .alias("variant"),
         "label", "count",
     )
+    # association facets (TaxonomyFacetSumIntAssociations): per
+    # category, the SUM of stored int association values over the hits
+    from lucene_solr_8_7_0_spark.operators.facets import association_sums
+
+    assoc = association_sums(s, q, "assoc").select(
+        F.lit("assoc_sum").alias("variant"), "label",
+        F.col("sum_val").alias("count"),
+    )
     return (
         flat.unionByName(taxo("taxo_root", ()))
         .unionByName(taxo("taxo_en", ("en",)))
         .unionByName(taxo("taxo_en_t1", ("en", "t1")))
         .unionByName(drill)
         .unionByName(sw)
+        .unionByName(assoc)
     )
 
 
@@ -2042,7 +2064,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'sideways_hits', '$total', count(*)
             FROM hits h JOIN documents d USING (doc_id)
-            WHERE d.lang = 'en' AND h.doc_id % 3 = 1 AND h.doc_id % 7 = 3""",
+            WHERE d.lang = 'en' AND h.doc_id % 3 = 1 AND h.doc_id % 7 = 3
+            UNION ALL
+            SELECT 'assoc_sum', cat, sum(val) FROM (
+              SELECT 't' || CAST(doc_id % 3 AS VARCHAR) AS cat,
+                     doc_id % 7 + 1 AS val FROM hits
+              UNION ALL
+              SELECT 'u' || CAST(doc_id % 5 AS VARCHAR),
+                     doc_id % 11 + 1 FROM hits)
+            GROUP BY cat""",
         "highlight_topk": _BM25_CTE.format(terms="'data','join'")
         + """,
             top10 AS (

@@ -95,6 +95,44 @@ def taxonomy_counts(
     return out.limit(top_n) if top_n else out
 
 
+def association_sums(
+    searcher: IndexSearcher,
+    query,
+    assoc_col: str,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Association facets — TaxonomyFacetSumIntAssociations /
+    TaxonomyFacetSumFloatAssociations (lucene/facet/src/java/org/
+    apache/lucene/facet/taxonomy/TaxonomyFacetSumIntAssociations.java:
+    28-35: "aggregates sum of int values previously indexed with
+    IntAssociationFacetField"): each matching doc carries (category,
+    value) associations; the facet value of a category is the SUM of
+    its associated values over the hit set, not the hit count.
+
+    ``assoc_col`` is a docmeta ``array<struct<cat, val>>`` column (the
+    AssociationFacetField list).  The sum's type follows the stored
+    value type (long -> long, double -> double), like the int/float
+    split of the reference classes.
+
+    Spark-first plan: hit-set join -> explode -> ONE groupBy(cat) with
+    partial aggregation (map-side combine), same shuffle shape as
+    facet_counts."""
+    hits = searcher.matches_df(query)
+    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+        "doc_id", assoc_col
+    )
+    a = meta.select("doc_id", F.explode(assoc_col).alias("a")).select(
+        "doc_id", F.col("a.cat").alias("label"), F.col("a.val").alias("val")
+    )
+    out = (
+        hits.join(a, "doc_id")
+        .groupBy("label")
+        .agg(F.sum("val").alias("sum_val"))
+        .orderBy(F.col("sum_val").desc(), F.col("label").asc())
+    )
+    return out.limit(top_n) if top_n else out
+
+
 def taxonomy_drilldown(
     searcher: IndexSearcher,
     query,

@@ -28,6 +28,19 @@ def engine(spark, tmp_path_factory):
                      (F.crc32("path") % 4).cast("string")),
             F.concat(F.lit("topic/k"), (F.crc32("path") % 5).cast("string")),
         ),
+    ).withColumn(
+        "assoc",
+        F.array(
+            F.struct(
+                F.concat(F.lit("c"),
+                         (F.crc32("path") % 3).cast("string")).alias("cat"),
+                (F.crc32("path") % 7 + 1).cast("long").alias("val"),
+            ),
+            F.struct(
+                F.lit("c9").alias("cat"),
+                (F.crc32("path") % 2 + 1).cast("long").alias("val"),
+            ),
+        ),
     )
     build_index(spark, docs, d, EngineConfig(segment_size=64))
     return IndexSearcher(spark, d)
@@ -89,3 +102,28 @@ def test_drilldown_restricts_hits(engine):
     )
     assert drill == (all_hits & under)
     assert drill < all_hits  # strictly smaller: it really restricts
+
+
+def test_association_sums(engine):
+    """TaxonomyFacetSumIntAssociations analog: per-category SUM of the
+    stored association values over the hit set, pandas-replayed."""
+    from lucene_solr_8_7_0_spark.operators.facets import association_sums
+
+    q = Q.TermQuery("public")
+    hits = set(engine.matches_df(q).toPandas()["doc_id"])
+    assert hits
+    meta = (
+        engine.spark.read.parquet(engine.docmeta_path)
+        .select("doc_id", F.explode("assoc").alias("a"))
+        .select("doc_id", "a.cat", "a.val")
+        .toPandas()
+    )
+    meta = meta[meta["doc_id"].isin(hits)]
+    exp = meta.groupby("cat")["val"].sum().to_dict()
+    got = association_sums(engine, q, "assoc").toPandas()
+    assert dict(zip(got["label"], got["sum_val"])) == exp
+    # ordering: sum desc, label asc
+    order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(got["label"]) == [c for c, _ in order]
+    # top_n truncates
+    assert association_sums(engine, q, "assoc", top_n=2).count() == 2
