@@ -80,6 +80,10 @@ def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((d * 73 % 3600) / 10.0 - 180.0).alias("lon"),
         # per-doc minimumNumberMatch (the CoveringQuery LongValuesSource)
         (d % 3).cast("long").alias("mm"),
+        # NULLABLE numeric docvalues column (every 4th doc has no
+        # value) — the DocValuesFieldExistsQuery surface needs real
+        # value absence; SQL-replayable as CASE WHEN doc_id % 4 <> 0
+        F.when(d % 4 != 0, (d % 100).cast("long")).alias("stars"),
         # association facet field (IntAssociationFacetField): each doc
         # carries (category, int value) pairs over the tag categories —
         # deterministic and SQL-replayable
@@ -99,8 +103,8 @@ def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Build (or resume) the engine index for this sf_dir; cached."""
-    # v10: + assoc association-facet column
-    key = hashlib.md5(f"{sf_dir}:v10".encode()).hexdigest()[:10]
+    # v11: + assoc association-facet column + nullable stars column
+    key = hashlib.md5(f"{sf_dir}:v11".encode()).hexdigest()[:10]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     d = f"/tmp/lucene_ps_index_{key}"
@@ -522,14 +526,29 @@ def _q_deleted_match(spark, sf_dir):
 
 
 def _q_lang_filter(spark, sf_dir):
-    """Keyword-field (StringField) equality composed with a term query:
-    lang:de AND data — the FieldTermQuery docset rides the same
-    pseudo-postings plumbing as point ranges."""
+    """Doc-values filter clauses composed with a term query, tagged:
+
+    - eq: keyword (StringField) equality, lang:de AND data.
+    - exists: DocValuesFieldExistsQuery on the NULLABLE stars column
+      (every 4th doc has no value) AND data.
+    - str_range: SortedSetDocValuesRangeQuery — bytes range
+      lang:[de TO en] AND data.
+
+    Every docset rides the same pseudo-postings plumbing as point
+    ranges."""
     s = _searcher(spark, sf_dir)
-    b = Q.Builder()
-    b.add(Q.TermQuery("data"), Q.Occur.MUST)
-    b.add(Q.FieldTermQuery("lang", "de"), Q.Occur.FILTER)
-    return _orig_ids(s, s.matches_df(b.build())).select("doc_id")
+
+    def conj(clause):
+        b = Q.Builder()
+        b.add(Q.TermQuery("data"), Q.Occur.MUST)
+        b.add(clause, Q.Occur.FILTER)
+        return b.build()
+
+    return _variant_union(s, {
+        "eq": conj(Q.FieldTermQuery("lang", "de")),
+        "exists": conj(Q.FieldExistsQuery("stars")),
+        "str_range": conj(Q.FieldRangeQuery("lang", "de", "en")),
+    })
 
 
 def _q_phrase_slop(spark, sf_dir):
@@ -2598,11 +2617,16 @@ def oracle_sql() -> dict[str, str]:
                     OR sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) > 0)
                AND sum(CASE WHEN tok = 'scalar' THEN 1 ELSE 0 END) = 0""",
         "lang_filter": f"""
-            SELECT t.doc_id FROM ({_TOKS}) t
-            JOIN documents d ON t.doc_id = d.doc_id
-            WHERE d.lang = 'de'
-            GROUP BY t.doc_id
-            HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0""",
+            WITH datahits AS (
+              SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok = 'data')
+            SELECT 'eq' AS variant, h.doc_id FROM datahits h
+            JOIN documents d USING (doc_id) WHERE d.lang = 'de'
+            UNION ALL
+            SELECT 'exists', doc_id FROM datahits WHERE doc_id % 4 <> 0
+            UNION ALL
+            SELECT 'str_range', h.doc_id FROM datahits h
+            JOIN documents d USING (doc_id)
+            WHERE d.lang >= 'de' AND d.lang <= 'en'""",
         "deleted_match": f"""
             SELECT DISTINCT doc_id FROM ({_TOKS})
             WHERE tok = 'data' AND doc_id % 7 != 0""",

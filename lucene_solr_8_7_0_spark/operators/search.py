@@ -1017,11 +1017,14 @@ class IndexSearcher:
             PointRangeQuery,
         )
 
-        if isinstance(q, FunctionRangeQuery):
-            # no per-function histogram exists — pessimistic num_docs,
+        from ..plans.queries import FieldExistsQuery, FieldRangeQuery
+
+        if isinstance(q, (FunctionRangeQuery, FieldExistsQuery,
+                          FieldRangeQuery)):
+            # no histogram exists for functions / existence / string
+            # ranges (colstats is numeric) — pessimistic num_docs,
             # which biases toward the dv (per-candidate verify) path
-            # exactly as the reference's FunctionRangeQuery (no
-            # ScorerSupplier cost estimate; treated as match-all cost)
+            # exactly when the index side's cost is unknown
             return self.stats.num_docs
         if isinstance(q, LatLonPolygonQuery):
             # estimate via the bounding box (the BKD region the
@@ -1167,12 +1170,47 @@ class IndexSearcher:
 
         from ..plans.queries import (
             EARTH_MEAN_RADIUS_METERS,
+            FieldExistsQuery,
+            FieldRangeQuery,
             FieldTermQuery,
             FunctionRangeQuery,
             LatLonDistanceQuery,
             LatLonPolygonQuery,
             MultiDimPointRangeQuery,
         )
+
+        if isinstance(q, FieldExistsQuery):
+            # DocValuesFieldExistsQuery: value presence — IS NOT NULL
+            # pushes to the scan (null-count row-group stats); an array
+            # column needs >= 1 value (no ordinal -> no match)
+            c = F.col(q.field)
+            cond = c.isNotNull()
+            if schema is not None and isinstance(
+                schema[q.field].dataType, ArrayType
+            ):
+                cond = cond & (F.size(c) > 0)
+            return cond
+
+        if isinstance(q, FieldRangeQuery):
+            # SortedSetDocValuesRangeQuery: bytes range over the
+            # keyword column; ANY value of an array column may match
+            def in_range(c):
+                cond = F.lit(True)
+                if q.lower is not None:
+                    cond = cond & (
+                        c >= q.lower if q.include_lower else c > q.lower
+                    )
+                if q.upper is not None:
+                    cond = cond & (
+                        c <= q.upper if q.include_upper else c < q.upper
+                    )
+                return cond
+
+            if schema is not None and isinstance(
+                schema[q.field].dataType, ArrayType
+            ):
+                return F.exists(F.col(q.field), in_range)
+            return in_range(F.col(q.field))
 
         if isinstance(q, FunctionRangeQuery):
             # {!frange}: the compiled ValueSource Column range-tested

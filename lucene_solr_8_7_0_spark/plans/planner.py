@@ -20,6 +20,8 @@ from .queries import (
     LatLonDistanceQuery,
     LatLonPolygonQuery,
     FunctionRangeQuery,
+    FieldExistsQuery,
+    FieldRangeQuery,
     IntervalQuery,
     MultiPhraseQuery,
     MultiTermUnionQuery,
@@ -247,7 +249,8 @@ def collect_point_queries(q: Query) -> set:
     IndexSearcher._points_rows)."""
     if isinstance(q, (PointRangeQuery, MultiDimPointRangeQuery,
                       LatLonDistanceQuery, LatLonPolygonQuery,
-                      FunctionRangeQuery, FieldTermQuery)):
+                      FunctionRangeQuery, FieldTermQuery,
+                      FieldExistsQuery, FieldRangeQuery)):
         return {q}
     if isinstance(q, DisjunctionMaxQuery):
         out: set[PointRangeQuery] = set()
@@ -321,7 +324,8 @@ def _make_clause(
         )
     if isinstance(q, (PointRangeQuery, MultiDimPointRangeQuery,
                       LatLonDistanceQuery, LatLonPolygonQuery,
-                      FunctionRangeQuery, FieldTermQuery)):
+                      FunctionRangeQuery, FieldTermQuery,
+                      FieldExistsQuery, FieldRangeQuery)):
         # constant-score doc-value clause: PointRangeQuery's weight is
         # a ConstantScoreWeight (PointRangeQuery.java:107); keyword
         # (StringField) equality scores the same way
@@ -455,6 +459,7 @@ def compile_query(
                       PointRangeQuery, MultiDimPointRangeQuery,
                       LatLonDistanceQuery, LatLonPolygonQuery,
                       FunctionRangeQuery, FieldTermQuery,
+                      FieldExistsQuery, FieldRangeQuery,
                       BoostQuery, ConstantScoreQuery)):
         clause = _make_clause(q, stats, term_stats, boost=boost, scoring=scoring)
         return CompiledQuery([clause], [], [], [], 0)

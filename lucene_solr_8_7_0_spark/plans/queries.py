@@ -870,6 +870,63 @@ class PhraseWildcardQuery(Query):
         return 'phraseWildcard"' + " ".join(str(t) for t in self.terms) + '"'
 
 
+@dataclass(frozen=True)
+class FieldExistsQuery(Query):
+    """DocValuesFieldExistsQuery analog (L/search/
+    DocValuesFieldExistsQuery.java:35: "A Query that matches documents
+    that have a value for a given field"): constant-score filter on
+    per-doc value presence.
+
+    Spark-first: ``IS NOT NULL`` on the docmeta column — pushed into
+    the parquet scan (null-count row-group stats prune for free); an
+    ARRAY column (SORTED_SET analog) additionally requires a non-empty
+    array, since a doc with zero values has no ordinal to iterate."""
+
+    field: str
+    dv: bool = False
+
+    def token_key(self) -> str:
+        return f"\x01exists:{self.field}"
+
+    def __str__(self) -> str:
+        return f"FieldExists({self.field})"
+
+
+@dataclass(frozen=True)
+class FieldRangeQuery(Query):
+    """SortedSetDocValuesField.newSlowRangeQuery /
+    SortedDocValuesField.newSlowRangeQuery analog
+    (L/document/SortedSetDocValuesField.java:86,
+    L/search/SortedSetDocValuesRangeQuery.java): constant-score BYTES
+    (string) range over a keyword docvalues field; an ARRAY column
+    matches when ANY value falls in the range (the reference walks
+    ordinals between minOrd/maxOrd).
+
+    Spark-first: plain string-comparison predicates on the docmeta
+    column (parquet min/max stats prune row groups — the ordinal-range
+    seek analog); arrays via an EXISTS lambda in the same scan."""
+
+    field: str
+    lower: str = None
+    upper: str = None
+    include_lower: bool = True
+    include_upper: bool = True
+    dv: bool = False
+
+    def token_key(self) -> str:
+        return (
+            f"\x01fldrange:{self.field}:{self.lower}:{self.upper}:"
+            f"{int(self.include_lower)}{int(self.include_upper)}"
+        )
+
+    def __str__(self) -> str:
+        lo = "*" if self.lower is None else self.lower
+        hi = "*" if self.upper is None else self.upper
+        lb = "[" if self.include_lower else "{"
+        rb = "]" if self.include_upper else "}"
+        return f"{self.field}:{lb}{lo} TO {hi}{rb}"
+
+
 def term_or(terms: list[str], min_should_match: int = 0) -> BooleanQuery:
     b = Builder()
     for t in terms:
