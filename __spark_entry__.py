@@ -1343,6 +1343,20 @@ def _q_span_family(spark, sf_dir):
         "not_in_near": Q.SpanNearQuery(
             (Q.SpanNotQuery("data", "big", pre=2, post=2), "join"), slop=3
         ),
+        # containment pair (SpanContainingQuery/SpanWithinQuery), both
+        # under a position range so the emitted-side difference is
+        # observable: the range filters BIG spans for "containing" but
+        # LITTLE spans for "within" (ContainSpans)
+        "containing": Q.SpanPositionRangeQuery(
+            Q.SpanContainingQuery(
+                Q.SpanNearQuery(("data", "join"), slop=5), "table"
+            ), 0, 40
+        ),
+        "within": Q.SpanPositionRangeQuery(
+            Q.SpanWithinQuery(
+                Q.SpanNearQuery(("data", "join"), slop=5), "table"
+            ), 0, 40
+        ),
     })
 
 
@@ -1924,7 +1938,28 @@ def oracle_sql() -> dict[str, str]:
                   WHERE e.doc_id = pos.doc_id AND e.tok = 'big'
                     AND e.p BETWEEN pos.p - 2 AND pos.p + 2)) i
               JOIN pos b ON b.doc_id = i.doc_id
-              WHERE b.tok = 'join' AND b.p > i.p AND b.p - i.p - 1 <= 3)""",
+              WHERE b.tok = 'join' AND b.p > i.p AND b.p - i.p - 1 <= 3)
+            UNION ALL
+            -- containing: big spans (data..join, slop 5) inside the
+            -- first 40 positions (p is 1-based here; engine range
+            -- [0,40) == p in [1,40]) that cover a 'table' occurrence
+            SELECT 'containing', doc_id FROM (
+              SELECT DISTINCT a.doc_id
+              FROM pos a JOIN pos b USING (doc_id) JOIN pos c USING (doc_id)
+              WHERE a.tok = 'data' AND b.tok = 'join' AND c.tok = 'table'
+                AND b.p > a.p AND b.p - a.p - 1 <= 5
+                AND b.p <= 40
+                AND c.p BETWEEN a.p AND b.p)
+            UNION ALL
+            -- within: 'table' occurrences in the first 40 positions
+            -- covered by ANY valid big span (big may extend past 40)
+            SELECT 'within', doc_id FROM (
+              SELECT DISTINCT a.doc_id
+              FROM pos a JOIN pos b USING (doc_id) JOIN pos c USING (doc_id)
+              WHERE a.tok = 'data' AND b.tok = 'join' AND c.tok = 'table'
+                AND b.p > a.p AND b.p - a.p - 1 <= 5
+                AND c.p <= 40
+                AND c.p BETWEEN a.p AND b.p)""",
         "suggest": f"""
             WITH td AS (SELECT tok AS term, count(DISTINCT doc_id) AS df
                         FROM ({_TOKS}) GROUP BY tok)

@@ -27,10 +27,12 @@ from ..plans.queries import (
     IntervalQuery,
     MultiPhraseQuery,
     MultiTermUnionQuery,
+    SpanContainingQuery,
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
     SpanPositionRangeQuery,
+    SpanWithinQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -236,6 +238,41 @@ def _range_mask(oi: OracleIndex, field, lo, hi, il, iu) -> np.ndarray:
     return mask
 
 
+def _span_clause_pos(oi: OracleIndex, spec):
+    """One span clause spec -> {doc: sorted positions} (term / or-union
+    / not-window-diff by direct set algebra), or None when it cannot
+    match anywhere."""
+    if isinstance(spec, str):
+        return oi.positions.get(spec)
+    if isinstance(spec, SpanOrQuery):
+        merged: dict = {}
+        for t in spec.terms:
+            for d, pp in oi.positions.get(t, {}).items():
+                merged[d] = (
+                    np.union1d(merged[d], pp) if d in merged else pp
+                )
+        return merged or None
+    if isinstance(spec, SpanNotQuery):
+        inc = oi.positions.get(spec.include)
+        if inc is None:
+            return None
+        exc = oi.positions.get(spec.exclude, {})
+        out = {}
+        for d, pp in inc.items():
+            ee = exc.get(d)
+            if ee is None:
+                out[d] = pp
+                continue
+            kept = np.asarray([
+                x for x in pp
+                if not ((ee >= x - spec.pre) & (ee <= x + spec.post)).any()
+            ], dtype=np.int64)
+            if len(kept):
+                out[d] = kept
+        return out or None
+    raise TypeError(type(spec))
+
+
 def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
     """-> (sorted docs int64, float32 scores)"""
     if isinstance(q, MatchNoDocsQuery):
@@ -325,47 +362,66 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
         # acceptPosition: start >= range start AND exclusive end <=
         # range end — every covered position inside [start, end)
         span_range = (q.start, q.end)
-        q = q.near()
+        q = q.match if isinstance(
+            q.match, (SpanContainingQuery, SpanWithinQuery)
+        ) else q.near()
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        # brute force containment: enumerate EVERY valid ordered big
+        # chain and every little occurrence; a doc matches when some
+        # big span [c_0, c_k] covers a little position, with the range
+        # (if set) applied to the emitted side only
+        import itertools
+
+        big = q.near()
+        lit_q = SpanNearQuery((q.little,), slop=0)
+        pos_by_slot = []
+        for t in big.terms:
+            rows = _span_clause_pos(oi, t)
+            if rows is None:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            pos_by_slot.append(rows)
+        lit_rows = _span_clause_pos(oi, q.little)
+        if lit_rows is None:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        cand = set(pos_by_slot[0]).intersection(*map(set, pos_by_slot[1:]))
+        cand &= set(lit_rows)
+        emit_big = isinstance(q, SpanContainingQuery)
+        out = []
+        k = len(big.terms)
+        for d in sorted(cand):
+            lits = lit_rows[d]
+            if span_range is not None and not emit_big:
+                lits = lits[(lits >= span_range[0]) & (lits < span_range[1])]
+                if not len(lits):
+                    continue
+            hit = False
+            for c in itertools.product(*[m[d] for m in pos_by_slot]):
+                if not all(c[i] < c[i + 1] for i in range(k - 1)):
+                    continue
+                if c[-1] - c[0] - (k - 1) > big.slop:
+                    continue
+                if span_range is not None and emit_big and (
+                    c[0] < span_range[0] or c[-1] >= span_range[1]
+                ):
+                    continue
+                if ((lits >= c[0]) & (lits <= c[-1])).any():
+                    hit = True
+                    break
+            if hit:
+                out.append(d)
+        docs = np.asarray(out, dtype=np.int64)
+        return docs, np.full(
+            len(docs), np.float32(boost if scoring else 0.0)
+        )
     if isinstance(q, SpanNearQuery):
         # brute force: enumerate all position combinations per doc;
         # clause position sets expand per spec (term / or-union /
         # not-window-diff) by direct set algebra
         import itertools
 
-        def clause_pos(spec):
-            if isinstance(spec, str):
-                return oi.positions.get(spec)
-            if isinstance(spec, SpanOrQuery):
-                merged: dict = {}
-                for t in spec.terms:
-                    for d, pp in oi.positions.get(t, {}).items():
-                        merged[d] = (
-                            np.union1d(merged[d], pp) if d in merged else pp
-                        )
-                return merged or None
-            if isinstance(spec, SpanNotQuery):
-                inc = oi.positions.get(spec.include)
-                if inc is None:
-                    return None
-                exc = oi.positions.get(spec.exclude, {})
-                out = {}
-                for d, pp in inc.items():
-                    ee = exc.get(d)
-                    if ee is None:
-                        out[d] = pp
-                        continue
-                    kept = np.asarray([
-                        x for x in pp
-                        if not ((ee >= x - spec.pre) & (ee <= x + spec.post)).any()
-                    ], dtype=np.int64)
-                    if len(kept):
-                        out[d] = kept
-                return out or None
-            raise TypeError(type(spec))
-
         pos_by_term = []
         for t in q.terms:
-            rows = clause_pos(t)
+            rows = _span_clause_pos(oi, t)
             if rows is None:
                 return np.empty(0, np.int64), np.empty(0, np.float32)
             pos_by_term.append(rows)

@@ -88,6 +88,12 @@ class ScoringClause:
     # intervals: (source tree, pivot, boost) — per-doc saturation
     # scoring over minimal intervals (kind == "intervals")
     interval_q: tuple | None = None
+    # span_contain: the little-side clause spec (str | SpanOrQuery |
+    # SpanNotQuery) and which side's spans the query EMITS ("big" for
+    # SpanContainingQuery, "little" for SpanWithinQuery) — span_range
+    # filters that side
+    little_spec: object | None = None
+    contain_emit: str = "big"
 
     @property
     def is_phrase(self) -> bool:
@@ -414,6 +420,98 @@ def _span_near_docs_scores(
     return docs, np.full(len(docs), score)
 
 
+def _big_span_coverage(pls: list[np.ndarray], slop: int) -> list[tuple[int, int]]:
+    """All (start, max achievable end) coverage intervals of an ordered
+    span-near over per-slot position lists — for each start position s
+    the greedy chain minimises the end (e_min); every last-slot
+    position in [e_min, s + slop + k - 1] extends some valid chain
+    (intermediates are unchanged and stay below it), so the spans
+    starting at s cover exactly [s, e] for e in that clipped set.
+    Mirrors NearSpansOrdered's per-start enumeration
+    (L/search/spans/NearSpansOrdered.java stretchToOrder/shrink)."""
+    k = len(pls)
+    out = []
+    if k == 1:
+        return [(int(p), int(p)) for p in pls[0]]
+    last = pls[-1]
+    for p0 in pls[0]:
+        s = int(p0)
+        prev = s
+        ok = True
+        for i in range(1, k):
+            j = np.searchsorted(pls[i], prev, side="right")
+            if j >= len(pls[i]):
+                ok = False
+                break
+            prev = int(pls[i][j])
+        if not ok:
+            break  # later starts only grow prev — no chain can complete
+        e_min = prev
+        e_cap = s + slop + (k - 1)
+        if e_min > e_cap:
+            continue
+        j = np.searchsorted(last, e_cap, side="right") - 1
+        if j < 0 or int(last[j]) < e_min:
+            continue
+        out.append((s, int(last[j])))
+    return out
+
+
+def _span_contain_docs_scores(
+    posting_map: dict, norms: np.ndarray, clause: ScoringClause
+) -> tuple[np.ndarray, np.ndarray]:
+    """SpanContainingQuery / SpanWithinQuery
+    (L/search/spans/SpanContainingQuery.java:30, SpanWithinQuery.java:31,
+    ContainSpans.java twoPhaseCurrentDocMatches): a document matches
+    when some big span [bs, be] covers a little occurrence q
+    (bs <= q <= be).  ``span_range`` filters the EMITTED side before
+    the containment test: big spans for "containing" (clip every big
+    slot stream — a chain lies in [lo, hi) iff all its positions do),
+    little occurrences for "within"."""
+    specs = clause.span_specs if clause.span_specs is not None else clause.terms
+    decoded = [_span_clause_stream(posting_map, spec) for spec in specs]
+    lit = _span_clause_stream(posting_map, clause.little_spec)
+    if lit is None or any(d is None for d in decoded):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    cand = decoded[0][0]
+    for docs, _, _ in decoded[1:]:
+        cand = cand[np.isin(cand, docs, assume_unique=True)]
+    cand = cand[np.isin(cand, lit[0], assume_unique=True)]
+    if len(cand) == 0:
+        return cand, np.empty(0, np.float32)
+    slices = []
+    for docs, freqs, poss in decoded + [lit]:
+        bounds = np.concatenate(([0], np.cumsum(freqs)))
+        idx = np.searchsorted(docs, cand)
+        slices.append((bounds, idx, poss))
+    rng = clause.span_range
+    out = []
+    for ci in range(len(cand)):
+        pls = [
+            poss[bounds[idx[ci]] : bounds[idx[ci] + 1]]
+            for bounds, idx, poss in slices
+        ]
+        lps = pls.pop()
+        if rng is not None:
+            lo, hi = rng
+            if clause.contain_emit == "big":
+                pls = [pl[(pl >= lo) & (pl < hi)] for pl in pls]
+                if any(len(pl) == 0 for pl in pls):
+                    continue
+            else:
+                lps = lps[(lps >= lo) & (lps < hi)]
+                if len(lps) == 0:
+                    continue
+        if any(
+            ((lps >= s) & (lps <= e)).any()
+            for s, e in _big_span_coverage(pls, clause.slop)
+        ):
+            out.append(int(cand[ci]))
+    docs = np.asarray(out, dtype=np.int64)
+    score = np.float32(clause.const_score or 0.0)
+    return docs, np.full(len(docs), score)
+
+
 def _intervals_docs_scores(
     posting_map: dict, norms: np.ndarray, clause: ScoringClause
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -511,6 +609,8 @@ def _eval_clause(
         return _multiphrase_docs_scores(posting_map, norms, clause)
     if clause.kind == "span_near":
         return _span_near_docs_scores(posting_map, norms, clause)
+    if clause.kind == "span_contain":
+        return _span_contain_docs_scores(posting_map, norms, clause)
     if clause.sub is not None:
         res = score_segment(posting_map, norms, clause.sub, None, prune=False)
         if clause.const_score is not None:

@@ -25,10 +25,12 @@ from .queries import (
     IntervalQuery,
     MultiPhraseQuery,
     MultiTermUnionQuery,
+    SpanContainingQuery,
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
     SpanPositionRangeQuery,
+    SpanWithinQuery,
     SynonymQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -173,7 +175,14 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, SpanNearQuery):
         return set(q.flat_terms())
     if isinstance(q, SpanPositionRangeQuery):
-        return set(q.near().flat_terms())
+        return collect_terms(q.match) if isinstance(
+            q.match, (SpanContainingQuery, SpanWithinQuery)
+        ) else set(q.near().flat_terms())
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        return set(
+            q.near().flat_terms()
+            + SpanNearQuery((q.little,), slop=0).flat_terms()
+        )
     if isinstance(q, SpanOrQuery):
         return set(q.terms)
     if isinstance(q, SpanNotQuery):
@@ -270,6 +279,7 @@ def collect_point_queries(q: Query) -> set:
 def has_phrase(q: Query) -> bool:
     if isinstance(q, (PhraseQuery, MultiPhraseQuery, SpanNearQuery,
                       SpanOrQuery, SpanNotQuery, SpanPositionRangeQuery,
+                      SpanContainingQuery, SpanWithinQuery,
                       IntervalQuery)):
         return True
     if isinstance(q, DisjunctionMaxQuery):
@@ -313,7 +323,30 @@ def _make_clause(
     span_range = None
     if isinstance(q, SpanPositionRangeQuery):
         span_range = (q.start, q.end)
-        q = q.near()
+        q = q.match if isinstance(
+            q.match, (SpanContainingQuery, SpanWithinQuery)
+        ) else q.near()
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        # constant-score containment clause; the range (if any) filters
+        # the EMITTED side — big spans for containing, little spans for
+        # within (SpanContainingQuery/SpanWithinQuery createWeight wrap
+        # ContainSpans around the corresponding source side)
+        big = q.near()
+        if not big.in_order:
+            raise NotImplementedError(
+                "span containment requires an ordered big span"
+            )
+        return ScoringClause(
+            big.flat_terms()
+            + SpanNearQuery((q.little,), slop=0).flat_terms(),
+            None, const_score=(boost if scoring else 0.0),
+            slop=big.slop, kind="span_contain", in_order=True,
+            span_specs=tuple(big.terms), span_range=span_range,
+            little_spec=q.little,
+            contain_emit=(
+                "big" if isinstance(q, SpanContainingQuery) else "little"
+            ),
+        )
     if isinstance(q, SpanNearQuery):
         # constant-score span clause (spans are filter-shaped here;
         # see SpanNearQuery docstring for the scoring scope note)
@@ -455,7 +488,8 @@ def compile_query(
         )
     if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery,
                       SpanNearQuery, SpanOrQuery, SpanNotQuery,
-                      SpanPositionRangeQuery, IntervalQuery,
+                      SpanPositionRangeQuery, SpanContainingQuery,
+                      SpanWithinQuery, IntervalQuery,
                       PointRangeQuery, MultiDimPointRangeQuery,
                       LatLonDistanceQuery, LatLonPolygonQuery,
                       FunctionRangeQuery, FieldTermQuery,

@@ -158,6 +158,53 @@ def span_first(match, end: int) -> SpanPositionRangeQuery:
     return SpanPositionRangeQuery(match, 0, end)
 
 
+@dataclass(frozen=True)
+class SpanContainingQuery(Query):
+    """SpanContainingQuery (L/search/spans/SpanContainingQuery.java:30,
+    ContainSpans.java twoPhaseCurrentDocMatches): emit the spans of
+    ``big`` that CONTAIN at least one span of ``little`` — big
+    [bs, be) contains little [ls, le) iff bs <= ls and le <= be.
+    ``big`` is an ordered SpanNearQuery (or a single term clause);
+    ``little`` is a term clause (str | SpanOrQuery | SpanNotQuery).
+    A SpanPositionRangeQuery wrapper filters the EMITTED (big) spans,
+    which is what distinguishes this from SpanWithinQuery at the
+    document level."""
+
+    big: object     # SpanNearQuery(in_order=True) | str | SpanOrQuery | SpanNotQuery
+    little: object  # str | SpanOrQuery | SpanNotQuery
+
+    def near(self) -> "SpanNearQuery":
+        b = self.big
+        if isinstance(b, SpanNearQuery):
+            return b
+        return SpanNearQuery((b,), slop=0, in_order=True)
+
+    def __str__(self) -> str:
+        return f"spanContaining({self.big}, {self.little})"
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery(Query):
+    """SpanWithinQuery (L/search/spans/SpanWithinQuery.java:31,
+    ContainSpans with the little side as the source spans): emit the
+    spans of ``little`` that lie WITHIN a span of ``big``.  Matches the
+    same documents as SpanContainingQuery(big, little) when standalone;
+    under a SpanPositionRangeQuery wrapper the range applies to the
+    emitted (little) spans, so the two differ observably."""
+
+    big: object
+    little: object
+
+    def near(self) -> "SpanNearQuery":
+        b = self.big
+        if isinstance(b, SpanNearQuery):
+            return b
+        return SpanNearQuery((b,), slop=0, in_order=True)
+
+    def __str__(self) -> str:
+        return f"spanWithin({self.big}, {self.little})"
+
+
 # ---- minimal-interval family (lucene/queries/.../intervals) ----
 # Sources form a tree; a plain ``str`` is shorthand for ITerm.  The
 # engine evaluates MINIMAL intervals per document (an interval is

@@ -557,6 +557,69 @@ def test_span_first_and_position_range(engine):
     assert sorted(got.doc_ids.tolist()) == sorted(docs_at_0)
 
 
+def test_span_containing_and_within(engine):
+    """SpanContainingQuery / SpanWithinQuery: engine == brute-force
+    oracle across operand shapes, standalone and inside booleans, and
+    with a SpanPositionRangeQuery wrapper on either emitted side."""
+    searcher, oi = engine
+    big = Q.SpanNearQuery(("public", "return"), slop=6)
+    queries = [
+        Q.SpanContainingQuery(big, "static"),
+        Q.SpanWithinQuery(big, "static"),
+        Q.SpanContainingQuery(big, Q.SpanOrQuery(("static", "import"))),
+        Q.SpanWithinQuery(big, Q.SpanOrQuery(("static", "import"))),
+        Q.SpanContainingQuery(
+            Q.SpanNearQuery(("public", "static", "return"), slop=10), "int"
+        ),
+        Q.SpanContainingQuery("public", "public"),
+        Q.SpanWithinQuery(big, Q.SpanNotQuery("static", "void", pre=1, post=1)),
+        Q.SpanPositionRangeQuery(Q.SpanContainingQuery(big, "static"), 0, 40),
+        Q.SpanPositionRangeQuery(Q.SpanWithinQuery(big, "static"), 0, 40),
+    ]
+    for q in queries:
+        assert_identical(searcher, oi, q)
+        b = Q.Builder()
+        b.add(q, Q.Occur.MUST)
+        b.add(Q.TermQuery("class"), Q.Occur.MUST_NOT)
+        assert_identical(searcher, oi, b.build())
+    # standalone (unranged) containing and within match the SAME docs —
+    # only the emitted spans differ (ContainSpans both sides match doc)
+    n_c = searcher.count(Q.SpanContainingQuery(big, "static"))
+    n_w = searcher.count(Q.SpanWithinQuery(big, "static"))
+    assert n_c == n_w
+    # containment is a subset of the plain near hit set
+    assert n_c <= searcher.count(big)
+
+
+def test_span_containment_range_distinguishes(spark, tmpdir_path):
+    """Under a position range the two containment queries differ: the
+    range filters BIG spans for containing but LITTLE spans for within
+    (ContainSpans wraps the emitted side).  Micro corpus: 'alpha gamma
+    beta' has the big span [0,2] covering gamma@1, so range [0,2)
+    rejects the big span (containing: no hit) but accepts the little
+    one (within: hit)."""
+    docs = spark.createDataFrame(
+        [
+            ("r", "a.txt", "c1", "txt", "alpha gamma beta"),
+            ("r", "b.txt", "c1", "txt", "gamma alpha beta"),
+            ("r", "c.txt", "c1", "txt", "alpha beta gamma"),
+        ],
+        schema="repo string, path string, commit string, lang string, "
+               "content string",
+    )
+    build_index(spark, docs, tmpdir_path, EngineConfig(segment_size=64),
+                resume=False)
+    s = IndexSearcher(spark, tmpdir_path)
+    big = Q.SpanNearQuery(("alpha", "beta"), slop=3)
+    base_c = Q.SpanContainingQuery(big, "gamma")
+    base_w = Q.SpanWithinQuery(big, "gamma")
+    # only doc a has gamma inside an alpha..beta span
+    assert s.count(base_c) == 1 and s.count(base_w) == 1
+    assert s.count(Q.SpanPositionRangeQuery(base_c, 0, 2)) == 0
+    assert s.count(Q.SpanPositionRangeQuery(base_w, 0, 2)) == 1
+    assert s.count(Q.SpanPositionRangeQuery(base_c, 0, 3)) == 1
+
+
 def test_classic_similarity_rank_identity(engine):
     """ClassicSimilarity (TF-IDF, sqrt-tf * idf^cls / sqrt(len)):
     pruned engine == brute-force oracle, bitwise float32, across the
