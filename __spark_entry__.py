@@ -1514,6 +1514,8 @@ def _q_suggest(spark, sf_dir):
         suggest_fuzzy,
         suggest_infix,
         suggest_prefix,
+        suggest_word_breaks,
+        suggest_word_combinations,
     )
 
     s = _searcher(spark, sf_dir)
@@ -1535,7 +1537,19 @@ def _q_suggest(spark, sf_dir):
         F.lit("collate").alias("variant"), "rank",
         F.col("collation").alias("term"), F.col("hits").alias("df"),
     )
-    return pre.unionByName(inf).unionByName(fuz).unionByName(col)
+    # "wordbreak"/"wordcombine": WordBreakSpellChecker — run-together
+    # word split into two dictionary words / adjacent fragments whose
+    # concatenation is a dictionary word (at least one fragment absent)
+    brk = suggest_word_breaks(s, "datajoin", k=10).select(
+        F.lit("wordbreak").alias("variant"), "rank", "term", "df"
+    )
+    cmb = suggest_word_combinations(s, ["dat", "a", "joi", "n"], k=10).select(
+        F.lit("wordcombine").alias("variant"), "rank", "term", "df"
+    )
+    return (
+        pre.unionByName(inf).unionByName(fuz).unionByName(col)
+        .unionByName(brk).unionByName(cmb)
+    )
 
 
 def _q_tfidf_topk(spark, sf_dir):
@@ -1997,7 +2011,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM td
                   WHERE term != 'vectr' AND levenshtein(term, 'vectr') <= 2
                   ORDER BY r LIMIT 5) c)
-              WHERE hits > 0 ORDER BY r LIMIT 3)""",
+              WHERE hits > 0 ORDER BY r LIMIT 3)
+            UNION ALL
+            SELECT 'wordbreak', rank, term, df FROM (
+              SELECT CAST(row_number() OVER (
+                       ORDER BY greatest(a.df, b.df) DESC, length(a.term)
+                     ) AS INT) AS rank,
+                     a.term || ' ' || b.term AS term,
+                     greatest(a.df, b.df) AS df
+              FROM td a JOIN td b
+                ON substr('datajoin', 1, length(a.term)) = a.term
+               AND b.term = substr('datajoin', length(a.term) + 1)
+              WHERE length(a.term) < 8
+                AND NOT EXISTS (SELECT 1 FROM td w WHERE w.term = 'datajoin')
+              ORDER BY greatest(a.df, b.df) DESC, length(a.term) LIMIT 10)
+            UNION ALL
+            SELECT 'wordcombine', rank, term, df FROM (
+              SELECT CAST(row_number() OVER (ORDER BY td.df DESC, p.pos) AS INT) AS rank,
+                     p.combined AS term, td.df
+              FROM (VALUES (0, 'dat', 'a', 'data'), (1, 'a', 'joi', 'ajoi'),
+                           (2, 'joi', 'n', 'join')) AS p(pos, l, r, combined)
+              JOIN td ON td.term = p.combined
+              WHERE coalesce((SELECT df FROM td x WHERE x.term = p.l), 0) = 0
+                 OR coalesce((SELECT df FROM td y WHERE y.term = p.r), 0) = 0
+              ORDER BY td.df DESC, p.pos LIMIT 10)""",
         "tfidf_topk": f"""
             WITH toks AS ({_TOKS}),
             lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),

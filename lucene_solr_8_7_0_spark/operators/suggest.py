@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["suggest_prefix", "suggest_infix", "suggest_fuzzy",
-           "collate_spellcheck",
+           "collate_spellcheck", "suggest_word_breaks",
+           "suggest_word_combinations",
            "build_freetext_model", "suggest_freetext", "FREETEXT_ALPHA"]
 
 
@@ -170,6 +171,118 @@ def collate_spellcheck(
                 nxt,
             ))
     return spark.createDataFrame(rows, out_schema)
+
+
+def suggest_word_breaks(
+    searcher,
+    word: str,
+    k: int = 10,
+    min_break_length: int = 1,
+    min_freq: int = 1,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks — lucene/suggest/src/
+    java/org/apache/lucene/search/spell/WordBreakSpellChecker.java:
+    90-122 + generateBreakUpSuggestions :256-292: split a run-together
+    word into TWO dictionary words (maxChanges=1, the default :37),
+    each part >= minBreakWordLength chars (:35) with df >=
+    minSuggestionFrequency (:34); SUGGEST_WHEN_NOT_IN_INDEX returns
+    nothing when the input itself is indexed (:110-112); ranked
+    NUM_CHANGES_THEN_MAX_FREQUENCY (:100, the default) — changes are
+    constant here so the order is max(part df) desc, split position
+    asc as the deterministic tie-break.
+
+    Spark-first shape: the left parts are ONE pushed-down termdict
+    scan (term is a prefix of ``word`` — at most len(word) rows), the
+    right-part lookup is a broadcast hash join of that tiny set back
+    against the termdict on exact term; no driver-side term list.
+    Returns (rank, term "left right", df = max part df)."""
+    from pyspark.sql import Window
+
+    spark = searcher.spark
+    out_schema = "rank int, term string, df bigint"
+    if searcher._term_stats({word}).get(word, (0, 0))[0] > 0:
+        return spark.createDataFrame([], out_schema)
+    td = searcher.termdict
+    lit_w = F.lit(word)
+    lefts = (
+        td.filter(
+            (F.length("term") >= min_break_length)
+            & (F.length("term") <= len(word) - min_break_length)
+            & (lit_w.substr(F.lit(1), F.length("term")) == F.col("term"))
+            & (F.col("df") >= min_freq)
+        )
+        .select(
+            F.col("term").alias("left"),
+            F.col("df").alias("df_l"),
+            lit_w.substr(
+                F.length("term") + F.lit(1), F.lit(len(word))
+            ).alias("right"),
+        )
+    )
+    cand = td.select(
+        F.col("term").alias("right"), F.col("df").alias("df_r")
+    ).filter(F.col("df_r") >= min_freq).join(F.broadcast(lefts), "right")
+    order = [
+        F.greatest("df_l", "df_r").desc(), F.length("left").asc(),
+    ]
+    top = cand.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            F.concat_ws(" ", "left", "right").alias("term"),
+            F.greatest("df_l", "df_r").cast("bigint").alias("df"),
+        )
+        .orderBy("rank")
+    )
+
+
+def suggest_word_combinations(
+    searcher,
+    terms: list[str],
+    k: int = 10,
+    min_freq: int = 1,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations (:159-255):
+    adjacent input terms (maxChanges=1 => pairs, :197) whose
+    CONCATENATION is a dictionary word with df >= minSuggestionFrequency
+    (:221); SUGGEST_WHEN_NOT_IN_INDEX requires at least one of the two
+    parts to be absent from the index (minFreq == 0 gate, :219-220);
+    ranked combinations-then-freq (:175 CombinationsThenFreqComparator)
+    — combination count is constant 1 here, so combined df desc, pair
+    position asc.  Returns (rank, term = combined word, df).
+
+    Spark-first: the pair list is a tiny broadcast table joined against
+    the termdict on the combined term — one hash join, no collect of
+    the dictionary."""
+    from pyspark.sql import Window
+
+    spark = searcher.spark
+    dfs = searcher._term_stats(set(terms))
+    pairs = [
+        (i, terms[i] + terms[i + 1])
+        for i in range(len(terms) - 1)
+        if min(dfs.get(terms[i], (0, 0))[0],
+               dfs.get(terms[i + 1], (0, 0))[0]) == 0
+    ]
+    if not pairs:
+        return spark.createDataFrame([], "rank int, term string, df bigint")
+    pairs_df = spark.createDataFrame(pairs, "pos int, combined string")
+    order = [F.col("df").desc(), F.col("pos").asc()]
+    cand = (
+        searcher.termdict.select(F.col("term").alias("combined"), "df")
+        .filter(F.col("df") >= min_freq)
+        .join(F.broadcast(pairs_df), "combined")
+    )
+    top = cand.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", F.col("combined").alias("term"),
+                F.col("df").cast("bigint").alias("df"))
+        .orderBy("rank")
+    )
 
 
 # ---- FreeTextSuggester: n-gram language model with stupid backoff ----

@@ -111,6 +111,46 @@ def test_collate_spellcheck(idx):
     assert collate_spellcheck(idx, ["zzzzqqqq", "return"]).count() == 0
 
 
+def test_word_break_spellchecker(idx):
+    """WordBreakSpellChecker analog: breaks recomputed in pandas (two
+    dictionary parts, max-part-df desc, split position asc) and the
+    SUGGEST_WHEN_NOT_IN_INDEX gates on both directions."""
+    from lucene_solr_8_7_0_spark.operators.suggest import (
+        suggest_word_breaks,
+        suggest_word_combinations,
+    )
+
+    td = idx.termdict.toPandas()
+    dfs = dict(zip(td["term"], td["df"]))
+    # pick a run-together pair that is NOT itself a token
+    parts = sorted(dfs, key=lambda t: -dfs[t])[:2]
+    word = parts[0] + parts[1]
+    assert word not in dfs
+    exp = []
+    for i in range(1, len(word)):
+        l, r = word[:i], word[i:]
+        if l in dfs and r in dfs:
+            exp.append((f"{l} {r}", max(dfs[l], dfs[r]), i))
+    exp.sort(key=lambda x: (-x[1], x[2]))
+    got = suggest_word_breaks(idx, word, k=10).collect()
+    assert [(r["term"], r["df"]) for r in got] == [e[:2] for e in exp]
+    assert len(got) >= 1
+    # an indexed word yields NO break suggestions
+    assert suggest_word_breaks(idx, parts[0], k=10).count() == 0
+
+    # combinations: fragments of an indexed word combine back to it;
+    # the pair gate needs at least one fragment absent from the index
+    w0 = parts[0]
+    frag = (w0[: len(w0) // 2], w0[len(w0) // 2 :])
+    rows = suggest_word_combinations(idx, list(frag), k=10).collect()
+    if frag[0] in dfs and frag[1] in dfs:
+        assert rows == []  # both parts indexed -> gate closes
+    else:
+        assert [(r["term"], r["df"]) for r in rows] == [(w0, dfs[w0])]
+    # a pair whose concatenation is not a term yields nothing
+    assert suggest_word_combinations(idx, ["zzz", "qqq"], k=5).count() == 0
+
+
 def test_group_topk(idx, spark):
     out = group_topk(idx, Q.TermQuery("public"), "lang",
                      k_groups=2, per_group=2).toPandas()
