@@ -747,6 +747,19 @@ _ENG_AUG_SQL = (
 )
 
 
+# HTMLStripCharFilter fixture: markup appended to every doc.  The
+# stripped text contributes exactly the tokens kept/tagged/end/done;
+# any strip failure leaks tag/attribute/script/style/entity tokens
+# (div, d1, zapc, zaps, var, td, red, lt, gt, ...) into the
+# fingerprint.  No single quotes or braces (the oracle embeds this in
+# an f-string SQL literal).
+_HTML_AUG = (
+    ' <div id="d1">kept</div> <b>tagged</b> <!-- zapc -->'
+    ' <script type="t">var zaps = 1;</script>'
+    ' <style>td .red</style> &lt;end&gt; done'
+)
+
+
 def _porter_case_sql() -> str:
     """tok -> stem as a SQL CASE over the corpus + augmentation
     vocabulary.  Like the std-analyzer oracle reusing the engine's
@@ -874,8 +887,24 @@ def _q_analysis_chain(spark, sf_dir):
             F.concat_ws(" ", F.array_sort(F.collect_set("term")))
         ).alias("val")
     ).select(F.lit("gram_fp").alias("variant"), "doc_id", "val")
+    # html_fp: HTMLStripCharFilter parity — docs wrapped in markup
+    # (tags, comment, script/style blocks, entities), stripped by the
+    # engine's char-filter pipeline, replayed by an independent DuckDB
+    # regexp/replace chain; any tag/entity token leaking through flips
+    # the per-doc fingerprint
+    html_cfg = EngineConfig(analyzer="simple", html_strip=True,
+                            index_positions=False)
+    html_docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_HTML_AUG)).alias("content")
+    )
+    html_postings, _ = split_postings(invert(html_docs, html_cfg))
+    html = html_postings.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.collect_set("term")))
+        ).alias("val")
+    ).select(F.lit("html_fp").alias("variant"), "doc_id", "val")
     return (shingle.unionByName(pm).unionByName(fp).unionByName(fold)
-            .unionByName(gram))
+            .unionByName(gram).unionByName(html))
 
 
 def _q_queries_module_topk(spark, sf_dir):
@@ -2432,6 +2461,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents) t,
                  (SELECT unnest(generate_series(2, 4)) AS n) g
             WHERE length(tok) >= n
+            GROUP BY doc_id
+            UNION ALL
+            -- html_fp: strip comments, script/style blocks, tags, then
+            -- decode named entities (&amp; LAST = single-decode), then
+            -- simple-tokenize — an independent RE2 instantiation of
+            -- the engine's char-filter pipeline
+            SELECT 'html_fp', doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       array_agg(tok))), ' '))
+            FROM (SELECT doc_id, unnest(regexp_extract_all(lower(
+                    replace(replace(replace(replace(replace(replace(
+                      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                        text || '{_HTML_AUG.replace("'", "''")}',
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                        '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                        '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                        '(?s)<[/!?]?[a-zA-Z][^>]*>', ' ', 'g'),
+                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                      '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')),
+                    '[a-z0-9_]+')) AS tok
+                  FROM documents)
             GROUP BY doc_id""",
         "queries_module_topk": f"""
             WITH toks AS ({_TOKS}),

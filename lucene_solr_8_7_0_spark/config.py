@@ -57,6 +57,12 @@ class EngineConfig:
     # ASCIIFoldingFilter.java): fold accented Latin to ASCII after the
     # analyzer's own case handling.  Python tokenize backend only.
     ascii_folding: bool = False
+    # HTMLStripCharFilter analog (analysis/common/.../charfilter/
+    # HTMLStripCharFilter.java): strip tags/comments/script/style and
+    # decode named entities BEFORE tokenization (a CharFilter sits
+    # under the tokenizer).  Supported by both the JVM and the Python
+    # tokenize backends (functions/analysis.HTML_STRIP_STEPS).
+    html_strip: bool = False
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     index_positions: bool = True
     # opt-in character-offset store (the .pay / offsets tier,

@@ -393,7 +393,58 @@ def fold_series(terms: pd.Series) -> pd.Series:
     return terms.map(lut)
 
 
-def jvm_token_array(content_col: str, analyzer: str):
+# ---- HTMLStripCharFilter (lucene/analysis/common/src/java/org/
+# apache/lucene/analysis/charfilter/HTMLStripCharFilter.java) ----
+# The reference is a generated scanner (HTMLStripCharFilter.jflex)
+# that removes comments, script/style blocks, and tags, and decodes
+# character entities, in ONE left-to-right pass.  The rebuild is an
+# ordered regex pipeline with the same single-decode property: blocks
+# and tags are removed first (replaced by a space, preserving token
+# breaks), then named entities decode — '&amp;' LAST, so '&amp;lt;'
+# yields the literal text '&lt;' exactly like the one-pass scanner.
+# Scope note: the named-entity subset below (+ no numeric entities) is
+# an honest partial of the jflex HTML-4 table; all patterns are
+# engine-neutral (identical semantics in Java regex, Python re, and
+# DuckDB RE2).
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<[/!?]?[a-zA-Z][^>]*>", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&apos;", "'"),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+)
+
+
+def html_strip(text: str) -> str:
+    """Scalar/pandas-path HTMLStripCharFilter (see HTML_STRIP_STEPS)."""
+    for pat, repl in HTML_STRIP_STEPS:
+        text = re.sub(pat, repl, text)
+    return text
+
+
+def html_strip_series(texts: pd.Series) -> pd.Series:
+    for pat, repl in HTML_STRIP_STEPS:
+        texts = texts.str.replace(pat, repl, regex=True)
+    return texts
+
+
+def jvm_html_strip(col):
+    """HTMLStripCharFilter as a JVM Column expression — the same
+    ordered regexp_replace pipeline, whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    for pat, repl in HTML_STRIP_STEPS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def jvm_token_array(content_col: str, analyzer: str,
+                    html_strip: bool = False):
     """Tokenization as a JVM Column (array<string>) — whole-stage
     codegen, zero Python.  This is the hot-path tokenizer: Python
     workers pay the VM's serialized allocation path per batch, while
@@ -410,17 +461,20 @@ def jvm_token_array(content_col: str, analyzer: str):
     length pre-lowercase."""
     from pyspark.sql import functions as F
 
+    src = F.col(content_col)
+    if html_strip:
+        src = jvm_html_strip(src)
     if analyzer == "simple":
         return F.regexp_extract_all(
-            F.lower(F.col(content_col)), F.lit(SIMPLE_TOKEN_RE.pattern), F.lit(0)
+            F.lower(src), F.lit(SIMPLE_TOKEN_RE.pattern), F.lit(0)
         )
     if analyzer == "standard":
         return F.regexp_extract_all(
-            F.col(content_col), F.lit(JAVA_STANDARD_TOKEN_PATTERN), F.lit(0)
+            src, F.lit(JAVA_STANDARD_TOKEN_PATTERN), F.lit(0)
         )
     if analyzer == "shingle":
         toks = F.regexp_extract_all(
-            F.lower(F.col(content_col)), F.lit(SIMPLE_TOKEN_RE.pattern), F.lit(0)
+            F.lower(src), F.lit(SIMPLE_TOKEN_RE.pattern), F.lit(0)
         )
         n1 = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
         return F.zip_with(
@@ -432,10 +486,10 @@ def jvm_token_array(content_col: str, analyzer: str):
         # (?U) = Unicode character classes, matching Python's
         # str.split() / Java Character.isWhitespace semantics
         return F.array_remove(
-            F.split(F.col(content_col), F.lit(r"(?U)\s+")), ""
+            F.split(src, F.lit(r"(?U)\s+")), ""
         )
     if analyzer == "keyword":
-        c = F.col(content_col)
+        c = src
         return F.when(
             c.isNotNull() & (c != ""), F.array(c)
         ).otherwise(F.array().cast("array<string>"))
@@ -443,7 +497,7 @@ def jvm_token_array(content_col: str, analyzer: str):
     if base in ("ngram", "edge_ngram"):
         mn, mx = _gram_spec(analyzer)
         toks = F.regexp_extract_all(
-            F.lower(F.col(content_col)), F.lit(SIMPLE_TOKEN_RE.pattern), F.lit(0)
+            F.lower(src), F.lit(SIMPLE_TOKEN_RE.pattern), F.lit(0)
         )
         empty = F.array().cast("array<string>")
         if base == "edge_ngram":
@@ -523,6 +577,7 @@ def analyze_batch(
     max_token_length: int = 255,
     stopwords=(),
     ascii_folding: bool = False,
+    html_strip: bool = False,
 ) -> TokenBatch:
     """Tokenize a batch of documents into flat columnar token arrays.
 
@@ -534,6 +589,9 @@ def analyze_batch(
     field length.  Filtering runs AFTER LowerCaseFilter, matching
     StandardAnalyzer's chain order."""
     n = len(texts)
+    if html_strip:
+        # CharFilter: runs under the tokenizer, on the raw text
+        texts = html_strip_series(texts.fillna(""))
     token_lists = _extract(texts, analyzer)
     counts = token_lists.str.len().to_numpy(dtype=np.int64)
     total = int(counts.sum())
@@ -583,11 +641,11 @@ def analyze_batch(
 
 def tokenize_text(
     text: str, analyzer: str = "standard", max_token_length: int = 255,
-    stopwords=(), ascii_folding: bool = False,
+    stopwords=(), ascii_folding: bool = False, html_strip: bool = False,
 ) -> list[str]:
     """Convenience scalar path (query analysis, tests)."""
     batch = analyze_batch(pd.Series([text]), analyzer, max_token_length,
-                          stopwords, ascii_folding)
+                          stopwords, ascii_folding, html_strip)
     return batch.terms.tolist()
 
 

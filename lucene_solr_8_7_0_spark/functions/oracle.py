@@ -79,7 +79,7 @@ def build_oracle_index(docs_pdf: pd.DataFrame, cfg: EngineConfig | None = None) 
     docs_pdf = docs_pdf.sort_values("doc_id", ignore_index=True)
     tb = analyze_batch(
         docs_pdf["content"], cfg.analyzer, cfg.max_token_length,
-        tuple(cfg.stopwords),
+        tuple(cfg.stopwords), cfg.ascii_folding, cfg.html_strip,
     )
     doc_ids = docs_pdf["doc_id"].to_numpy(dtype=np.int64)
     tok_docs = doc_ids[tb.doc_idx]

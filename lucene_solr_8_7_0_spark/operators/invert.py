@@ -36,11 +36,12 @@ def invert(docs: DataFrame, cfg: EngineConfig, content_col: str = "content") -> 
     index_positions = cfg.index_positions
     stopwords = tuple(cfg.stopwords)
     folding = cfg.ascii_folding
+    strip_html = cfg.html_strip
 
     def run(batches):
         for pdf in batches:
             tb = analyze_batch(pdf[content_col], analyzer, max_len,
-                               stopwords, folding)
+                               stopwords, folding, strip_html)
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             if len(tb.terms) == 0:
                 agg = pd.DataFrame(
@@ -113,7 +114,11 @@ def invert_doc_arrays(
     marker rows."""
     from ..functions.analysis import jvm_token_array
 
-    toks = F.coalesce(jvm_token_array(content_col, cfg.analyzer), F.array())
+    toks = F.coalesce(
+        jvm_token_array(content_col, cfg.analyzer,
+                        html_strip=cfg.html_strip),
+        F.array(),
+    )
     structs = F.transform(
         toks, lambda x, i: F.struct(x.alias("t"), i.alias("p"))
     )
@@ -162,7 +167,11 @@ def invert_tokens(
     the RAW token, then lowercase, then the stop set."""
     from ..functions.analysis import jvm_token_array
 
-    toks = F.coalesce(jvm_token_array(content_col, cfg.analyzer), F.array())
+    toks = F.coalesce(
+        jvm_token_array(content_col, cfg.analyzer,
+                        html_strip=cfg.html_strip),
+        F.array(),
+    )
     exploded = docs.select(
         "doc_id",
         F.posexplode(F.concat(toks, F.array(F.lit(DOC_MARKER)))).alias(

@@ -112,6 +112,54 @@ def test_jvm_token_pattern_equivalence(spark):
         assert STANDARD_TOKEN_RE.findall(s) == j, (s, j)
 
 
+def test_html_strip_char_filter(spark):
+    """HTMLStripCharFilter analog: golden strip cases, the single-
+    decode entity property, and JVM == Python parity (the char filter
+    runs identically in the build's codegen path and the Arrow
+    tokenize path)."""
+    import pandas as pd
+
+    from lucene_solr_8_7_0_spark.functions.analysis import (
+        html_strip,
+        jvm_html_strip,
+        tokenize_text,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("<p>hello <b>world</b></p>", " hello  world  "),
+        ("a <!-- note --> b", "a   b"),
+        ("x <script>var y = '<p>';</script> z", "x   z"),
+        ("x <style>p .red</style> y", "x   y"),
+        ("cost &lt; 5 &amp; found", "cost < 5 & found"),
+        # single decode: &amp;lt; is the literal text "&lt;", not "<"
+        ("&amp;lt;tag&amp;gt;", "&lt;tag&gt;"),
+        ("<a href=\"u?x=1&amp;y=2\">link</a>", " link "),
+        ("<!DOCTYPE html><HTML>Hi</HTML>", "  Hi "),
+        ("plain text < 42 stays", "plain text < 42 stays"),
+    ]
+    for raw, want in cases:
+        assert html_strip(raw) == want, raw
+    # tokenizer-level: markup contributes no tokens
+    toks = tokenize_text(
+        "<div id=\"x\">data <b>join</b></div> &lt;end&gt;",
+        "simple", html_strip=True,
+    )
+    assert toks == ["data", "join", "end"]
+    # JVM parity on the golden cases + doc-like strings
+    strs = [raw for raw, _ in cases] + [
+        "<table><tr><td>a</td></tr></table>",
+        "no markup at all",
+        "<sCrIpT>hidden()</sCrIpT> shown",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"content": strs}))
+    jvm = [
+        r["s"]
+        for r in df.select(jvm_html_strip(F.col("content")).alias("s")).collect()
+    ]
+    assert jvm == [html_strip(s) for s in strs]
+
+
 def test_reference_language_golden_cases():
     """The FULL TestStandardAnalyzer.java language case list (module
     docstring documents the known gaps: emoji, Hebrew gershayim,
