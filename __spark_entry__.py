@@ -759,6 +759,11 @@ _HTML_AUG = (
     ' <style>td .red</style> &lt;end&gt; done'
 )
 
+# WordDelimiterGraphFilter fixture: compounds exercising every default
+# split rule (case change, acronym tail, letter-digit both ways); no
+# apostrophes (SQL literal).
+_WD_AUG = " PowerShot500 dataJoin HTTPServer j2se XL42"
+
 
 def _porter_case_sql() -> str:
     """tok -> stem as a SQL CASE over the corpus + augmentation
@@ -903,8 +908,21 @@ def _q_analysis_chain(spark, sf_dir):
             F.concat_ws(" ", F.array_sort(F.collect_set("term")))
         ).alias("val")
     ).select(F.lit("html_fp").alias("variant"), "doc_id", "val")
+    # wdgf_fp: WordDelimiterGraphFilter parity — camel/alnum compounds
+    # appended, split by the engine's boundary-insertion chain,
+    # replayed by an independent RE2 capture-replace chain in DuckDB
+    wd_cfg = EngineConfig(analyzer="word_delimiter", index_positions=False)
+    wd_docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_WD_AUG)).alias("content")
+    )
+    wd_postings, _ = split_postings(invert(wd_docs, wd_cfg))
+    wd = wd_postings.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.collect_set("term")))
+        ).alias("val")
+    ).select(F.lit("wdgf_fp").alias("variant"), "doc_id", "val")
     return (shingle.unionByName(pm).unionByName(fp).unionByName(fold)
-            .unionByName(gram).unionByName(html))
+            .unionByName(gram).unionByName(html).unionByName(wd))
 
 
 def _q_queries_module_topk(spark, sf_dir):
@@ -2481,6 +2499,25 @@ def oracle_sql() -> dict[str, str]:
                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                       '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')),
                     '[a-z0-9_]+')) AS tok
+                  FROM documents)
+            GROUP BY doc_id
+            UNION ALL
+            -- wdgf_fp: possessive strip then boundary insertion at
+            -- case-change / acronym / letter-digit seams, then
+            -- [a-z0-9]+ tokenize — same ordered steps as the engine
+            SELECT 'wdgf_fp', doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       array_agg(tok))), ' '))
+            FROM (SELECT doc_id, unnest(regexp_extract_all(lower(
+                    regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(
+                      text || '{_WD_AUG}',
+                      '''[sS]\\b', '', 'g'),
+                      '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+                      '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g'),
+                      '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+                      '([0-9])([A-Za-z])', '\\1 \\2', 'g')),
+                    '[a-z0-9]+')) AS tok
                   FROM documents)
             GROUP BY doc_id""",
         "queries_module_topk": f"""

@@ -324,6 +324,7 @@ ANALYZERS = {
     "english": "english",
     "ngram": "ngram",
     "edge_ngram": "edge_ngram",
+    "word_delimiter": "word_delimiter",
 }
 
 #: analyzers whose full chain runs as a JVM Column expression
@@ -331,7 +332,52 @@ ANALYZERS = {
 #: Parameterized analyzers ("ngram:2:3") match by their base name —
 #: test membership with ``analyzer_base(a) in JVM_ANALYZERS``.
 JVM_ANALYZERS = frozenset({"standard", "simple", "whitespace", "keyword",
-                           "shingle", "ngram", "edge_ngram"})
+                           "shingle", "ngram", "edge_ngram",
+                           "word_delimiter"})
+
+
+# ---- WordDelimiterGraphFilter (lucene/analysis/common/src/java/org/
+# apache/lucene/analysis/miscellaneous/WordDelimiterGraphFilter.java,
+# default flags GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS |
+# SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS | STEM_ENGLISH_POSSESSIVE;
+# catenate/preserve-original off) ----
+# The reference's WordDelimiterIterator walks each token classifying
+# chars and emits parts at delimiter / case-change / letter-digit
+# boundaries.  The rebuild inserts an explicit break at each boundary
+# FIRST (capture-group replaces — deliberately lookahead-free so the
+# identical patterns run under java.util.regex, Python re, and the
+# oracle's RE2, which has no lookahead), then tokenizes [a-z0-9]+ over
+# the lowered text ('_' and intra-word punctuation are delimiters
+# here, unlike the standard grammar).  Each emitted part consumes one
+# position, exactly like the filter's posInc=1 parts with
+# PRESERVE_ORIGINAL off.  Replacements use Python \N backref syntax;
+# _wd_repl_jvm renders the $N form Spark's regexp_replace expects.
+WORD_DELIM_STEPS: tuple[tuple[str, str], ...] = (
+    (r"'[sS]\b", ""),                    # stemEnglishPossessive
+    (r"([a-z0-9])([A-Z])", r"\1 \2"),    # case change lower->UPPER
+    (r"([A-Z])([A-Z][a-z])", r"\1 \2"),  # acronym tail: HTTPServer
+    (r"([A-Za-z])([0-9])", r"\1 \2"),    # splitOnNumerics
+    (r"([0-9])([A-Za-z])", r"\1 \2"),
+)
+
+
+def word_delimiter_pre(text: str) -> str:
+    """Scalar boundary-insertion pass (see WORD_DELIM_STEPS)."""
+    for pat, repl in WORD_DELIM_STEPS:
+        text = re.sub(pat, repl, text)
+    return text
+
+
+def _wd_repl_jvm(repl: str) -> str:
+    return re.sub(r"\\(\d)", r"$\1", repl)
+
+
+def jvm_word_delimiter_pre(col):
+    from pyspark.sql import functions as F
+
+    for pat, repl in WORD_DELIM_STEPS:
+        col = F.regexp_replace(col, pat, _wd_repl_jvm(repl))
+    return col
 
 
 def analyzer_base(analyzer: str) -> str:
@@ -488,6 +534,11 @@ def jvm_token_array(content_col: str, analyzer: str,
         return F.array_remove(
             F.split(src, F.lit(r"(?U)\s+")), ""
         )
+    if analyzer == "word_delimiter":
+        return F.regexp_extract_all(
+            F.lower(jvm_word_delimiter_pre(src)),
+            F.lit("[a-z0-9]+"), F.lit(0),
+        )
     if analyzer == "keyword":
         c = src
         return F.when(
@@ -554,6 +605,10 @@ def _extract(texts: pd.Series, analyzer: str) -> pd.Series:
         return texts.str.split()
     if analyzer == "keyword":
         return texts.map(lambda t: [t] if t else [])
+    if analyzer == "word_delimiter":
+        for pat, repl in WORD_DELIM_STEPS:
+            texts = texts.str.replace(pat, repl, regex=True)
+        return texts.str.lower().str.findall(r"[a-z0-9]+")
     base = analyzer_base(analyzer)
     if base in ("ngram", "edge_ngram"):
         mn, mx = _gram_spec(analyzer)

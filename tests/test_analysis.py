@@ -160,6 +160,42 @@ def test_html_strip_char_filter(spark):
     assert jvm == [html_strip(s) for s in strs]
 
 
+def test_word_delimiter_analyzer(spark):
+    """WordDelimiterGraphFilter default-flag analog: the reference's
+    own javadoc/test examples (WordDelimiterGraphFilter.java:47-76),
+    plus JVM == Python parity of the whole chain."""
+    import pandas as pd
+
+    from lucene_solr_8_7_0_spark.functions.analysis import (
+        jvm_token_array,
+        tokenize_text,
+    )
+
+    cases = [
+        ("PowerShot", ["power", "shot"]),
+        ("SD500", ["sd", "500"]),
+        ("Wi-Fi", ["wi", "fi"]),
+        ("O'Neil's", ["o", "neil"]),
+        ("HTTPServer", ["http", "server"]),
+        ("j2se", ["j", "2", "se"]),
+        ("super-duper-XL500-42-AutoCoder!", [
+            "super", "duper", "xl", "500", "42", "auto", "coder"]),
+        ("foo_bar baz", ["foo", "bar", "baz"]),
+        ("aAbB", ["a", "ab", "b"]),
+    ]
+    for raw, want in cases:
+        assert tokenize_text(raw, "word_delimiter") == want, raw
+    strs = [raw for raw, _ in cases] + ["", "plain words only", "ABC123def"]
+    df = spark.createDataFrame(pd.DataFrame({"content": strs}))
+    jvm = [
+        r["t"]
+        for r in df.select(
+            jvm_token_array("content", "word_delimiter").alias("t")
+        ).collect()
+    ]
+    assert jvm == [tokenize_text(s, "word_delimiter") for s in strs]
+
+
 def test_reference_language_golden_cases():
     """The FULL TestStandardAnalyzer.java language case list (module
     docstring documents the known gaps: emoji, Hebrew gershayim,
