@@ -416,7 +416,20 @@ def _q_parsed_query(spark, sf_dir):
     simple = _orig_ids(s, s.matches_df(sq)).select(
         F.lit("simple").alias("variant"), "doc_id"
     )
-    return classic.unionByName(simple)
+    # complex_phrase: ComplexPhraseQueryParser — a group slot and a
+    # prefix slot inside a quoted proximity phrase, expanded against
+    # the term dictionary and run as an ordered span-near
+    from lucene_solr_8_7_0_spark.plans.queryparser import (
+        ComplexPhraseQueryParser,
+    )
+
+    cp = ComplexPhraseQueryParser(analyzer="simple").parse(
+        '"(big small) jo*"~2'
+    )
+    cpx = _orig_ids(s, s.matches_df(cp)).select(
+        F.lit("complex_phrase").alias("variant"), "doc_id"
+    )
+    return classic.unionByName(simple).unionByName(cpx)
 
 
 def _q_merged_bool_and(spark, sf_dir):
@@ -2774,7 +2787,22 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
                AND (sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) > 0
                     OR sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) > 0)
-               AND sum(CASE WHEN tok = 'scalar' THEN 1 ELSE 0 END) = 0""",
+               AND sum(CASE WHEN tok = 'scalar' THEN 1 ELSE 0 END) = 0
+            UNION ALL
+            -- complex phrase "(big small) jo*"~2: ordered span-near of
+            -- a two-term group and a dictionary-expanded prefix slot
+            SELECT 'complex_phrase', doc_id FROM (
+              SELECT DISTINCT a.doc_id
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+                           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p
+                    FROM documents) a
+              JOIN (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+                           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p
+                    FROM documents) b USING (doc_id)
+              WHERE a.tok IN ('big', 'small') AND b.tok LIKE 'jo%'
+                AND b.p > a.p AND b.p - a.p - 1 <= 2)""",
         "lang_filter": f"""
             WITH datahits AS (
               SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok = 'data')

@@ -371,6 +371,8 @@ class IndexSearcher:
             return self._build_common_terms(q)
         if isinstance(q, Qs.PhraseWildcardQuery):
             return self._build_phrase_wildcard(q)
+        if isinstance(q, Qs.ComplexPhraseQuery):
+            return self._build_complex_phrase(q)
         if isinstance(q, Qs.BooleanQuery):
             cl = tuple(
                 Qs.BooleanClause(c.occur, self._reader_rewrite(c.query))
@@ -491,6 +493,44 @@ class IndexSearcher:
             # stops expanding, trading recall, never raising :378-392)
             slots.append(tuple(terms[:budget]))
         return Qs.MultiPhraseQuery(tuple(slots))
+
+    def _build_complex_phrase(self, q) -> Query:
+        """ComplexPhraseQuery.rewrite (ComplexPhraseQueryParser.java:
+        263-335): expand each slot's multi-term members against the
+        term dictionary (one pushed-down termdict probe per pattern,
+        same budget discipline as PhraseWildcardQuery) and compile to
+        SpanNearQuery(slop, in_order); a multi-term slot becomes a
+        SpanOrQuery over the union of its members' expansions, an
+        empty expansion an unmatchable phrase (:311-318)."""
+        from ..plans import queries as Qs
+
+        budget = q.max_multi_term_expansions
+        clauses = []
+        for alts in q.slots:
+            terms: list[str] = []
+            for a in alts:
+                if isinstance(a, str):
+                    if a not in terms:
+                        terms.append(a)
+                    continue
+                rows = (
+                    self.termdict.filter(self._mt_cond(a))
+                    .select("term").sort("term").limit(budget + 1).collect()
+                )
+                for t in rw.expand_terms(a, sorted(r["term"] for r in rows)):
+                    if t not in terms:
+                        terms.append(t)
+                terms = terms[:budget]
+            if not terms:
+                return Qs.MatchNoDocsQuery()
+            clauses.append(
+                terms[0] if len(terms) == 1 else Qs.SpanOrQuery(tuple(terms))
+            )
+        if len(clauses) == 1 and isinstance(clauses[0], str):
+            return Qs.TermQuery(clauses[0])
+        return Qs.SpanNearQuery(
+            tuple(clauses), slop=q.slop, in_order=q.in_order
+        )
 
     def _term_lookup(self, q: Query) -> list[str] | None:
         """Driver-side probe of the term dictionary for a multi-term

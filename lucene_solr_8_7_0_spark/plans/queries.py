@@ -159,6 +159,53 @@ def span_first(match, end: int) -> SpanPositionRangeQuery:
 
 
 @dataclass(frozen=True)
+class ComplexPhraseQuery(Query):
+    """ComplexPhraseQueryParser's phrase IR (lucene/queryparser/src/
+    java/org/apache/lucene/queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java:224-335 ComplexPhraseQuery.rewrite):
+    a phrase whose slots may be multi-term sub-queries or alternative
+    groups; the reader-dependent rewrite expands each slot against the
+    term dictionary (under the shared expansion budget, like
+    PhraseWildcardQuery) and compiles the result to
+    SpanNearQuery(slots, slop, in_order) — each multi-slot becoming a
+    SpanOrQuery (:335 "new SpanNearQuery(allSpanClauses, slopFactor,
+    inOrder)"), an empty expansion becoming an unmatchable clause
+    (:311-318 dummy term).  Negative (MUST_NOT) phrase elements are
+    out of scope, documented.
+
+    ``slots``: tuple of alternative-tuples; each alternative is a
+    literal term (str) or a multi-term Query (Prefix/Wildcard/Regexp/
+    Fuzzy/TermRange/TermInSet)."""
+
+    slots: tuple
+    slop: int = 0
+    in_order: bool = True
+    max_multi_term_expansions: int = 32
+
+    def __post_init__(self):
+        if not self.slots:
+            raise ValueError("phrase needs at least one slot")
+        for alts in self.slots:
+            if not alts:
+                raise ValueError("empty alternative group")
+            for a in alts:
+                if not isinstance(a, (str, PrefixQuery, WildcardQuery,
+                                      RegexpQuery, TermRangeQuery,
+                                      TermInSetQuery, FuzzyQuery)):
+                    raise TypeError(
+                        f"bad phrase slot member {a!r}: want str or "
+                        "multi-term query"
+                    )
+
+    def __str__(self) -> str:
+        return 'complexPhrase"' + " ".join(
+            "(" + " ".join(str(a) for a in alts) + ")"
+            if len(alts) > 1 else str(alts[0])
+            for alts in self.slots
+        ) + f'"~{self.slop}'
+
+
+@dataclass(frozen=True)
 class SpanContainingQuery(Query):
     """SpanContainingQuery (L/search/spans/SpanContainingQuery.java:30,
     ContainSpans.java twoPhaseCurrentDocMatches): emit the spans of

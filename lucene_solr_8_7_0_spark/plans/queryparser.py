@@ -279,3 +279,74 @@ class QueryParser:
 def parse(s: str, default_field: str = "content",
           analyzer: str = "simple") -> Q.Query:
     return QueryParser(default_field, analyzer).parse(s)
+
+
+class ComplexPhraseQueryParser(QueryParser):
+    """queryparser/complexPhrase/ComplexPhraseQueryParser.java:60-99:
+    the classic grammar, except quoted phrases may embed wildcards,
+    prefixes, fuzzy terms, and parenthesized alternative groups —
+    '"(john jon jonath*) peters*"~2' — compiled to the span IR
+    (ComplexPhraseQuery; the reference re-parses the phrase body and
+    rewrites it to a SpanNearQuery, :224-335).  ``in_order`` mirrors
+    setInOrder (:83).  Out of scope, loudly: ranges and negation
+    INSIDE a phrase (the reference's SpanNot tail), nested groups."""
+
+    def __init__(self, *args, in_order: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.in_order = in_order
+
+    def _phrase_member(self, w: str):
+        """One phrase-body primitive -> str | multi-term Query (the
+        same classification the classic word clause performs)."""
+        m = re.match(r"(.*?)~(\d*)$", w)
+        if m and m.group(1):
+            edits = int(m.group(2)) if m.group(2) else 2
+            base = self._analyze_term(m.group(1))
+            if edits == 0:
+                return base
+            return Q.FuzzyQuery(base, max_edits=min(edits, 2))
+        if "*" in w or "?" in w:
+            lowered = w.lower()
+            if (
+                lowered.endswith("*")
+                and "*" not in lowered[:-1]
+                and "?" not in lowered
+            ):
+                return Q.PrefixQuery(lowered[:-1])
+            return Q.WildcardQuery(lowered)
+        if "(" in w or ")" in w or "[" in w or "]" in w:
+            raise ValueError(
+                f"unsupported phrase element {w!r} (nested groups and "
+                "ranges inside a complex phrase are out of scope)"
+            )
+        return self._analyze_term(w)
+
+    def _parse_clause(self, kind: str, text: str) -> Q.Query:
+        field, body = self._split_field(text)
+        if kind != "phrase" or field is not None:
+            # fielded phrases keep the classic keyword-equality rule
+            return super()._parse_clause(kind, text)
+        m = re.match(r'"([^"]*)"(?:~(\d+))?$', body)
+        if m is None:
+            raise ValueError(f"malformed phrase (unterminated quote?): {text}")
+        content, slop = m.group(1), int(m.group(2) or 0)
+        slots = []
+        for tok in re.finditer(r"\(([^()]*)\)|\S+", content):
+            if tok.group(1) is not None:
+                alts = tuple(
+                    self._phrase_member(w) for w in tok.group(1).split()
+                )
+                if not alts:
+                    raise ValueError("empty group in phrase")
+            else:
+                alts = (self._phrase_member(tok.group()),)
+            slots.append(alts)
+        if not slots:
+            return Q.MatchNoDocsQuery("empty phrase")
+        if len(slots) == 1 and len(slots[0]) == 1 and isinstance(
+            slots[0][0], str
+        ):
+            return Q.TermQuery(slots[0][0])
+        return Q.ComplexPhraseQuery(
+            tuple(slots), slop=slop, in_order=self.in_order
+        )

@@ -620,6 +620,51 @@ def test_span_containment_range_distinguishes(spark, tmpdir_path):
     assert s.count(Q.SpanPositionRangeQuery(base_c, 0, 3)) == 1
 
 
+def test_complex_phrase_parser(engine):
+    """ComplexPhraseQueryParser: wildcard/fuzzy/group slots inside a
+    quoted phrase compile (via the reader-dependent termdict
+    expansion) to the span IR, matching the brute-force oracle on the
+    rewritten tree; plain syntax still parses classic."""
+    from lucene_solr_8_7_0_spark.plans.queryparser import (
+        ComplexPhraseQueryParser,
+    )
+
+    searcher, oi = engine
+    p = ComplexPhraseQueryParser(analyzer="simple")
+    # IR shape: group + prefix + slop
+    q = p.parse('"(public private) ret*"~2')
+    assert isinstance(q, Q.ComplexPhraseQuery)
+    assert q.slop == 2 and q.in_order
+    assert q.slots[0] == ("public", "private")
+    assert isinstance(q.slots[1][0], Q.PrefixQuery)
+    # engine == oracle across phrase shapes (incl. inside a boolean)
+    for s in [
+        '"pub* return"',
+        '"(public private) return"~2',
+        '"public ret?rn"~1',
+        '"public return"~3',
+        '"stat~1 public"~4',
+        '+import +"(public private) return"~2',
+    ]:
+        q = p.parse(s)
+        rq = rewrite(searcher._reader_rewrite(q), searcher._term_lookup)
+        td = searcher.search(q, k=10, total_hits_threshold=1)
+        exp = oracle_search(oi, rq, k=10)
+        assert td.doc_ids.tolist() == exp.doc_ids.tolist(), s
+        np.testing.assert_array_equal(td.scores, exp.scores, err_msg=s)
+    # unordered mode (setInOrder(false)) can only widen the hit set
+    pu = ComplexPhraseQueryParser(analyzer="simple", in_order=False)
+    s = '"return pub*"~3'
+    n_ord = searcher.count(p.parse(s))
+    n_uno = searcher.count(pu.parse(s))
+    assert n_uno >= n_ord
+    # unmatchable slot kills the phrase (dummy-term rule)
+    assert searcher.count(p.parse('"public zzzzqq*"')) == 0
+    # classic fallbacks unchanged
+    assert isinstance(p.parse("lang:de"), Q.FieldTermQuery)
+    assert isinstance(p.parse('"public"'), Q.TermQuery)
+
+
 def test_classic_similarity_rank_identity(engine):
     """ClassicSimilarity (TF-IDF, sqrt-tf * idf^cls / sqrt(len)):
     pruned engine == brute-force oracle, bitwise float32, across the
