@@ -1501,11 +1501,42 @@ def _q_range_filter(spark, sf_dir):
                              include_upper=False),
         Q.Occur.FILTER,
     )
-    return _variant_union(
+    base = _variant_union(
         s, {"index": b1.build(), "dv": b2.build(), "multidim": b3.build(),
             "geo_box": b4.build(), "geo_dist": b5.build(),
             "geo_poly": b6.build(), "frange": b7.build()}
     )
+    # "dv_update": IndexWriter.updateNumericDocValue — a dedicated
+    # index copy gets TWO length updates for docs matching 'dup'
+    # (5000 then 7000; latest generation must win), then the same
+    # pushed-down range scan finds exactly those docs at the updated
+    # value — no reindex, base docmeta untouched
+    from lucene_solr_8_7_0_spark.operators.dvupdates import (
+        read_dv_generation,
+        update_numeric_docvalue,
+    )
+
+    key = hashlib.md5(f"{sf_dir}:dvupd:v1".encode()).hexdigest()[:10]
+    d = f"/tmp/lucene_ps_dvupd_{key}"
+    if key not in _SEARCHERS:
+        cfg = EngineConfig(analyzer="simple", segment_size=256,
+                           index_positions=True)
+        if not os.path.exists(os.path.join(d, "engine_config.json")):
+            build_index(spark, _adapted(spark, sf_dir), d, cfg, resume=False)
+        sd = IndexSearcher(spark, d)
+        if read_dv_generation(d) < 1:
+            update_numeric_docvalue(sd, "dup", "length", 5000.0)
+        if read_dv_generation(d) < 2:
+            update_numeric_docvalue(sd, "dup", "length", 7000.0)
+        _SEARCHERS[key] = IndexSearcher(spark, d)
+    sd = _SEARCHERS[key]
+    b8 = Q.Builder()
+    b8.add(Q.MatchAllDocsQuery(), Q.Occur.MUST)
+    b8.add(Q.PointRangeQuery("length", 6500, 7500), Q.Occur.FILTER)
+    dvu = _orig_ids(sd, sd.matches_df(b8.build())).select(
+        F.lit("dv_update").alias("variant"), "doc_id"
+    )
+    return base.unionByName(dvu)
 
 
 #: the geo_poly contract polygon — a simple pentagon over the synthetic
@@ -2339,6 +2370,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id FROM toks GROUP BY doc_id
               HAVING sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) > 0
                  AND count(*) >= 20)
+            UNION ALL
+            -- dv_update: after length := 5000 then := 7000 for docs
+            -- with 'dup', range [6500, 7500] selects exactly those
+            -- docs (latest generation wins; organic lengths are far
+            -- below the window)
+            SELECT 'dv_update', doc_id FROM (
+              SELECT doc_id FROM toks GROUP BY doc_id
+              HAVING sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) > 0)
             UNION ALL
             SELECT 'multidim', t.doc_id FROM (
               SELECT doc_id FROM toks GROUP BY doc_id

@@ -136,7 +136,7 @@ def _class_stats(searcher, class_field: str):
     classifier's label space), the other two are single aggregate rows
     — the same budget as the reference's countDocsWithClass /
     getTextTermFreqForClass probes."""
-    meta = searcher.spark.read.parquet(searcher.docmeta_path)
+    meta = searcher._docmeta()
     classes = (
         meta.filter(F.col(class_field).isNotNull())
         .groupBy(class_field).agg(F.count("*").alias("df_c"))
@@ -181,7 +181,7 @@ def naive_bayes_classify(
     vocab = [r["term"] for r in tf.select("term").distinct().collect()]
 
     # class-conditional docFreq: one pushed-down postings scan + join
-    meta = spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", F.col(class_field).alias("cls")
     )
     wc = (
@@ -323,7 +323,7 @@ def knn_classify(
         F.lit(1.0)
         + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    meta = spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", quantized_len_col("length").alias("dlen"),
         F.col(class_field).alias("cls"),
     )

@@ -73,7 +73,7 @@ def _scored_with_meta(searcher, query, collapse_field: str, extra: list[str]):
     meta_cols = ["doc_id", "segment_id", collapse_field] + [
         c for c in extra if c not in ("doc_id", "segment_id", collapse_field)
     ]
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(*meta_cols)
+    meta = searcher._docmeta().select(*meta_cols)
     return (
         searcher.score_all_df(query)
         .join(meta, "doc_id")
@@ -210,7 +210,7 @@ def field_stats(searcher, query, field: str) -> DataFrame:
     engine's float-vs-SQL policy).  One partial-agg shuffle, no window.
     """
     hits = searcher.matches_df(query)
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", field
     )
     x = F.col(field).cast("double")
@@ -263,7 +263,7 @@ def pivot_facets(
     set.  Columns named in ``explode_fields`` are ARRAY-typed
     (multi-valued SORTED_SET) and facet per value."""
     hits = searcher.matches_df(query)
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", *fields
     )
     for c in explode_fields:
@@ -483,7 +483,7 @@ def heatmap_facet(
     d_lat = (max_lat - min_lat) / rows
     d_lon = (max_lon - min_lon) / columns
     hits = searcher.matches_df(query)
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", lat_col, lon_col
     )
     pts = hits.join(meta, "doc_id").filter(
@@ -512,7 +512,7 @@ def realtime_get(searcher, doc_ids: list[int], fl: list[str] | None = None):
     Visibility is the last commit (the streaming indexer commits per
     micro-batch; there is no uncommitted-tlog tier here, which is the
     documented snapshot semantics of DirectoryReader.open)."""
-    meta = searcher.spark.read.parquet(searcher.docmeta_path)
+    meta = searcher._docmeta()
     if fl:
         meta = meta.select("doc_id", *[c for c in fl if c != "doc_id"])
     return meta.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
@@ -535,7 +535,7 @@ def luke_report(searcher, top_terms: int = 10) -> dict:
             F.col("df").desc(), F.col("term").asc()
         ).limit(top_terms).collect()
     ]
-    meta_schema = searcher.spark.read.parquet(searcher.docmeta_path).schema
+    meta_schema = searcher._docmeta().schema
     return {
         "num_docs": int(st.num_docs),
         "doc_count": int(st.doc_count),

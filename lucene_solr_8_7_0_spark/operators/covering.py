@@ -43,7 +43,7 @@ def covering_score_all(
     if isinstance(min_match, int):
         need = F.lit(max(1, min_match))
         return agg.filter(F.col("freq") >= need)
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", F.col(min_match).alias("_mm")
     )
     return (

@@ -30,7 +30,7 @@ def facet_counts(
     from pyspark.sql.types import ArrayType
 
     hits = searcher.matches_df(query)
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", facet_col
     )
     if isinstance(meta.schema[facet_col].dataType, ArrayType):
@@ -71,7 +71,7 @@ def taxonomy_counts(
     from pyspark.sql.types import ArrayType
 
     hits = searcher.matches_df(query)
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", facet_col
     )
     if isinstance(meta.schema[facet_col].dataType, ArrayType):
@@ -118,7 +118,7 @@ def association_sums(
     partial aggregation (map-side combine), same shuffle shape as
     facet_counts."""
     hits = searcher.matches_df(query)
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", assoc_col
     )
     a = meta.select("doc_id", F.explode(assoc_col).alias("a")).select(
@@ -144,7 +144,7 @@ def taxonomy_drilldown(
     from pyspark.sql.types import ArrayType
 
     hits = searcher.matches_df(query)
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", facet_col
     )
     if isinstance(meta.schema[facet_col].dataType, ArrayType):
@@ -168,7 +168,7 @@ def facet_ranges(
     """Range facets over a numeric docmeta column (LongRangeFacetCounts
     analog): ranges = [(label, lo_inclusive, hi_exclusive), ...]."""
     hits = searcher.matches_df(query)
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", numeric_col
     )
     joined = hits.join(meta, "doc_id")
@@ -218,7 +218,7 @@ def drill_sideways(
     from pyspark.sql.types import ArrayType
 
     spark = searcher.spark
-    meta = spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", facet_col
     )
     if isinstance(meta.schema[facet_col].dataType, ArrayType):

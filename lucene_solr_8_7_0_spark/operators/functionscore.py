@@ -69,12 +69,12 @@ def function_score_topk(
         from ..plans.funcparser import parse_func
 
         expr, fields = parse_func(func)
-        meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+        meta = searcher._docmeta().select(
             "doc_id", *sorted(fields)
         )
         f_val = F.lit(float(weight)) * expr
     else:
-        meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+        meta = searcher._docmeta().select(
             "doc_id", field
         )
         f_val = F.lit(float(weight)) * _transform(F.col(field), transform)
@@ -123,7 +123,7 @@ def expression_score_topk(
         "_score", F.col("score").cast("double")
     )
     if fields:
-        meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+        meta = searcher._docmeta().select(
             "doc_id", *fields
         )
         scored = scored.join(meta, "doc_id")

@@ -39,7 +39,7 @@ def group_topk(
     doc asc).  Returns (group_rank, <group_field>, doc_rank, doc_id)."""
     from pyspark.sql import Window
 
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", "segment_id", group_field
     )
     hits = (
@@ -119,7 +119,7 @@ def diversified_topk(
     Returns (rank, doc_id, <key_field>, score)."""
     from pyspark.sql import Window
 
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", key_field
     )
     hits = (

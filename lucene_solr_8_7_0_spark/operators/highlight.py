@@ -130,7 +130,7 @@ def highlight_hits(
          enumerate(zip(td.doc_ids, td.scores))],
         schema="doc_id bigint, score float, rank int",
     )
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", "repo", "path"
     )
     terms = sorted(

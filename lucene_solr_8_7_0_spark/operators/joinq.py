@@ -39,7 +39,7 @@ def join_query_docs(
     second query's hit set (the usual composition of the join query
     inside a BooleanQuery).  Returns (doc_id)."""
     to_field = to_field or from_field
-    meta = searcher.spark.read.parquet(searcher.docmeta_path)
+    meta = searcher._docmeta()
     from_vals = (
         searcher.matches_df(from_query)
         .join(meta.select("doc_id", from_field), "doc_id")
@@ -83,7 +83,7 @@ def block_parent_map(searcher, is_parent: Column) -> DataFrame:
     the index have no block and get a NULL parent_doc."""
     from pyspark.sql import Window
 
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         "doc_id", "segment_id", is_parent.alias("is_parent")
     )
     # in-segment: nearest parent at-or-after each doc = running min of

@@ -77,7 +77,7 @@ def _is_facet_node(v) -> bool:
 def json_facet(searcher, query, spec: dict) -> dict:
     """Evaluate a JSON-facet spec over the query's hit-set domain and
     return the nested Solr-shaped response dict (see module doc)."""
-    meta = searcher.spark.read.parquet(searcher.docmeta_path)
+    meta = searcher._docmeta()
     base = searcher.matches_df(query).join(meta, "doc_id")
     out = {"count": base.count()}
     for name, fspec in spec.items():

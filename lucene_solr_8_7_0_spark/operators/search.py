@@ -742,7 +742,7 @@ class IndexSearcher:
             pdf["score"] = pdf["score"].astype(np.float32)
             df = self.spark.createDataFrame(pdf)
         if with_meta:
-            meta = self.spark.read.parquet(self.docmeta_path).select(
+            meta = self._docmeta().select(
                 "doc_id", "repo", "path"
             )
             # k rows joined against docmeta: broadcast the tiny side
@@ -791,9 +791,23 @@ class IndexSearcher:
         want = tuple((s.field, bool(s.reverse)) for s in sort)
         isort = tuple((f_, bool(r)) for f_, r in self.cfg.index_sort)
         if after is None and want and want == isort[: len(want)]:
-            return self._search_sorted_indexed(query, sort, k)
+            # doc-values updates can move a doc's sort value AFTER the
+            # index sort assigned doc ids, so early termination is only
+            # sound while no requested sort field has pending updates
+            from .dvupdates import dv_updates_path, read_dv_generation
 
-        meta = self.spark.read.parquet(self.docmeta_path)
+            updated: set[str] = set()
+            if read_dv_generation(self.index_dir) > 0:
+                upd = self.spark.read.parquet(
+                    dv_updates_path(self.index_dir)
+                )
+                updated = {
+                    r["field"] for r in upd.select("field").distinct().collect()
+                }
+            if not updated.intersection(f_ for f_, _ in want):
+                return self._search_sorted_indexed(query, sort, k)
+
+        meta = self._docmeta()
         hit_meta = self.matches_df(query).join(meta, "doc_id")
         exprs = [
             (F.col(s.field).desc() if s.reverse else F.col(s.field).asc())
@@ -862,7 +876,7 @@ class IndexSearcher:
         if len(pdf) == 0:
             schema = "rank int, doc_id bigint"
             return self.spark.createDataFrame([], schema=schema).join(
-                self.spark.read.parquet(self.docmeta_path).select(
+                self._docmeta().select(
                     "doc_id", *fields
                 ),
                 "doc_id",
@@ -872,7 +886,7 @@ class IndexSearcher:
         hits = self.spark.createDataFrame(
             pdf[["rank", "doc_id"]], schema="rank int, doc_id bigint"
         )
-        meta = self.spark.read.parquet(self.docmeta_path).select(
+        meta = self._docmeta().select(
             "doc_id", *fields
         )
         # k rows against docmeta: broadcast the tiny side
@@ -916,7 +930,7 @@ class IndexSearcher:
         for pq in planner.collect_point_queries(q):
             from ..functions.codec import encode_term_postings
 
-            meta_df = self.spark.read.parquet(self.docmeta_path)
+            meta_df = self._docmeta()
             sel = meta_df.filter(
                 (F.col("segment_id") == seg_id)
                 & self._dv_cond(pq, meta_df.schema)
@@ -1352,22 +1366,40 @@ class IndexSearcher:
     def _point_sel(self, q, lead) -> DataFrame:
         """(segment_id, doc_id) selection of one point clause, either
         path (lead=None -> index side; lead -> dv verify-per-candidate)."""
-        sel = self.spark.read.parquet(self.docmeta_path)
+        sel = self._docmeta()
         if lead is not None:
             sel = sel.join(self._term_docs_df(lead[0]).select("doc_id"), "doc_id")
         return sel.filter(self._dv_cond(q, sel.schema)).select(
             "segment_id", "doc_id"
         )
 
-    def _generation(self) -> int:
-        """Snapshot generation: the deletes epoch (cache invalidation —
-        the reference keys its cache on the segment core + del gen).
-        An explicit monotonic counter committed by delete_documents, so
-        two delete batches within one filesystem-timestamp tick still
-        invalidate (mtime granularity is not trusted)."""
+    def _generation(self) -> tuple[int, int]:
+        """Snapshot generation: the (deletes epoch, doc-values-updates
+        epoch) pair (cache invalidation — the reference keys its cache
+        on the segment core + delGen + docValuesGen).  Explicit
+        monotonic counters committed by delete_documents /
+        update_numeric_docvalue, so two commits within one
+        filesystem-timestamp tick still invalidate (mtime granularity
+        is not trusted)."""
         from .deletes import read_generation
+        from .dvupdates import read_dv_generation
 
-        return read_generation(self.index_dir)
+        return (read_generation(self.index_dir),
+                read_dv_generation(self.index_dir))
+
+    def _docmeta(self) -> "DataFrame":
+        """The docmeta table with the numeric doc-values-updates
+        overlay applied (operators/dvupdates.overlay_docmeta) — every
+        point-filter / sort / facet / function-score read sees updated
+        values, exactly like the reference's updatable NumericDocValues
+        reader."""
+        from .dvupdates import overlay_docmeta
+
+        return overlay_docmeta(
+            self.spark,
+            self.spark.read.parquet(self.docmeta_path),
+            self.index_dir,
+        )
 
     def _docset_rows(self, sel: DataFrame, token: str) -> DataFrame:
         """(segment_id, doc_id) rows -> one pseudo-postings row per

@@ -67,7 +67,7 @@ def search_stream(
     ``sort`` = [(field, "asc"|"desc"), ...]; doc_id tie-breaks so the
     stream is total-ordered like the export handler's docid tie."""
     meta_cols = ["doc_id"] + [c for c in fl if c != "doc_id"]
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(*meta_cols)
+    meta = searcher._docmeta().select(*meta_cols)
     hits = searcher.matches_df(query).join(meta, "doc_id")
     return hits.orderBy(*_sort_exprs(sort), F.col("doc_id").asc())
 
@@ -164,7 +164,7 @@ def fetch_stream(
 ) -> DataFrame:
     """fetch(collection, stream, fl=..., on=...): re-join extra stored
     fields by key in batches (FetchStream.java) — one docmeta join."""
-    meta = searcher.spark.read.parquet(searcher.docmeta_path).select(
+    meta = searcher._docmeta().select(
         on, *[c for c in fl if c != on]
     )
     return stream.join(meta, on, "left")
