@@ -1015,7 +1015,30 @@ def _q_facet_lang(spark, sf_dir):
         F.lit("pivot").alias("variant"), "lang",
         F.col("tags").alias("tag"), "count",
     )
-    return flat.unionByName(piv)
+    # date_range / num_range: Solr facet.range with gaps over the
+    # events table — date-math start (/DAY rounding + offset), +3DAYS
+    # buckets with before/after/between, and a numeric gap facet; one
+    # arithmetic bucket index + one groupBy each
+    from lucene_solr_8_7_0_spark.operators.rangefacet import (
+        range_facet,
+        range_facet_date,
+    )
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    dr = range_facet_date(
+        events, "ts", "2024-01-03T12:00:00Z/DAY+2DAYS",
+        "2024-01-26T00:00:00Z", "+3DAYS",
+    ).select(
+        F.lit("date_range").alias("variant"),
+        F.col("bucket").alias("lang"),
+        F.lit(None).cast("string").alias("tag"), "count",
+    )
+    nr = range_facet(events, "value", 0, 20, 5).select(
+        F.lit("num_range").alias("variant"),
+        F.col("bucket").alias("lang"),
+        F.lit(None).cast("string").alias("tag"), "count",
+    )
+    return flat.unionByName(piv).unionByName(dr).unionByName(nr)
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -3104,7 +3127,40 @@ def oracle_sql() -> dict[str, str]:
                      unnest(['t' || CAST(d.doc_id % 3 AS VARCHAR),
                              'u' || CAST(d.doc_id % 5 AS VARCHAR)]) AS tag
               FROM documents d JOIN hits USING (doc_id))
-            GROUP BY lang, tag""",
+            GROUP BY lang, tag
+            UNION ALL
+            -- facet.range over events.ts: start = Jan 3 /DAY + 2 days
+            -- = Jan 5; +3DAYS buckets to Jan 26 (7 buckets), LOWER
+            -- include rule, labels = bucket-start ISO instants
+            SELECT 'date_range', bucket, CAST(NULL AS VARCHAR), count(*)
+            FROM (
+              SELECT CASE
+                WHEN ts <  TIMESTAMP '2024-01-05' THEN 'before'
+                WHEN ts >= TIMESTAMP '2024-01-26' THEN 'after'
+                ELSE strftime(TIMESTAMP '2024-01-05'
+                       + to_days(3 * CAST(floor(
+                           date_diff('second', TIMESTAMP '2024-01-05', ts)
+                           / 259200.0) AS INT)),
+                       '%Y-%m-%dT%H:%M:%SZ')
+              END AS bucket FROM events)
+            GROUP BY bucket
+            UNION ALL
+            SELECT 'date_range', 'between', CAST(NULL AS VARCHAR), count(*)
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-26'
+            UNION ALL
+            -- facet.range over events.value: [0,20) in steps of 5
+            SELECT 'num_range', bucket, CAST(NULL AS VARCHAR), count(*)
+            FROM (
+              SELECT CASE
+                WHEN value < 0 THEN 'before'
+                WHEN value >= 20 THEN 'after'
+                ELSE CAST(5 * CAST(floor(value / 5.0) AS INT) AS VARCHAR)
+              END AS bucket FROM events WHERE value IS NOT NULL)
+            GROUP BY bucket
+            UNION ALL
+            SELECT 'num_range', 'between', CAST(NULL AS VARCHAR), count(*)
+            FROM events WHERE value >= 0 AND value < 20""",
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",
