@@ -1326,9 +1326,22 @@ def _q_minhash_near_dups(spark, sf_dir):
     equals the SQL value) and recall 1.0 on this corpus (its true pairs
     are far above the threshold, where the 16-band LSH miss probability
     is negligible — and the run is seeded/deterministic)."""
-    return dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.5).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    pairs = dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.5)
+    p = pairs.select(
+        F.lit("pairs").alias("variant"),
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+        F.round("jaccard", 6).alias("val"),
     )
+    # "clusters": the pair -> cluster step (large-star/small-star
+    # connected components) — transitive closure with the component
+    # MIN as the deterministic representative; the oracle replays it
+    # as a recursive reachability CTE over the same verified pairs
+    cl = dedup.cluster_duplicates(pairs).select(
+        F.lit("clusters").alias("variant"),
+        F.col("doc_id").alias("a"), F.col("cluster_id").alias("b"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return p.unionByName(cl)
 
 
 def _q_simhash_near_dups(spark, sf_dir):
@@ -3096,7 +3109,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.f, b.f)) <= 8""",
         "minhash_near_dups": """
-            WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+            WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
                           FROM documents),
             grams AS (
               SELECT DISTINCT doc_id, g FROM (
@@ -3108,11 +3121,25 @@ def oracle_sql() -> dict[str, str]:
             sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
                       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)
-            SELECT doc_a, doc_b, round(ni / (za.n + zb.n - ni), 6) AS jaccard
-            FROM inter JOIN sizes za ON doc_a = za.doc_id
-                       JOIN sizes zb ON doc_b = zb.doc_id
-            WHERE ni / (za.n + zb.n - ni) >= 0.5""",
+                      GROUP BY 1, 2),
+            prs AS (
+              SELECT doc_a, doc_b, round(ni / (za.n + zb.n - ni), 6) AS jaccard
+              FROM inter JOIN sizes za ON doc_a = za.doc_id
+                         JOIN sizes zb ON doc_b = zb.doc_id
+              WHERE ni / (za.n + zb.n - ni) >= 0.5),
+            sym AS (SELECT doc_a AS x, doc_b AS y FROM prs
+                    UNION SELECT doc_b, doc_a FROM prs),
+            reach(x, y) AS (
+              SELECT x, y FROM sym
+              UNION
+              SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+              WHERE s.y != r.x)
+            SELECT 'pairs' AS variant, doc_a AS a, doc_b AS b,
+                   jaccard AS val
+            FROM prs
+            UNION ALL
+            SELECT 'clusters', x, least(x, min(y)), CAST(NULL AS DOUBLE)
+            FROM reach GROUP BY x""",
         "facet_lang": f"""
             WITH hits AS (SELECT DISTINCT doc_id FROM ({_TOKS})
                           WHERE tok = 'data')

@@ -15,6 +15,8 @@ Operators:
                           band -> bucket join -> verify
 * simhash               — 64-bit SimHash fingerprints
 * embedding_near_dup    — cosine-threshold near-duplicates (see ann.py)
+* cluster_duplicates    — connected components over near-dup pairs
+                          (large-star/small-star), pair -> cluster id
 """
 
 from __future__ import annotations
@@ -383,3 +385,105 @@ def simhash_near_dups(
     return pairs.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---- connected components: near-dup pairs -> dedup clusters ----
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """large-star(u): connect every neighbor v > u to
+    m = min(N(u) + {u}).  One groupBy + one join."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """small-star(u): over edges oriented u > v, re-point u and all of
+    its smaller neighbors at the smallest one."""
+    o = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def cluster_duplicates(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Near-duplicate pair list -> connected-component cluster ids:
+    the pair->cluster step a dedup pipeline needs before it can keep
+    one representative per group (transitive closure — A~B and B~C
+    put A, B, C in ONE cluster even if (A, C) was never emitted).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014 —
+    public paper; also the shape of GraphFrames' connectedComponents).
+    Each round is two groupBy+join passes over the edge list, and the
+    alternation converges in O(log^2 n) rounds, so a 100 TB pair list
+    never sees a driver-side union-find or an O(diameter) label
+    propagation.  Rounds are localCheckpoint-ed to cut the iterative
+    lineage.  Convergence is detected by an (edge count, xxhash64 sum)
+    signature, one tiny aggregate per round.
+
+    Returns (doc_id, cluster_id): one row per document appearing in
+    any pair; cluster_id is the component's MINIMUM doc id (stable,
+    deterministic representative)."""
+    e = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col(id_a).cast("long").alias("doc_id"))
+        .union(pairs.select(F.col(id_b).cast("long").alias("doc_id")))
+        .distinct()
+    )
+    sig = None
+    for _ in range(max_rounds):
+        e = _cc_small_star(_cc_large_star(e)).localCheckpoint(eager=True)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold of the distinct edge hashes: order-insensitive
+            # and overflow-free under ANSI mode
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        new_sig = (row["n"], row["h"])
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: edges are (node, component-min) stars
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
