@@ -67,6 +67,33 @@ def main():
     st = search_stream(s, Q.TermQuery("data"), ["lang", "n_chars"],
                        [("n_chars", "desc")])
     audit("stream rollup", rollup_stream(st, ["lang"], {"n": "count(*)"}))
+    # round-5 eighth-wave surfaces
+    from lucene_solr_8_7_0_spark.operators.suggest import (
+        suggest_word_breaks,
+    )
+    audit("word break (broadcast suffix join)",
+          suggest_word_breaks(s, "datajoin", k=10))
+    from lucene_solr_8_7_0_spark.operators.rangefacet import (
+        range_facet_date,
+    )
+    import os as _os
+
+    events = spark.read.parquet(_os.path.join(sf, "events.parquet"))
+    audit("date range facet (one arithmetic groupBy)",
+          range_facet_date(events, "ts", "2024-01-03T12:00:00Z/DAY+2DAYS",
+                           "2024-01-26T00:00:00Z", "+3DAYS"))
+    audit("dv-updates overlay (broadcast merge-on-read)",
+          s._docmeta())
+    from lucene_solr_8_7_0_spark.operators.dedup import _cc_large_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "u bigint, v bigint"
+    )
+    audit("cc large-star round (groupBy + join, no cartesian)",
+          _cc_large_star(edges))
+    audit("span containment (term-pruned postings scan)",
+          s.matches_df(Q.SpanContainingQuery(
+              Q.SpanNearQuery(("data", "join"), slop=5), "table")))
     spark.stop()
 
 
