@@ -198,6 +198,45 @@ def check_index(spark: SparkSession, index_dir: str) -> DataFrame:
             )
         )
 
+    # doc-values updates overlay (CheckIndex.testDocValues analog for
+    # the updatable tier): every update must target an existing doc
+    # and an existing numeric docmeta column, with a positive gen
+    dv_path = os.path.join(index_dir, "dvupdates")
+    if os.path.exists(os.path.join(dv_path, "_SUCCESS")):
+        upd = spark.read.parquet(dv_path)
+        meta_cols = set(docmeta.columns)
+        bad_field = sorted(
+            {r["field"] for r in upd.select("field").distinct().collect()}
+            - meta_cols
+        )
+        rows = [
+            ("dvupdates_unknown_field", -1, f_, "no such docmeta column")
+            for f_ in bad_field
+        ]
+        reports.append(
+            spark.createDataFrame(rows, schema=_REPORT_SCHEMA)
+            if rows else spark.createDataFrame([], schema=_REPORT_SCHEMA)
+        )
+        dangling = (
+            upd.join(docmeta.select("doc_id"), "doc_id", "left_anti")
+            .select(
+                F.lit("dvupdates_dangling_doc").alias("check"),
+                F.lit(-1).cast("int").alias("segment_id"),
+                F.col("field").alias("term"),
+                F.concat_ws(" ", F.lit("doc"), F.col("doc_id")).alias(
+                    "detail"
+                ),
+            )
+        )
+        reports.append(dangling)
+        bad_gen = upd.filter(F.col("gen") <= 0).select(
+            F.lit("dvupdates_bad_gen").alias("check"),
+            F.lit(-1).cast("int").alias("segment_id"),
+            F.col("field").alias("term"),
+            F.concat_ws(" ", F.lit("gen"), F.col("gen")).alias("detail"),
+        )
+        reports.append(bad_gen)
+
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

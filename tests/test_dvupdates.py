@@ -74,3 +74,22 @@ def test_update_numeric_docvalue(spark, upd_idx):
     g = read_dv_generation(idx)
     assert update_numeric_docvalue(s, "zzzzqqqq", "length", 1.0) == 0
     assert read_dv_generation(idx) == g
+
+
+def test_checkindex_covers_dvupdates(spark, upd_idx):
+    from lucene_solr_8_7_0_spark.operators.checkindex import check_index
+    from lucene_solr_8_7_0_spark.operators.dvupdates import dv_updates_path
+
+    s = upd_idx
+    update_numeric_docvalue(s, "public", "length", 5000.0)
+    assert check_index(spark, s.index_dir).count() == 0
+    # corrupt: a dangling doc id and an unknown field
+    spark.createDataFrame(
+        [(10**9, "length", 1.0, 99), (1, "ghost_col", 2.0, 99)],
+        "doc_id long, field string, value double, gen long",
+    ).write.mode("append").parquet(dv_updates_path(s.index_dir))
+    checks = {
+        r["check"] for r in check_index(spark, s.index_dir).collect()
+    }
+    assert "dvupdates_dangling_doc" in checks
+    assert "dvupdates_unknown_field" in checks
