@@ -934,8 +934,23 @@ def _q_analysis_chain(spark, sf_dir):
             F.concat_ws(" ", F.array_sort(F.collect_set("term")))
         ).alias("val")
     ).select(F.lit("wdgf_fp").alias("variant"), "doc_id", "val")
+    # syn_fp: index-time SynonymGraphFilter parity — every 'data'
+    # occurrence also emits 'datum' at the same position; the
+    # fingerprint flips if injection is missing or leaks elsewhere
+    syn_cfg = EngineConfig(analyzer="simple", index_positions=False,
+                           index_synonyms=(("data", ("datum",)),))
+    syn_docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    syn_postings, _ = split_postings(invert(syn_docs, syn_cfg))
+    syn = syn_postings.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.collect_set("term")))
+        ).alias("val")
+    ).select(F.lit("syn_fp").alias("variant"), "doc_id", "val")
     return (shingle.unionByName(pm).unionByName(fp).unionByName(fold)
-            .unionByName(gram).unionByName(html).unionByName(wd))
+            .unionByName(gram).unionByName(html).unionByName(wd)
+            .unionByName(syn))
 
 
 def _q_queries_module_topk(spark, sf_dir):
@@ -2607,6 +2622,23 @@ def oracle_sql() -> dict[str, str]:
                       '([0-9])([A-Za-z])', '\\1 \\2', 'g')),
                     '[a-z0-9]+')) AS tok
                   FROM documents)
+            GROUP BY doc_id
+            UNION ALL
+            -- syn_fp: index-time synonym injection — docs containing
+            -- 'data' also index 'datum'
+            SELECT 'syn_fp', doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       array_agg(tok))), ' '))
+            FROM (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+              FROM documents
+              UNION ALL
+              SELECT DISTINCT doc_id, 'datum'
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+                    FROM documents)
+              WHERE tok = 'data')
             GROUP BY doc_id""",
         "queries_module_topk": f"""
             WITH toks AS ({_TOKS}),

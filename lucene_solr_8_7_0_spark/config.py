@@ -63,6 +63,15 @@ class EngineConfig:
     # under the tokenizer).  Supported by both the JVM and the Python
     # tokenize backends (functions/analysis.HTML_STRIP_STEPS).
     html_strip: bool = False
+    # index-time synonyms (analysis/common/.../synonym/
+    # SynonymGraphFilter.java applied at INDEX time, single-token
+    # rules): tuple of (term, (synonym, ...)) pairs; each occurrence
+    # of ``term`` additionally emits the synonyms at the SAME position
+    # (posIncrement 0), which do not count toward the field length
+    # (discountOverlaps norms, BM25Similarity.java:116).  Python
+    # tokenize backend only (like ascii_folding); applied after the
+    # analyzer's own filters.
+    index_synonyms: tuple = ()
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     index_positions: bool = True
     # opt-in character-offset store (the .pay / offsets tier,

@@ -633,6 +633,7 @@ def analyze_batch(
     stopwords=(),
     ascii_folding: bool = False,
     html_strip: bool = False,
+    index_synonyms: tuple = (),
 ) -> TokenBatch:
     """Tokenize a batch of documents into flat columnar token arrays.
 
@@ -690,7 +691,30 @@ def analyze_batch(
         # PorterStemFilter is last in the chain: stems only the KEPT
         # tokens; positions and lengths are unaffected by stemming
         flat = stem_series(flat)
+    # field length counts PRIMARY tokens only — synonym injections are
+    # posInc=0 overlaps, discounted from the norm length
+    # (FieldInvertState.numOverlap + discountOverlaps)
     doc_lengths = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    if index_synonyms and len(flat):
+        # index-time SynonymGraphFilter, single-token rules: each
+        # matching token ALSO emits its synonyms at the same position
+        syn_map = dict(index_synonyms)
+        src = np.nonzero(flat.isin(syn_map).to_numpy())[0]
+        if len(src):
+            reps = np.asarray(
+                [len(syn_map[flat.iloc[i]]) for i in src], dtype=np.int64
+            )
+            extra_terms = [
+                s for i in src for s in syn_map[flat.iloc[i]]
+            ]
+            flat = pd.concat(
+                [flat, pd.Series(extra_terms, dtype=object)],
+                ignore_index=True,
+            )
+            doc_idx = np.concatenate([doc_idx, np.repeat(doc_idx[src], reps)])
+            positions = np.concatenate(
+                [positions, np.repeat(positions[src], reps)]
+            )
     return TokenBatch(doc_idx, flat, positions, doc_lengths)
 
 

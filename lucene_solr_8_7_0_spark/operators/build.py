@@ -187,7 +187,8 @@ def build_index(
 
         if (cfg.tokenize_backend == "jvm"
                 and analyzer_base(cfg.analyzer) in JVM_ANALYZERS
-                and not cfg.ascii_folding):
+                and not cfg.ascii_folding
+                and not cfg.index_synonyms):
             # hot path: whole chain as a JVM Column expression
             doc_tokens = invert.invert_doc_arrays(seg_input, cfg, content_col)
             encoded = encode_segments_fused_docarrays(doc_tokens, cfg)
@@ -346,6 +347,7 @@ def build_index(
             {
                 "k1": cfg.k1, "b": cfg.b, "analyzer": cfg.analyzer,
                 "ascii_folding": cfg.ascii_folding,
+                "html_strip": cfg.html_strip,
                 "max_token_length": cfg.max_token_length,
                 "index_positions": cfg.index_positions,
                 "index_offsets": cfg.index_offsets,
@@ -353,6 +355,9 @@ def build_index(
                 "segment_size": cfg.segment_size,
                 "stopwords": list(cfg.stopwords),
                 "index_sort": [list(s) for s in cfg.index_sort],
+                "index_synonyms": {
+                    k: list(v) for k, v in cfg.index_synonyms
+                },
             },
             f,
         )
@@ -371,5 +376,8 @@ def load_config(index_dir: str) -> EngineConfig:
     d["stopwords"] = tuple(d.get("stopwords", ()))
     d["index_sort"] = tuple(
         (f_, bool(r)) for f_, r in d.get("index_sort", ())
+    )
+    d["index_synonyms"] = tuple(
+        sorted((k, tuple(v)) for k, v in d.get("index_synonyms", {}).items())
     )
     return EngineConfig(**d)

@@ -37,11 +37,12 @@ def invert(docs: DataFrame, cfg: EngineConfig, content_col: str = "content") -> 
     stopwords = tuple(cfg.stopwords)
     folding = cfg.ascii_folding
     strip_html = cfg.html_strip
+    synonyms = tuple(cfg.index_synonyms)
 
     def run(batches):
         for pdf in batches:
             tb = analyze_batch(pdf[content_col], analyzer, max_len,
-                               stopwords, folding, strip_html)
+                               stopwords, folding, strip_html, synonyms)
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             if len(tb.terms) == 0:
                 agg = pd.DataFrame(

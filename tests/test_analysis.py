@@ -196,6 +196,88 @@ def test_word_delimiter_analyzer(spark):
     assert jvm == [tokenize_text(s, "word_delimiter") for s in strs]
 
 
+def test_index_time_synonyms(spark, tmp_path):
+    """Index-time SynonymGraphFilter (single-token rules): synonyms
+    are injected at the SAME position (phrases match across them), do
+    not change the norm length (discountOverlaps), and the Python
+    oracle agrees with the engine on the synonym-built index."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_8_7_0_spark.config import EngineConfig
+    from lucene_solr_8_7_0_spark.functions.analysis import analyze_batch
+    from lucene_solr_8_7_0_spark.functions.oracle import (
+        build_oracle_index,
+        oracle_search,
+    )
+    from lucene_solr_8_7_0_spark.operators.build import build_index
+    from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+    from lucene_solr_8_7_0_spark.plans import queries as Q
+
+    syns = (("quick", ("fast", "speedy")),)
+    # batch-level semantics first
+    tb = analyze_batch(
+        pd.Series(["the quick fox", "a fast dog"]), "simple",
+        index_synonyms=syns,
+    )
+    rows = sorted(zip(tb.doc_idx.tolist(), tb.terms.tolist(),
+                      tb.positions.tolist()))
+    assert (0, "fast", 1) in rows and (0, "speedy", 1) in rows
+    assert (0, "quick", 1) in rows
+    np.testing.assert_array_equal(tb.doc_lengths, [3, 3])  # primaries only
+
+    docs = spark.createDataFrame(
+        [
+            ("r", "a.txt", "c", "txt", "the quick fox"),
+            ("r", "b.txt", "c", "txt", "a fast dog"),
+            ("r", "c.txt", "c", "txt", "slow turtle"),
+        ],
+        schema="repo string, path string, commit string, lang string, "
+               "content string",
+    )
+    cfg = EngineConfig(analyzer="simple", segment_size=64,
+                       index_synonyms=syns)
+    d1 = str(tmp_path / "syn")
+    build_index(spark, docs, d1, cfg)
+    s = IndexSearcher(spark, d1)
+    assert s.cfg.index_synonyms == syns  # round-trips engine_config.json
+
+    def ids(q):
+        return sorted(r["doc_id"] for r in s.matches_df(q).collect())
+
+    quick_doc = ids(Q.TermQuery("quick"))[0]
+    assert ids(Q.TermQuery("fast")) == sorted(
+        [quick_doc] + ids(Q.TermQuery("dog"))
+    )
+    assert ids(Q.TermQuery("speedy")) == [quick_doc]
+    # same-position injection: phrase across the synonym
+    assert ids(Q.PhraseQuery(("fast", "fox"))) == [quick_doc]
+    # norms unaffected: TermQuery('fox') scores identically vs a
+    # no-synonym build (same df, tf, and discounted length)
+    d2 = str(tmp_path / "plain")
+    build_index(spark, docs, d2,
+                EngineConfig(analyzer="simple", segment_size=64))
+    s2 = IndexSearcher(spark, d2)
+    t1 = s.search(Q.TermQuery("fox"), k=3)
+    t2 = s2.search(Q.TermQuery("fox"), k=3)
+    np.testing.assert_array_equal(t1.scores, t2.scores)
+    # engine == oracle on the synonym index
+    corpus = (
+        docs.join(
+            spark.read.parquet(f"{d1}/docs").select("repo", "path", "doc_id"),
+            ["repo", "path"],
+        ).select("doc_id", "content").toPandas()
+    )
+    oi = build_oracle_index(corpus, cfg)
+    for q in [Q.TermQuery("fast"), Q.TermQuery("speedy"),
+              Q.PhraseQuery(("fast", "fox")),
+              Q.term_or(["fast", "dog"], 1)]:
+        td = s.search(q, k=5)
+        exp = oracle_search(oi, q, k=5)
+        assert td.doc_ids.tolist() == exp.doc_ids.tolist(), str(q)
+        np.testing.assert_array_equal(td.scores, exp.scores, err_msg=str(q))
+
+
 def test_reference_language_golden_cases():
     """The FULL TestStandardAnalyzer.java language case list (module
     docstring documents the known gaps: emoji, Hebrew gershayim,
