@@ -429,7 +429,16 @@ def _q_parsed_query(spark, sf_dir):
     cpx = _orig_ids(s, s.matches_df(cp)).select(
         F.lit("complex_phrase").alias("variant"), "doc_id"
     )
-    return classic.unionByName(simple).unionByName(cpx)
+    # surround: the queryparser/surround dialect — boolean composition
+    # around an ordered 2W distance op, NOT exclusion
+    from lucene_solr_8_7_0_spark.plans.surroundparser import parse_surround
+
+    sr = parse_surround("data AND (big 2W table) NOT scalar")
+    srd = _orig_ids(s, s.matches_df(sr)).select(
+        F.lit("surround").alias("variant"), "doc_id"
+    )
+    return (classic.unionByName(simple).unionByName(cpx)
+            .unionByName(srd))
 
 
 def _q_merged_bool_and(spark, sf_dir):
@@ -2909,7 +2918,25 @@ def oracle_sql() -> dict[str, str]:
                            generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p
                     FROM documents) b USING (doc_id)
               WHERE a.tok IN ('big', 'small') AND b.tok LIKE 'jo%'
-                AND b.p > a.p AND b.p - a.p - 1 <= 2)""",
+                AND b.p > a.p AND b.p - a.p - 1 <= 2)
+            UNION ALL
+            -- surround: data AND (big 2W table) NOT scalar
+            SELECT 'surround', doc_id FROM (
+              SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
+              HAVING sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) > 0
+                 AND sum(CASE WHEN tok = 'scalar' THEN 1 ELSE 0 END) = 0) g
+            JOIN (
+              SELECT DISTINCT a.doc_id
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+                           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p
+                    FROM documents) a
+              JOIN (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+                           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p
+                    FROM documents) b USING (doc_id)
+              WHERE a.tok = 'big' AND b.tok = 'table'
+                AND b.p > a.p AND b.p - a.p - 1 <= 1) w USING (doc_id)""",
         "lang_filter": f"""
             WITH datahits AS (
               SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok = 'data')
