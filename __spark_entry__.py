@@ -1004,7 +1004,34 @@ def _q_queries_module_topk(spark, sf_dir):
         s, Q.term_or(["data", "join"], 1), [m[42], m[7]], k=10,
         excluded_ids=(m[3],),
     )).select(F.lit("elevate").alias("variant"), "rank", "doc_id")
-    return ct.unionByName(rs).unionByName(ev)
+    # ltr_linear / ltr_trees: solr/contrib/ltr — re-rank the same
+    # BM25 OR window (20) by a LinearModel dot product and by a
+    # MultipleAdditiveTrees ensemble over (original score, field
+    # length); integer-feature splits keep the SQL replay exact
+    from lucene_solr_8_7_0_spark.operators.ltr import (
+        FieldLengthFeature,
+        LinearModel,
+        MultipleAdditiveTreesModel,
+        OriginalScoreFeature,
+        ltr_rerank,
+    )
+
+    feats = (OriginalScoreFeature(), FieldLengthFeature())
+    lin = _orig_ids(s, ltr_rerank(
+        s, Q.term_or(["data", "join"], 1), feats,
+        LinearModel(weights=(1.0, -0.005)), rerank_docs=20, k=10,
+    )).select(F.lit("ltr_linear").alias("variant"), "rank", "doc_id")
+    trees = MultipleAdditiveTreesModel(trees=(
+        (1.0, ("split", 1, 90.0, ("leaf", 0.3),
+               ("split", 1, 150.0, ("leaf", 0.1), ("leaf", -0.2)))),
+        (2.0, ("split", 1, 120.0, ("leaf", 0.05), ("leaf", -0.05))),
+    ))
+    tr = _orig_ids(s, ltr_rerank(
+        s, Q.term_or(["data", "join"], 1), feats, trees,
+        rerank_docs=20, k=10,
+    )).select(F.lit("ltr_trees").alias("variant"), "rank", "doc_id")
+    return (ct.unionByName(rs).unionByName(ev).unionByName(lin)
+            .unionByName(tr))
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -2734,7 +2761,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(row_number() OVER (ORDER BY round(s1, 4) DESC, doc_id) + 2 AS INT),
                        doc_id
                 FROM s1 WHERE doc_id NOT IN (42, 7, 3)
-                ORDER BY round(s1, 4) DESC, doc_id LIMIT 8))""",
+                ORDER BY round(s1, 4) DESC, doc_id LIMIT 8))
+            UNION ALL
+            -- ltr_linear: score = 1.0*s1 - 0.005*length over the
+            -- same window-20 candidates
+            SELECT * FROM (
+              SELECT 'ltr_linear' AS variant,
+                     CAST(row_number() OVER (ORDER BY m DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM (SELECT c.doc_id,
+                           round(1.0 * c.s1 - 0.005 * l.len, 6) AS m
+                    FROM cand c JOIN lens l USING (doc_id))
+              ORDER BY m DESC, doc_id LIMIT 10)
+            UNION ALL
+            -- ltr_trees: additive trees on the length feature with
+            -- the reference's 1e-6 split slack
+            SELECT * FROM (
+              SELECT 'ltr_trees' AS variant,
+                     CAST(row_number() OVER (ORDER BY m DESC, doc_id) AS INT) AS rank,
+                     doc_id
+              FROM (SELECT c.doc_id,
+                           round(1.0 * (CASE WHEN l.len <= 90.000001 THEN 0.3
+                                             WHEN l.len <= 150.000001 THEN 0.1
+                                             ELSE -0.2 END)
+                                 + 2.0 * (CASE WHEN l.len <= 120.000001 THEN 0.05
+                                               ELSE -0.05 END), 6) AS m
+                    FROM cand c JOIN lens l USING (doc_id))
+              ORDER BY m DESC, doc_id LIMIT 10)""",
         "bool_family": f"""
             SELECT 'and' AS variant, doc_id FROM ({_TOKS}) GROUP BY doc_id
             HAVING count(DISTINCT CASE WHEN tok IN ('data','join') THEN tok END) = 2
