@@ -1681,6 +1681,14 @@ def _q_multi_phrase(spark, sf_dir):
         "alt": Q.MultiPhraseQuery((("data", "big"), ("join",))),
         "rpt": Q.MultiPhraseQuery((("data", "join"), ("join",))),
         "wildcard": Q.PhraseWildcardQuery((Q.PrefixQuery("s"), "join")),
+        # explicit slot positions: data <any one token> join
+        # (PhraseQuery.Builder.add(term, position))
+        "gapped": Q.PhraseQuery(("data", "join"), slot_positions=(0, 2)),
+        # TermAutomatonQuery: big -> (join | table), rewritten to the
+        # SHOULD union of its accepted path phrases
+        "automaton": Q.TermAutomatonQuery(
+            3, ((0, 1, "big"), (1, 2, "join"), (1, 2, "table")), (2,)
+        ),
     })
 
 
@@ -2517,7 +2525,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'wildcard', doc_id FROM documents
             WHERE regexp_matches(lower(text),
-                  '(^|[^a-z0-9_])s[a-z0-9_]*[^a-z0-9_]+join($|[^a-z0-9_])')""",
+                  '(^|[^a-z0-9_])s[a-z0-9_]*[^a-z0-9_]+join($|[^a-z0-9_])')
+            UNION ALL
+            SELECT 'gapped', doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                  '(^|[^a-z0-9_])data[^a-z0-9_]+[a-z0-9_]+[^a-z0-9_]+join($|[^a-z0-9_])')
+            UNION ALL
+            SELECT 'automaton', doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                  '(^|[^a-z0-9_])big[^a-z0-9_]+(join|table)($|[^a-z0-9_])')""",
         "field_stats": f"""
             WITH hits AS (SELECT DISTINCT doc_id FROM ({_TOKS})
                           WHERE tok = 'data'),

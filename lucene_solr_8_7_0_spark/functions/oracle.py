@@ -327,14 +327,21 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
             all_terms = [t for alts in q.positions for t in alts]
         if not per_term or any(len(pt) == 0 for pt in per_term):
             return np.empty(0, np.int64), np.empty(0, np.float32)
+        # explicit slot positions (PhraseQuery.Builder.add(term, pos)):
+        # gaps are unconstrained holes; default consecutive
+        offs = (
+            list(q.slot_positions)
+            if q.slot_positions is not None
+            else list(range(len(per_term)))
+        )
         cand = sorted(set(per_term[0]).intersection(*map(set, per_term[1:])))
         out_d, out_f = [], []
         for d in cand:
             if q.slop == 0:
-                acc = per_term[0][d]
-                for off in range(1, len(per_term)):
+                acc = per_term[0][d] - offs[0]
+                for i in range(1, len(per_term)):
                     acc = np.intersect1d(
-                        acc, per_term[off][d] - off, assume_unique=True
+                        acc, per_term[i][d] - offs[i], assume_unique=True
                     )
                     if not len(acc):
                         break
@@ -342,7 +349,7 @@ def _eval(oi: OracleIndex, q: Query, boost: float, scoring: bool):
             else:
                 f = sloppy_phrase_freq(
                     [per_term[i][d] for i in range(len(per_term))],
-                    list(range(len(per_term))),
+                    offs,
                     q.slop,
                     group_keys,
                 )

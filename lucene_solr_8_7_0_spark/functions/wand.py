@@ -94,6 +94,10 @@ class ScoringClause:
     # filters that side
     little_spec: object | None = None
     contain_emit: str = "big"
+    # phrase/multiphrase: EXPLICIT slot positions (PhraseQuery.Builder
+    # .add(term, position) — gaps between consecutive slots are
+    # unconstrained "any token" holes); None = consecutive 0..k-1
+    slot_positions: tuple | None = None
 
     @property
     def is_phrase(self) -> bool:
@@ -198,15 +202,21 @@ def _phrase_core(
     group_keys: list,
 ) -> tuple[np.ndarray, np.ndarray]:
     nterms = len(decoded)
+    offs = (
+        list(clause.slot_positions)
+        if clause.slot_positions is not None
+        else list(range(nterms))
+    )
+    max_off = max(offs)
     if clause.slop == 0:
         # Vectorized exact matching: every (doc, position) packs into
         # one sortable int64 key with the slot offset subtracted, so a
         # phrase occurrence is a key present in EVERY slot's key set —
         # k-1 sorted intersections over flat arrays, no per-doc Python.
         keys = None
-        for off, (docs, freqs, poss) in enumerate(decoded):
+        for off, (docs, freqs, poss) in zip(offs, decoded):
             drep = np.repeat(docs, freqs)
-            k_off = drep * _POS_SHIFT + (poss - off + nterms)  # non-negative
+            k_off = drep * _POS_SHIFT + (poss - off + max_off + 1)  # non-negative
             keys = k_off if keys is None else keys[
                 np.isin(keys, k_off, assume_unique=True)
             ]
@@ -228,7 +238,7 @@ def _phrase_core(
             bounds = np.concatenate(([0], np.cumsum(freqs)))
             idx = np.searchsorted(docs, cand)
             slices.append((bounds, idx, poss))
-        offsets = list(range(nterms))
+        offsets = offs
         out_docs, out_freqs = [], []
         for ci in range(len(cand)):
             pos_lists = [

@@ -417,6 +417,7 @@ def _make_clause(
             return ScoringClause(
                 all_terms, None, const_score=(boost if scoring else 0.0),
                 slop=q.slop, kind="multiphrase", alts=q.positions,
+                slot_positions=q.slot_positions,
             )
         # idf sums over ALL terms of every position
         # (MultiPhraseQuery.java createWeight getStats)
@@ -424,19 +425,22 @@ def _make_clause(
             boost, [term_stats.get(t, (0, 0)) for t in all_terms]
         )
         return ScoringClause(
-            all_terms, scorer, slop=q.slop, kind="multiphrase", alts=q.positions
+            all_terms, scorer, slop=q.slop, kind="multiphrase",
+            alts=q.positions, slot_positions=q.slot_positions,
         )
     if isinstance(q, PhraseQuery):
         if constant or not scoring:
             return ScoringClause(
-                tuple(q.terms), None, const_score=(boost if scoring else 0.0), slop=q.slop
+                tuple(q.terms), None, const_score=(boost if scoring else 0.0),
+                slop=q.slop, slot_positions=q.slot_positions,
             )
         # phrase idf = float32 of the double sum of per-term float32 idfs
         # (BM25Similarity.idfExplain(CollectionStatistics, TermStatistics[]))
         scorer = stats.phrase_scorer(
             boost, [term_stats.get(t, (0, 0)) for t in q.terms]
         )
-        return ScoringClause(tuple(q.terms), scorer, slop=q.slop)
+        return ScoringClause(tuple(q.terms), scorer, slop=q.slop,
+                             slot_positions=q.slot_positions)
     if isinstance(q, (BooleanQuery, MatchAllDocsQuery)):
         # nested boolean clause: compiled recursively; evaluated as a
         # sub-scorer whose float32 result feeds the outer accumulator

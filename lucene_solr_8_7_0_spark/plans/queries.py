@@ -40,8 +40,24 @@ class TermQuery(Query):
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
+    """``slot_positions``: EXPLICIT per-slot positions
+    (PhraseQuery.Builder.add(Term, int position) — L/search/
+    PhraseQuery.java:90-103): gaps between consecutive positions are
+    unconstrained "any token" holes; None = consecutive."""
+
     terms: tuple[str, ...]
     slop: int = 0
+    slot_positions: tuple | None = None
+
+    def __post_init__(self):
+        sp = self.slot_positions
+        if sp is not None and (
+            len(sp) != len(self.terms)
+            or any(b <= a for a, b in zip(sp, sp[1:]))
+        ):
+            raise ValueError(
+                "slot_positions must be strictly increasing, one per term"
+            )
 
     def __str__(self) -> str:
         return '"' + " ".join(self.terms) + '"'
@@ -51,10 +67,13 @@ class PhraseQuery(Query):
 class MultiPhraseQuery(Query):
     """Phrase with term alternatives per position (MultiPhraseQuery.java):
     each slot matches ANY of its terms (analyzer-produced synonyms at a
-    position); scored like a phrase whose idf sums over ALL terms."""
+    position); scored like a phrase whose idf sums over ALL terms.
+    ``slot_positions`` as on PhraseQuery (MultiPhraseQuery.Builder
+    .add(Term[], int position))."""
 
     positions: tuple[tuple[str, ...], ...]
     slop: int = 0
+    slot_positions: tuple | None = None
 
     def __str__(self) -> str:
         return '"' + " ".join(
@@ -156,6 +175,57 @@ def span_first(match, end: int) -> SpanPositionRangeQuery:
     """SpanFirstQuery(match, end): spans lying within the first ``end``
     positions of the field."""
     return SpanPositionRangeQuery(match, 0, end)
+
+
+@dataclass(frozen=True)
+class TermAutomatonQuery(Query):
+    """TermAutomatonQuery (lucene/sandbox/src/java/org/apache/lucene/
+    search/TermAutomatonQuery.java): match token sequences accepted by
+    an automaton over terms; ``None`` labels are ANY transitions
+    (:addAnyTransition).  The engine supports ACYCLIC automatons and
+    rewrites them exactly like the reference's rewrite(IndexReader)
+    (:rewrite — singleton -> TermQuery, sausage -> MultiPhraseQuery
+    with ANY transitions skipping a position), generalized: every
+    accepted label path becomes a (multi)phrase with EXPLICIT slot
+    positions (ANY slots are holes), combined SHOULD when the language
+    has several paths.  Cyclic automatons raise (the reference's
+    non-finite languages need the runtime scorer, out of scope).
+
+    ``transitions``: tuple of (from_state, to_state, term | None).
+    State 0 is the start state."""
+
+    n_states: int
+    transitions: tuple
+    accepts: tuple
+
+    def paths(self, max_paths: int = 64) -> list[tuple]:
+        """All accepted label paths (DFS; raises on cycles/overflow)."""
+        out_edges: dict[int, list] = {}
+        for frm, to, lab in self.transitions:
+            out_edges.setdefault(frm, []).append((to, lab))
+        acc = set(self.accepts)
+        paths: list[tuple] = []
+
+        def dfs(state, labels, seen):
+            if state in seen:
+                raise ValueError("cyclic automaton is not supported")
+            if state in acc and labels:
+                paths.append(tuple(labels))
+                if len(paths) > max_paths:
+                    raise ValueError(
+                        f"automaton accepts more than {max_paths} paths"
+                    )
+            for to, lab in out_edges.get(state, ()):
+                dfs(to, labels + [lab], seen | {state})
+
+        dfs(0, [], frozenset())
+        if not paths:
+            raise ValueError("automaton accepts no sequences")
+        return sorted(set(paths), key=lambda p: (len(p), str(p)))
+
+    def __str__(self) -> str:
+        return f"termAutomaton({self.n_states} states, " \
+               f"{len(self.transitions)} transitions)"
 
 
 @dataclass(frozen=True)

@@ -36,6 +36,7 @@ from .queries import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    TermAutomatonQuery,
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
@@ -111,6 +112,28 @@ def _rewrite_once(q: Query, term_lookup) -> Query:
         if len(q.terms) == 1:  # PhraseQuery.rewrite: single term unwraps
             return TermQuery(q.terms[0])
         return q
+    if isinstance(q, TermAutomatonQuery):
+        # TermAutomatonQuery.rewrite (TermAutomatonQuery.java:rewrite):
+        # singleton -> TermQuery; each accepted label path becomes a
+        # phrase with EXPLICIT slot positions (ANY labels skip a
+        # position, exactly like the sausage rewrite's matchesAny);
+        # several paths combine SHOULD
+        path_qs = []
+        for path in q.paths():
+            terms = tuple(t for t in path if t is not None)
+            if not terms:
+                raise ValueError("all-ANY path is not supported")
+            pos = tuple(i for i, t in enumerate(path) if t is not None)
+            if len(terms) == 1 and len(path) == 1:
+                path_qs.append(TermQuery(terms[0]))
+            else:
+                path_qs.append(PhraseQuery(terms, slot_positions=pos))
+        if len(path_qs) == 1:
+            return _rewrite_once(path_qs[0], term_lookup)
+        b = Builder()
+        for pq_ in path_qs:
+            b.add(_rewrite_once(pq_, term_lookup), Occur.SHOULD)
+        return b.build()
     if isinstance(q, MultiPhraseQuery):
         # MultiPhraseQuery.rewrite (:193-206): empty -> MatchNoDocs,
         # one position -> OR over its terms; otherwise unchanged

@@ -665,6 +665,69 @@ def test_complex_phrase_parser(engine):
     assert isinstance(p.parse('"public"'), Q.TermQuery)
 
 
+def test_gapped_phrase_and_term_automaton(engine):
+    """Explicit slot positions (PhraseQuery.Builder.add(term, pos))
+    and TermAutomatonQuery's path rewrite: engine == oracle, ANY
+    transitions become positional holes, branching automatons become
+    SHOULD unions of path phrases."""
+    searcher, oi = engine
+    gp = Q.PhraseQuery(("public", "return"), slot_positions=(0, 2))
+    gp_td, _ = assert_identical(searcher, oi, gp)
+    assert_identical(
+        searcher, oi,
+        Q.PhraseQuery(("public", "return"), slop=2, slot_positions=(0, 2)),
+    )
+    assert_identical(
+        searcher, oi,
+        Q.MultiPhraseQuery(
+            (("public", "private"), ("return",)), slot_positions=(0, 2)
+        ),
+    )
+    # a gapped phrase is a superset of the adjacent phrase only via
+    # slop: exact (0,2) and exact (0,1) are disjoint constraints, but
+    # both are subsets of the slop-2 plain phrase hit set
+    n_gap = searcher.count(gp)
+    n_slop = searcher.count(Q.PhraseQuery(("public", "return"), slop=2))
+    assert 0 < n_gap <= n_slop
+
+    # automaton: public ANY return (sausage with a hole) == the gapped
+    # phrase, exactly (the reference's matchesAny position skip)
+    taq = Q.TermAutomatonQuery(
+        4, ((0, 1, "public"), (1, 2, None), (2, 3, "return")), (3,)
+    )
+    td = searcher.search(taq, k=10, total_hits_threshold=1)
+    assert td.doc_ids.tolist() == gp_td.doc_ids.tolist()
+    np.testing.assert_array_equal(td.scores, gp_td.scores)
+    assert searcher.count(taq) == n_gap
+
+    # branching automaton: "public (static | return)" = union of the
+    # two path phrases
+    taq2 = Q.TermAutomatonQuery(
+        3, ((0, 1, "public"), (1, 2, "static"), (1, 2, "return")), (2,)
+    )
+    assert_identical(searcher, oi, taq2)
+    a = {r["doc_id"] for r in searcher.matches_df(
+        Q.PhraseQuery(("public", "static"))).collect()}
+    b = {r["doc_id"] for r in searcher.matches_df(
+        Q.PhraseQuery(("public", "return"))).collect()}
+    got = {r["doc_id"] for r in searcher.matches_df(taq2).collect()}
+    assert got == a | b
+
+    # paths of different lengths (optional middle token)
+    taq3 = Q.TermAutomatonQuery(
+        3, ((0, 1, "public"), (1, 2, "return"), (0, 2, "import")), (2,)
+    )
+    assert_identical(searcher, oi, taq3)
+
+    # degenerate / invalid automatons fail loudly
+    with pytest.raises(ValueError, match="cyclic"):
+        Q.TermAutomatonQuery(2, ((0, 0, "a"), (0, 1, "b")), (1,)).paths()
+    with pytest.raises(ValueError, match="no sequences"):
+        Q.TermAutomatonQuery(2, ((0, 1, "a"),), ()).paths()
+    with pytest.raises(ValueError):
+        Q.PhraseQuery(("a", "b"), slot_positions=(2, 1))
+
+
 def test_classic_similarity_rank_identity(engine):
     """ClassicSimilarity (TF-IDF, sqrt-tf * idf^cls / sqrt(len)):
     pruned engine == brute-force oracle, bitwise float32, across the
