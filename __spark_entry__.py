@@ -1732,9 +1732,25 @@ def _q_suggest(spark, sf_dir):
     cmb = suggest_word_combinations(s, ["dat", "a", "joi", "n"], k=10).select(
         F.lit("wordcombine").alias("variant"), "rank", "term", "df"
     )
+    # "flt": FuzzyLikeThisQuery variant selection — per-term fuzzy
+    # variants boosted 1 - ed/minlen, squared, times ClassicSimilarity
+    # idf of the source term's df (or the integer-average variant df)
+    from lucene_solr_8_7_0_spark.operators.fuzzylikethis import (
+        fuzzy_like_this_terms,
+    )
+
+    flt_rows = [
+        (i + 1, v, d)
+        for i, (_src, v, d, _sc) in enumerate(
+            fuzzy_like_this_terms(s, "vectr datq", max_num_terms=10)
+        )
+    ]
+    flt = spark.createDataFrame(
+        flt_rows, "rank int, term string, df bigint"
+    ).select(F.lit("flt").alias("variant"), "rank", "term", "df")
     return (
         pre.unionByName(inf).unionByName(fuz).unionByName(col)
-        .unionByName(brk).unionByName(cmb)
+        .unionByName(brk).unionByName(cmb).unionByName(flt)
     )
 
 
@@ -2220,7 +2236,33 @@ def oracle_sql() -> dict[str, str]:
               JOIN td ON td.term = p.combined
               WHERE coalesce((SELECT df FROM td x WHERE x.term = p.l), 0) = 0
                  OR coalesce((SELECT df FROM td y WHERE y.term = p.r), 0) = 0
-              ORDER BY td.df DESC, p.pos LIMIT 10)""",
+              ORDER BY td.df DESC, p.pos LIMIT 10)
+            UNION ALL
+            SELECT 'flt', rank, term, df FROM (
+              WITH nd AS (SELECT count(*) AS n FROM documents),
+              vars AS (
+                SELECT s.src, t.term AS v, t.df,
+                       CASE WHEN t.term = s.src THEN 1.0
+                            ELSE 1.0 - levenshtein(t.term, s.src)
+                                 / CAST(least(length(t.term), length(s.src)) AS DOUBLE)
+                       END AS boost
+                FROM (SELECT unnest(['vectr', 'datq']) AS src) s
+                JOIN td t ON abs(length(t.term) - length(s.src)) <= 2
+                         AND levenshtein(t.term, s.src) <= 2),
+              dfs AS (
+                SELECT src,
+                       coalesce(max(CASE WHEN v = src THEN df END),
+                                CAST(floor(sum(df) / count(*)) AS BIGINT)) AS df_src
+                FROM vars GROUP BY src),
+              scored AS (
+                SELECT vars.v, vars.df,
+                       round(boost * boost
+                             * (ln((nd.n + 1.0) / (dfs.df_src + 1.0)) + 1.0),
+                             6) AS score
+                FROM vars JOIN dfs USING (src) CROSS JOIN nd)
+              SELECT CAST(row_number() OVER (ORDER BY score DESC, v) AS INT) AS rank,
+                     v AS term, df
+              FROM scored ORDER BY score DESC, v LIMIT 10)""",
         "tfidf_topk": f"""
             WITH toks AS ({_TOKS}),
             lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
