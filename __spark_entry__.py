@@ -1314,10 +1314,23 @@ def _q_ann_lsh_topk(spark, sf_dir):
         .toPandas()
     )
     planes = ann.deterministic_planes(n_tables=8, n_planes=8, dim=64)
-    return ann.lsh_topk(
+    lsh = ann.lsh_topk(
         emb, queries_pdf, k=5, n_planes=8, dim=64, multiprobe=1,
         n_tables=8, planes=planes, quantize=True,
-    ).select("query_id", "rank", "neighbor_id")
+    ).select(
+        F.lit("lsh").alias("variant"), "query_id", "rank", "neighbor_id"
+    )
+    # "pq": product-quantization ADC top-5 on the SAME fixed-point
+    # grid (floor(x*2^20)): centroid c of every subspace = the
+    # quantized subvector of vec_id 200+c, so assignment and the ADC
+    # sums are exact integer arithmetic the oracle replays bit-for-bit
+    from lucene_solr_8_7_0_spark.operators import pqann
+
+    books = pqann.pq_codebook_from_ids(emb, ids=range(200, 216), m=8)
+    pq = pqann.pq_topk(emb, queries_pdf, books, k=5).select(
+        F.lit("pq").alias("variant"), "query_id", "rank", "neighbor_id"
+    )
+    return lsh.unionByName(pq)
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
@@ -3559,11 +3572,51 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c
               JOIN embeddings q ON q.vec_id = c.query_id
               JOIN embeddings e ON e.vec_id = c.neighbor_id)
-            SELECT query_id,
+            SELECT 'lsh' AS variant, query_id,
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
                    neighbor_id
-            FROM scored QUALIFY rank <= 5""",
+            FROM scored QUALIFY rank <= 5
+            UNION ALL
+            -- pq: product quantization on the same floor(x*2^20)
+            -- grid; centroid c of every subspace = quantized
+            -- subvector of vec_id 200+c; assignment + ADC are exact
+            -- integer sums
+            SELECT 'pq', query_id, rank, neighbor_id FROM (
+              WITH cb AS (
+                SELECT c.range AS c, s.range AS s, d.range AS d,
+                       CAST(floor(CAST(e.embedding[s.range * 8 + d.range + 1]
+                            AS DOUBLE) * 1048576) AS BIGINT) AS q
+                FROM range(16) c
+                JOIN embeddings e ON e.vec_id = 200 + c.range,
+                     range(8) s, range(8) d),
+              ev AS (
+                SELECT vec_id, s.range AS s, d.range AS d,
+                       CAST(floor(CAST(embedding[s.range * 8 + d.range + 1]
+                            AS DOUBLE) * 1048576) AS BIGINT) AS q
+                FROM embeddings, range(8) s, range(8) d),
+              dist AS (
+                SELECT ev.vec_id, ev.s, cb.c,
+                       sum((ev.q - cb.q) * (ev.q - cb.q)) AS d2
+                FROM ev JOIN cb USING (s, d) GROUP BY 1, 2, 3),
+              codes AS (
+                SELECT vec_id, s, c FROM (
+                  SELECT vec_id, s, c,
+                         row_number() OVER (PARTITION BY vec_id, s
+                           ORDER BY d2 ASC, c ASC) AS rn
+                  FROM dist) WHERE rn = 1),
+              adc AS (
+                SELECT qd.vec_id AS query_id, codes.vec_id AS neighbor_id,
+                       sum(qd.d2) AS ad
+                FROM codes
+                JOIN dist qd ON qd.s = codes.s AND qd.c = codes.c
+                WHERE qd.vec_id < 10 AND codes.vec_id != qd.vec_id
+                GROUP BY 1, 2)
+              SELECT query_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY ad ASC, neighbor_id ASC) AS INT) AS rank,
+                     neighbor_id
+              FROM adc QUALIFY rank <= 5)""",
         "ann_ivf_topk": """
             WITH cent AS (
               SELECT vec_id - 100 AS c, embedding FROM embeddings
