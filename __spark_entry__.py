@@ -1246,7 +1246,35 @@ def _q_join_query(spark, sf_dir):
             null_l.alias("n_children"), F.col("parent_doc").cast("long"),
         )
     )
-    return fk.unionByName(tp).unionByName(tc)
+    # scored_max / scored_total: JoinUtil ScoreMode — the join value
+    # (lang) carries the max / sum of the from-side ('vector') BM25
+    # scores (rounded to 4 pre-aggregation for the float64 replay);
+    # rank of the to-side ('data') docs rides the n_children column
+    from lucene_solr_8_7_0_spark.operators.joinq import join_query_scored
+    from pyspark.sql import Window
+
+    scored = [fk.unionByName(tp).unionByName(tc)]
+    for mode, name in (("max", "scored_max"), ("total", "scored_total")):
+        sj = join_query_scored(
+            s, Q.TermQuery("vector"), "lang", score_mode=mode,
+            to_query=Q.TermQuery("data"), round_scores=4,
+        ).select("doc_id", F.round("jscore", 4).alias("_r"))
+        w = Window.orderBy(F.col("_r").desc(), F.col("doc_id").asc())
+        top = (
+            sj.orderBy(F.col("_r").desc(), F.col("doc_id").asc()).limit(10)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+        )
+        scored.append(
+            _orig_ids(s, top).select(
+                F.lit(name).alias("variant"), "doc_id",
+                F.col("rank").alias("n_children"),
+                null_l.alias("parent_doc"),
+            )
+        )
+    out = scored[0]
+    for df_ in scored[1:]:
+        out = out.unionByName(df_)
+    return out
 
 
 def _q_highlight_topk(spark, sf_dir):
@@ -3476,7 +3504,36 @@ def oracle_sql() -> dict[str, str]:
             tc AS (
               SELECT p.doc_id, p.parent_doc FROM pmap p
               WHERE NOT p.is_parent
-                AND p.parent_doc IN (SELECT doc_id FROM phits))
+                AND p.parent_doc IN (SELECT doc_id FROM phits)),
+            -- scored join modes: per-doc BM25 of 'vector' (rounded 4
+            -- before aggregation), max/sum per lang, ranks of the
+            -- 'data' to-side
+            lensj AS (SELECT doc_id, count(*) AS len FROM ({_TOKS})
+                      GROUP BY doc_id),
+            csj AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf
+                    FROM lensj),
+            quantj AS (
+              SELECT doc_id,
+                CASE WHEN len < 40 THEN len
+                     ELSE 24 + (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3))
+                                 << (CAST(floor(log2(len - 24)) AS INT) - 3))
+                END AS dlen
+              FROM lensj),
+            vtf AS (SELECT doc_id, count(*) AS freq FROM ({_TOKS})
+                    WHERE tok = 'vector' GROUP BY doc_id),
+            vdf AS (SELECT count(*) AS df FROM vtf),
+            vsj AS (
+              SELECT vtf.doc_id,
+                     round(ln(1 + (csj.doc_count - vdf.df + 0.5) / (vdf.df + 0.5))
+                       * (1 - 1 / (1 + vtf.freq * (1 / (1.2 * (0.25 + 0.75 * q.dlen
+                           / (csj.sum_ttf / CAST(csj.doc_count AS DOUBLE))))))), 4) AS s
+              FROM vtf CROSS JOIN vdf JOIN quantj q USING (doc_id)
+                   CROSS JOIN csj),
+            jmax AS (SELECT d.lang, round(max(v.s), 4) AS js
+                     FROM vsj v JOIN documents d USING (doc_id) GROUP BY d.lang),
+            jtot AS (SELECT d.lang, round(sum(v.s), 4) AS js
+                     FROM vsj v JOIN documents d USING (doc_id) GROUP BY d.lang),
+            dhits AS (SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok = 'data')
             SELECT 'fk' AS variant, doc_id,
                    CAST(NULL AS BIGINT) AS n_children,
                    CAST(NULL AS BIGINT) AS parent_doc
@@ -3488,7 +3545,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'to_child', doc_id, CAST(NULL AS BIGINT),
                    CAST(parent_doc AS BIGINT)
-            FROM tc""",
+            FROM tc
+            UNION ALL
+            SELECT 'scored_max', doc_id, rank, CAST(NULL AS BIGINT) FROM (
+              SELECT h.doc_id,
+                     CAST(row_number() OVER (ORDER BY j.js DESC, h.doc_id) AS BIGINT) AS rank
+              FROM dhits h JOIN documents d USING (doc_id)
+              JOIN jmax j ON j.lang = d.lang
+              ORDER BY j.js DESC, h.doc_id LIMIT 10)
+            UNION ALL
+            SELECT 'scored_total', doc_id, rank, CAST(NULL AS BIGINT) FROM (
+              SELECT h.doc_id,
+                     CAST(row_number() OVER (ORDER BY j.js DESC, h.doc_id) AS BIGINT) AS rank
+              FROM dhits h JOIN documents d USING (doc_id)
+              JOIN jtot j ON j.lang = d.lang
+              ORDER BY j.js DESC, h.doc_id LIMIT 10)""",
         "winnow_fingerprint": """
             WITH t AS (SELECT doc_id, lower(text) AS s, length(text) AS n
                        FROM documents WHERE length(text) >= 5),

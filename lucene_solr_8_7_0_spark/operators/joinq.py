@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "join_query_docs",
+    "join_query_scored",
     "block_parent_map",
     "to_parent_block_join",
     "to_child_block_join",
@@ -49,6 +50,53 @@ def join_query_docs(
     out = meta.select("doc_id", to_field).join(
         from_vals, F.col(to_field) == F.col("_v"), "left_semi"
     ).select("doc_id")
+    if to_query is not None:
+        out = out.join(searcher.matches_df(to_query), "doc_id", "left_semi")
+    return out
+
+
+def join_query_scored(
+    searcher,
+    from_query,
+    from_field: str,
+    to_field: str | None = None,
+    score_mode: str = "max",
+    to_query=None,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """JoinUtil.createJoinQuery with a real ScoreMode (JoinUtil.java:
+    88-175; ScoreMode.java Max/Total/Avg/Min; TermsIncludingScoreQuery
+    — the from-side collector aggregates each join VALUE's hit scores
+    under the mode, and a to-side doc scores its value's aggregate).
+
+    Spark-first: the from side is the COMPLETE bulk-scored hit set
+    joined to docmeta once; per-value aggregation is one (map-side
+    combined) groupBy on the join value; the to side picks up the
+    aggregate by a broadcast hash join.  Returns (doc_id, jscore) —
+    jscore double (the reference accumulates float; round before
+    ranking for SQL replay, the engine's standard policy)."""
+    aggs = {"max": F.max, "total": F.sum, "avg": F.avg, "min": F.min}
+    if score_mode not in aggs:
+        raise ValueError(f"unknown score mode {score_mode!r}")
+    to_field = to_field or from_field
+    meta = searcher._docmeta()
+    s_col = F.col("score").cast("double")
+    if round_scores is not None:
+        # SQL-replay mode: per-doc scores rounded BEFORE aggregation,
+        # so a float64 oracle accumulates the identical inputs
+        s_col = F.round(s_col, round_scores)
+    from_scores = searcher.score_all_df(from_query).select(
+        "doc_id", s_col.alias("_s")
+    )
+    vals = (
+        from_scores.join(meta.select("doc_id", from_field), "doc_id")
+        .groupBy(from_field)
+        .agg(aggs[score_mode]("_s").alias("jscore"))
+        .select(F.col(from_field).alias("_v"), "jscore")
+    )
+    out = meta.select("doc_id", to_field).join(
+        F.broadcast(vals), F.col(to_field) == F.col("_v")
+    ).select("doc_id", "jscore")
     if to_query is not None:
         out = out.join(searcher.matches_df(to_query), "doc_id", "left_semi")
     return out

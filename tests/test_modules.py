@@ -111,6 +111,39 @@ def test_collate_spellcheck(idx):
     assert collate_spellcheck(idx, ["zzzzqqqq", "return"]).count() == 0
 
 
+def test_join_query_scored(idx, spark):
+    """JoinUtil ScoreMode Max/Total/Avg/Min: the join value carries
+    the aggregate of the from-side scores — replayed in pandas from
+    the engine's own bulk scores."""
+    import numpy as np
+
+    from lucene_solr_8_7_0_spark.operators.joinq import join_query_scored
+
+    meta = idx._docmeta().select("doc_id", "lang").toPandas()
+    fs = idx.score_all_df(Q.TermQuery("public")).toPandas().merge(
+        meta, on="doc_id"
+    )
+    for mode, fn in (("max", "max"), ("total", "sum"),
+                     ("avg", "mean"), ("min", "min")):
+        want = fs.groupby("lang")["score"].agg(fn).astype(float)
+        got = join_query_scored(
+            idx, Q.TermQuery("public"), "lang", score_mode=mode
+        ).toPandas().merge(meta, on="doc_id")
+        assert set(got["lang"]) == set(want.index)
+        np.testing.assert_allclose(
+            got["jscore"], want.loc[got["lang"]].to_numpy(), rtol=1e-6
+        )
+    # to_query intersects; unknown mode raises
+    n_all = join_query_scored(idx, Q.TermQuery("public"), "lang").count()
+    n_int = join_query_scored(
+        idx, Q.TermQuery("public"), "lang", to_query=Q.TermQuery("return")
+    ).count()
+    assert 0 < n_int <= n_all
+    with pytest.raises(ValueError):
+        join_query_scored(idx, Q.TermQuery("public"), "lang",
+                          score_mode="nope")
+
+
 def test_word_break_spellchecker(idx):
     """WordBreakSpellChecker analog: breaks recomputed in pandas (two
     dictionary parts, max-part-df desc, split position asc) and the
