@@ -1035,11 +1035,30 @@ def _q_queries_module_topk(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    """Exact token-trigram Jaccard similarity join (dedup verify path)."""
+    """Exact token-trigram Jaccard join (dedup verify path) + benchmark
+    decontamination, tagged union:
+
+    - jaccard: the original trigram-Jaccard pairs.
+    - decontam: 13-gram overlap against a synthetic benchmark set
+      (400-char substrings of every 7th document, the deterministic
+      stand-in for a held-out eval set) — one hash join on the gram
+      hash flags every training doc sharing a 13-gram with it."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        F.lit("jaccard").alias("variant"),
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+        F.round("jaccard", 6).alias("val"),
     )
+    full = _docs(spark, sf_dir)
+    bench = full.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 70)
+    ).select("doc_id", F.substring("text", 51, 400).alias("text"))
+    cont = dedup.ngram_overlap_contamination(full, bench, n=13).select(
+        F.lit("decontam").alias("variant"),
+        F.col("doc_id").alias("a"), F.col("bench_id").alias("b"),
+        F.col("n_shared").cast("double").alias("val"),
+    )
+    return pairs.unionByName(cont)
 
 
 def _q_facet_lang(spark, sf_dir):
@@ -3292,10 +3311,38 @@ def oracle_sql() -> dict[str, str]:
             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
                       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
                       GROUP BY 1, 2)
-            SELECT doc_a, doc_b, round(ni / (za.n + zb.n - ni), 6) AS jaccard
+            SELECT 'jaccard' AS variant, doc_a AS a, doc_b AS b,
+                   round(ni / (za.n + zb.n - ni), 6) AS val
             FROM inter JOIN sizes za ON doc_a = za.doc_id
                        JOIN sizes zb ON doc_b = zb.doc_id
-            WHERE ni / (za.n + zb.n - ni) >= 0.2""",
+            WHERE ni / (za.n + zb.n - ni) >= 0.2
+            UNION ALL
+            -- decontam: distinct 13-grams of ALL training docs vs the
+            -- synthetic benchmark (400-char substrings of every 7th
+            -- doc); short texts emit one truncated gram, matching the
+            -- engine's shingle kernel
+            SELECT 'decontam', t.doc_id, b.bench_id,
+                   CAST(count(*) AS DOUBLE)
+            FROM (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, unnest(list_transform(
+                  generate_series(1, greatest(len(l) - 13, 0) + 1),
+                  i -> array_to_string(l[i:least(i + 12, len(l))], ' '))) AS g
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+                      FROM documents)) z) t
+            JOIN (
+              SELECT DISTINCT bench_id, g FROM (
+                SELECT bench_id, unnest(list_transform(
+                  generate_series(1, greatest(len(l) - 13, 0) + 1),
+                  i -> array_to_string(l[i:least(i + 12, len(l))], ' '))) AS g
+                FROM (SELECT doc_id AS bench_id,
+                             regexp_extract_all(lower(substr(text, 51, 400)),
+                                                '[a-z0-9_]+') AS l
+                      FROM documents
+                      WHERE doc_id % 7 = 0 AND doc_id < 70)) z) b
+              ON t.g = b.g
+            GROUP BY 1, 2, 3""",
         "simhash_near_dups": """
             WITH tf AS (
               SELECT doc_id, tok, count(*) AS tf FROM (

@@ -487,3 +487,54 @@ def cluster_duplicates(
             F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
         )
     )
+
+
+def ngram_overlap_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    max_gram_df: int | None = 1000,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing >=
+    ``min_shared`` distinct word n-grams (n=13 is the de-facto
+    standard from the GPT-3/PaLM decontamination appendices — public
+    papers) with any benchmark document.
+
+    Returns (doc_id, bench_id, n_shared) — one row per contaminated
+    (train, benchmark) pair, n_shared = count of distinct shared
+    n-grams.
+
+    Spark-first shape: both sides shingle JVM-side (the same
+    ``_shingles`` kernel as MinHash), the match is ONE hash join on
+    the 64-bit gram hash; ``max_gram_df`` drops grams appearing in
+    more than that many TRAINING docs before the join (boilerplate
+    guard — the same skew cap discipline as the LSH buckets: a
+    ubiquitous gram would otherwise fan out quadratically and flags
+    nothing about contamination)."""
+    tr = _shingles(docs, id_col, text_col, n)
+    be = _shingles(
+        benchmark.select(
+            F.col(bench_id_col).alias("doc_id"),
+            F.col(bench_text_col).alias(text_col),
+        ),
+        "doc_id", text_col, n,
+    ).select(F.col("doc_id").alias("bench_id"), "sh_hash")
+    if max_gram_df is not None:
+        ok = (
+            tr.groupBy("sh_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .drop("_df")
+        )
+        tr = tr.join(ok, "sh_hash", "left_semi")
+    return (
+        tr.join(be, "sh_hash")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -61,3 +61,42 @@ def test_cluster_duplicates_random(spark):
     edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(180)]
     got = _clusters_of(spark, edges)
     assert got == _brute(edges)
+
+
+def test_ngram_overlap_contamination(spark):
+    from lucene_solr_8_7_0_spark.operators.dedup import (
+        ngram_overlap_contamination,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                base,                                   # contains the bench gram
+                base.replace("w5", "x5"),               # broken 13-gram run
+                "totally different words only here",    # clean
+            ],
+        })
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [100],
+            "text": [" ".join(f"w{i}" for i in range(2, 20))],  # 18 tokens
+        })
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in ngram_overlap_contamination(docs, bench, n=13).collect()
+    }
+    # bench has 6 distinct 13-grams (w2..w7 starts); all 6 occur in
+    # doc 1; doc 2 (w5 broken) keeps only the w6/w7-start grams
+    assert got == {(1, 100): 6, (2, 100): 2}
+    # a ubiquitous-gram cap of 0 drops everything (skew guard active)
+    assert ngram_overlap_contamination(
+        docs, bench, n=13, max_gram_df=0
+    ).count() == 0
+    # min_shared filters
+    assert ngram_overlap_contamination(
+        docs, bench, n=13, min_shared=7
+    ).count() == 0
