@@ -239,3 +239,73 @@ def winnowing_fingerprint(
     return docs.select(id_col, text_col).mapInPandas(
         fp, schema="doc_id bigint, fingerprints array<bigint>"
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Token-aware document chunking — the training/RAG preparation
+    step: split each document into windows of ``chunk_tokens``
+    analyzer tokens with ``overlap_tokens`` overlap, slicing the
+    ORIGINAL text by the tokens' character offsets (the engine's
+    OffsetAttribute machinery, functions/analysis
+    .analyze_batch_with_offsets), so chunks preserve exact original
+    bytes — no detokenization artifacts.  A chunk spans from its first
+    token's start offset to its last token's end offset; the last
+    window is emitted whenever it contains any new token.
+
+    Returns (doc_id, chunk_id, n_tokens, char_start, char_end,
+    chunk_text).  One Arrow pass over the corpus (mapInPandas), no
+    shuffle at all — chunking is embarrassingly parallel, the correct
+    shape at 100 TB."""
+    import pandas as pd
+
+    from ..functions.analysis import analyze_batch_with_offsets
+
+    if chunk_tokens < 1 or not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need chunk_tokens >= 1 and 0 <= overlap < chunk")
+    step = chunk_tokens - overlap_tokens
+
+    def run(batches):
+        for pdf in batches:
+            tb = analyze_batch_with_offsets(pdf[text_col], analyzer)
+            texts = pdf[text_col].fillna("").to_numpy()
+            ids = pdf[id_col].to_numpy()
+            rows = {"doc_id": [], "chunk_id": [], "n_tokens": [],
+                    "char_start": [], "char_end": [], "chunk_text": []}
+            import numpy as np
+
+            bounds = np.concatenate((
+                [0], np.cumsum(np.bincount(tb.doc_idx, minlength=len(pdf)))
+            ))
+            for di in range(len(pdf)):
+                st = tb.starts[bounds[di]:bounds[di + 1]]
+                en = tb.ends[bounds[di]:bounds[di + 1]]
+                ntok = len(st)
+                cid = 0
+                for lo in range(0, max(ntok, 1), step):
+                    hi = min(lo + chunk_tokens, ntok)
+                    if hi <= lo:
+                        break
+                    cs, ce = int(st[lo]), int(en[hi - 1])
+                    rows["doc_id"].append(ids[di])
+                    rows["chunk_id"].append(cid)
+                    rows["n_tokens"].append(hi - lo)
+                    rows["char_start"].append(cs)
+                    rows["char_end"].append(ce)
+                    rows["chunk_text"].append(texts[di][cs:ce])
+                    cid += 1
+                    if hi == ntok:
+                        break
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        schema="doc_id bigint, chunk_id int, n_tokens int, "
+               "char_start int, char_end int, chunk_text string",
+    )

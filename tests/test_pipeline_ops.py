@@ -392,3 +392,44 @@ def test_bpe_token_counts(spark):
     assert got.loc[0, "n_bpe_tokens"] == 8
     # "don't stop-me now 3.14" -> don|'t| stop|-|me| now| 3|.|14 = 9
     assert got.loc[3, "n_bpe_tokens"] == 9
+
+
+def test_chunk_documents(spark):
+    from lucene_solr_8_7_0_spark.functions.analysis import tokenize_text
+    from lucene_solr_8_7_0_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(25)) + "  trailing!"),
+         (2, "short doc"),
+         (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(
+        docs, chunk_tokens=10, overlap_tokens=3
+    ).toPandas().sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    # doc 3 (no tokens) emits nothing; doc 2 one short chunk
+    assert set(out["doc_id"]) == {1, 2}
+    d2 = out[out["doc_id"] == 2]
+    assert len(d2) == 1 and d2.iloc[0]["n_tokens"] == 2
+    assert d2.iloc[0]["chunk_text"] == "short doc"
+    # doc 1: 26 tokens, windows of 10 step 7 -> starts 0,7,14,21
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk_id"].tolist() == [0, 1, 2, 3]
+    assert d1["n_tokens"].tolist() == [10, 10, 10, 5]
+    # every chunk's text re-analyzes to exactly its window's tokens
+    all_toks = tokenize_text(
+        " ".join(f"tok{i}" for i in range(25)) + "  trailing!", "standard"
+    )
+    for _, r in d1.iterrows():
+        lo = r["chunk_id"] * 7
+        want = all_toks[lo:lo + 10]
+        assert tokenize_text(r["chunk_text"], "standard") == want
+    # overlap: consecutive chunks share exactly 3 tokens
+    assert tokenize_text(d1.iloc[0]["chunk_text"], "standard")[-3:] == \
+        tokenize_text(d1.iloc[1]["chunk_text"], "standard")[:3]
+    # exact original-byte slices
+    src = docs.filter("doc_id = 1").collect()[0]["text"]
+    for _, r in d1.iterrows():
+        assert r["chunk_text"] == src[r["char_start"]:r["char_end"]]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=5, overlap_tokens=5)
