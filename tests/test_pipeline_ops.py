@@ -433,3 +433,43 @@ def test_chunk_documents(spark):
         assert r["chunk_text"] == src[r["char_start"]:r["char_end"]]
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=5, overlap_tokens=5)
+
+
+def test_cluster_search_results(spark, tmp_path_factory):
+    from lucene_solr_8_7_0_spark.config import EngineConfig
+    from lucene_solr_8_7_0_spark.operators.build import build_index
+    from lucene_solr_8_7_0_spark.operators.resultclustering import (
+        cluster_search_results,
+    )
+    from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+    from lucene_solr_8_7_0_spark.plans import queries as Q
+    from lucene_solr_8_7_0_spark.sources.corpus import corpus_df
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("clust_idx"))
+    docs = corpus_df(spark, 150, seed=13)
+    build_index(spark, docs, d, EngineConfig(segment_size=64))
+    s = IndexSearcher(spark, d)
+    content = docs.join(
+        spark.read.parquet(f"{d}/docs").select("repo", "path", "doc_id"),
+        ["repo", "path"],
+    ).select("doc_id", "content")
+    out = cluster_search_results(
+        s, content, Q.TermQuery("public"), k_docs=30, n_clusters=3
+    )
+    td = s.search(Q.TermQuery("public"), k=30)
+    # one row per hit, ranks preserved, clusters labeled
+    assert out["doc_id"].tolist() == [int(x) for x in td.doc_ids]
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
+    assert set(out["cluster"]) <= set(range(3))
+    assert out["cluster"].nunique() >= 2
+    assert (out["label"].str.len() > 0).all()
+    # determinism: same inputs, same clustering
+    out2 = cluster_search_results(
+        s, content, Q.TermQuery("public"), k_docs=30, n_clusters=3
+    )
+    assert out2["cluster"].tolist() == out["cluster"].tolist()
+    assert out2["label"].tolist() == out["label"].tolist()
+    # empty hit set degrades to an empty frame
+    empty = cluster_search_results(s, content, Q.TermQuery("zzqq"))
+    assert len(empty) == 0
