@@ -1108,7 +1108,28 @@ def _q_facet_lang(spark, sf_dir):
         F.col("bucket").alias("lang"),
         F.lit(None).cast("string").alias("tag"), "count",
     )
-    return flat.unionByName(piv).unionByName(dr).unionByName(nr)
+    # props_bucket: faceting a JSON-encoded field (the Solr JSON Facet
+    # API over semi-structured props) — extract $.k, bucket by tens;
+    # one codegen'd json path + one groupBy
+    pb = (
+        events.select(
+            (
+                F.floor(
+                    F.get_json_object("props", "$.k").cast("int") / 10
+                ) * 10
+            ).cast("int").alias("kb")
+        )
+        .filter(F.col("kb").isNotNull())
+        .groupBy("kb")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.lit("props_bucket").alias("variant"),
+            F.col("kb").cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("tag"), "count",
+        )
+    )
+    return (flat.unionByName(piv).unionByName(dr).unionByName(nr)
+            .unionByName(pb))
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -3445,7 +3466,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bucket
             UNION ALL
             SELECT 'num_range', 'between', CAST(NULL AS VARCHAR), count(*)
-            FROM events WHERE value >= 0 AND value < 20""",
+            FROM events WHERE value >= 0 AND value < 20
+            UNION ALL
+            -- JSON-field facet: $.k bucketed by tens
+            SELECT 'props_bucket',
+                   CAST(CAST(floor(CAST(json_extract_string(props, '$.k') AS INT)
+                        / 10) * 10 AS INT) AS VARCHAR),
+                   CAST(NULL AS VARCHAR), count(*)
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 2""",
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",
