@@ -70,13 +70,21 @@ def suggest_infix(searcher, fragment: str, k: int = 10) -> DataFrame:
 
 
 def suggest_fuzzy(
-    searcher, term: str, k: int = 10, max_edits: int = 2
+    searcher, term: str, k: int = 10, max_edits: int = 2,
+    distance: str = "levenshtein",
 ) -> DataFrame:
     """DirectSpellChecker-style "did you mean": dictionary terms within
     ``max_edits`` (length-banded + JVM levenshtein), ranked by
     (distance asc, df desc, term asc).  The queried term itself is
     excluded, like the spell checker's suggestSimilar.  Returns
-    (rank, term, df, dist)."""
+    (rank, term, df, dist).
+
+    ``distance`` swaps the RANKING measure (DirectSpellChecker
+    .setDistance — candidate enumeration stays the fuzzy terms enum):
+    "levenshtein" (default, the int distance), "jaro_winkler"
+    (JaroWinklerDistance.java) or "ngram" (NGramDistance.java) — the
+    similarity measures rank by (sim desc, df desc, term asc) and
+    ride the ``dist`` column as round(sim, 6)."""
     from pyspark.sql import Window
 
     c = F.col("term")
@@ -86,11 +94,34 @@ def suggest_fuzzy(
             & (F.length("term") <= F.lit(len(term) + max_edits))
             & (c != term)
         )
-        .withColumn("dist", F.levenshtein(c, F.lit(term)))
-        .filter(F.col("dist") <= max_edits)
-        .select("term", "df", "dist")
+        .withColumn("_ed", F.levenshtein(c, F.lit(term)))
+        .filter(F.col("_ed") <= max_edits)
     )
-    order = [F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()]
+    if distance == "levenshtein":
+        cand = cand.select("term", "df", F.col("_ed").alias("dist"))
+        order = [F.col("dist").asc(), F.col("df").desc(),
+                 F.col("term").asc()]
+    elif distance in ("jaro_winkler", "ngram"):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from ..functions.strdist import jaro_winkler, ngram_distance
+
+        fn = jaro_winkler if distance == "jaro_winkler" else ngram_distance
+
+        # NOTE: hints must reference the real class (a string
+        # annotation would not resolve under deferred evaluation)
+        def _sim(col: pd.Series) -> pd.Series:
+            return col.map(lambda t: round(fn(t, term), 6))
+
+        _sim.__annotations__ = {"col": pd.Series, "return": pd.Series}
+        sim = pandas_udf(_sim, "double")
+
+        cand = cand.select("term", "df", sim(c).alias("dist"))
+        order = [F.col("dist").desc(), F.col("df").desc(),
+                 F.col("term").asc()]
+    else:
+        raise ValueError(f"unknown distance {distance!r}")
     top = cand.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return (
