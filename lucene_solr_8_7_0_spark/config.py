@@ -72,6 +72,14 @@ class EngineConfig:
     # tokenize backend only (like ascii_folding); applied after the
     # analyzer's own filters.
     index_synonyms: tuple = ()
+    # LimitTokenCountFilter / LimitTokenCountAnalyzer analog
+    # (analysis/common/.../miscellaneous/LimitTokenCountFilter.java,
+    # consumeAllTokens=false): keep only the first N tokens of each
+    # document — the giant-document guard (the reference's
+    # IndexWriterConfig used maxFieldLength for the same purpose
+    # historically).  0 = unlimited.  Field length counts the KEPT
+    # tokens only.
+    max_doc_tokens: int = 0
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     index_positions: bool = True
     # opt-in character-offset store (the .pay / offsets tier,

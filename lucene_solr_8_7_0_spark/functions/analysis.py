@@ -634,6 +634,7 @@ def analyze_batch(
     ascii_folding: bool = False,
     html_strip: bool = False,
     index_synonyms: tuple = (),
+    max_doc_tokens: int = 0,
 ) -> TokenBatch:
     """Tokenize a batch of documents into flat columnar token arrays.
 
@@ -691,6 +692,19 @@ def analyze_batch(
         # PorterStemFilter is last in the chain: stems only the KEPT
         # tokens; positions and lengths are unaffected by stemming
         flat = stem_series(flat)
+    if max_doc_tokens and len(flat):
+        # LimitTokenCountFilter (consumeAllTokens=false): keep only
+        # each doc's first N surviving tokens; runs at the END of the
+        # filter chain (LimitTokenCountAnalyzer wraps the analyzer)
+        # and BEFORE synonym injection, which never consumes a slot
+        counts_kept = np.bincount(doc_idx, minlength=n)
+        starts = np.concatenate(([0], np.cumsum(counts_kept)))[:-1]
+        within = np.arange(len(doc_idx)) - np.repeat(starts, counts_kept)
+        lim = within < max_doc_tokens
+        if not lim.all():
+            flat = flat[lim].reset_index(drop=True)
+            doc_idx = doc_idx[lim]
+            positions = positions[lim]
     # field length counts PRIMARY tokens only — synonym injections are
     # posInc=0 overlaps, discounted from the norm length
     # (FieldInvertState.numOverlap + discountOverlaps)

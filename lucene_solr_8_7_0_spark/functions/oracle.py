@@ -80,7 +80,7 @@ def build_oracle_index(docs_pdf: pd.DataFrame, cfg: EngineConfig | None = None) 
     tb = analyze_batch(
         docs_pdf["content"], cfg.analyzer, cfg.max_token_length,
         tuple(cfg.stopwords), cfg.ascii_folding, cfg.html_strip,
-        tuple(cfg.index_synonyms),
+        tuple(cfg.index_synonyms), cfg.max_doc_tokens,
     )
     doc_ids = docs_pdf["doc_id"].to_numpy(dtype=np.int64)
     tok_docs = doc_ids[tb.doc_idx]

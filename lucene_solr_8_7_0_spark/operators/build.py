@@ -188,7 +188,8 @@ def build_index(
         if (cfg.tokenize_backend == "jvm"
                 and analyzer_base(cfg.analyzer) in JVM_ANALYZERS
                 and not cfg.ascii_folding
-                and not cfg.index_synonyms):
+                and not cfg.index_synonyms
+                and not cfg.max_doc_tokens):
             # hot path: whole chain as a JVM Column expression
             doc_tokens = invert.invert_doc_arrays(seg_input, cfg, content_col)
             encoded = encode_segments_fused_docarrays(doc_tokens, cfg)
@@ -348,6 +349,7 @@ def build_index(
                 "k1": cfg.k1, "b": cfg.b, "analyzer": cfg.analyzer,
                 "ascii_folding": cfg.ascii_folding,
                 "html_strip": cfg.html_strip,
+                "max_doc_tokens": cfg.max_doc_tokens,
                 "max_token_length": cfg.max_token_length,
                 "index_positions": cfg.index_positions,
                 "index_offsets": cfg.index_offsets,

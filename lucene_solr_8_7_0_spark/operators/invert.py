@@ -38,11 +38,13 @@ def invert(docs: DataFrame, cfg: EngineConfig, content_col: str = "content") -> 
     folding = cfg.ascii_folding
     strip_html = cfg.html_strip
     synonyms = tuple(cfg.index_synonyms)
+    max_doc = cfg.max_doc_tokens
 
     def run(batches):
         for pdf in batches:
             tb = analyze_batch(pdf[content_col], analyzer, max_len,
-                               stopwords, folding, strip_html, synonyms)
+                               stopwords, folding, strip_html, synonyms,
+                               max_doc)
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             if len(tb.terms) == 0:
                 agg = pd.DataFrame(

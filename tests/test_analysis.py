@@ -463,3 +463,59 @@ def test_stop_filter_end_to_end(spark, tmp_path_factory):
     # the stop set persists with the index and survives reload
     s2 = IndexSearcher(spark, d)
     assert tuple(s2.cfg.stopwords) == ("the",)
+
+
+def test_max_doc_tokens_limit(spark, tmp_path):
+    """LimitTokenCountFilter analog: only each doc's first N surviving
+    tokens are indexed; field length counts the kept tokens; the
+    oracle agrees end-to-end."""
+    import numpy as np
+
+    from lucene_solr_8_7_0_spark.config import EngineConfig
+    from lucene_solr_8_7_0_spark.functions.analysis import analyze_batch
+    from lucene_solr_8_7_0_spark.functions.oracle import (
+        build_oracle_index,
+        oracle_search,
+    )
+    from lucene_solr_8_7_0_spark.operators.build import build_index
+    from lucene_solr_8_7_0_spark.operators.search import IndexSearcher
+    from lucene_solr_8_7_0_spark.plans import queries as Q
+
+    import pandas as pd
+
+    tb = analyze_batch(
+        pd.Series(["one two three four five", "alpha beta"]),
+        "simple", max_doc_tokens=3,
+    )
+    assert tb.terms.tolist() == ["one", "two", "three", "alpha", "beta"]
+    np.testing.assert_array_equal(tb.doc_lengths, [3, 2])
+
+    docs = spark.createDataFrame(
+        [("r", "a", "c", "t", "one two three four five"),
+         ("r", "b", "c", "t", "four alpha")],
+        schema="repo string, path string, commit string, lang string, "
+               "content string",
+    )
+    cfg = EngineConfig(analyzer="simple", segment_size=64, max_doc_tokens=3)
+    d = str(tmp_path / "lim")
+    build_index(spark, docs, d, cfg)
+    s = IndexSearcher(spark, d)
+    assert s.cfg.max_doc_tokens == 3  # round-trips engine_config.json
+    # 'four'/'five' of doc a were truncated away; doc b keeps 'four'
+    assert s.matches_df(Q.TermQuery("five")).count() == 0
+    four = s.matches_df(Q.TermQuery("four")).collect()
+    assert len(four) == 1
+    # engine == oracle on the truncated index
+    corpus = (
+        docs.join(
+            spark.read.parquet(f"{d}/docs").select("repo", "path", "doc_id"),
+            ["repo", "path"],
+        ).select("doc_id", "content").toPandas()
+    )
+    oi = build_oracle_index(corpus, cfg)
+    for q in [Q.TermQuery("one"), Q.TermQuery("four"),
+              Q.PhraseQuery(("one", "two"))]:
+        td = s.search(q, k=5)
+        exp = oracle_search(oi, q, k=5)
+        assert td.doc_ids.tolist() == exp.doc_ids.tolist(), str(q)
+        np.testing.assert_array_equal(td.scores, exp.scores, err_msg=str(q))
