@@ -1128,8 +1128,20 @@ def _q_facet_lang(spark, sf_dir):
             F.lit(None).cast("string").alias("tag"), "count",
         )
     )
+    # interval: Solr facet.interval — arbitrary OVERLAPPING intervals
+    # with open/closed bounds, each a conditional count in ONE
+    # aggregate over one scan
+    from lucene_solr_8_7_0_spark.operators.rangefacet import interval_facet
+
+    iv = interval_facet(
+        events, "value", ["[0,5]", "(5,15)", "[10,*]"]
+    ).select(
+        F.lit("interval").alias("variant"),
+        F.col("bucket").alias("lang"),
+        F.lit(None).cast("string").alias("tag"), "count",
+    )
     return (flat.unionByName(piv).unionByName(dr).unionByName(nr)
-            .unionByName(pb))
+            .unionByName(pb).unionByName(iv))
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -3475,7 +3487,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR), count(*)
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
-            GROUP BY 2""",
+            GROUP BY 2
+            UNION ALL
+            -- facet.interval: overlapping open/closed intervals
+            SELECT 'interval', '[0,5]', CAST(NULL AS VARCHAR), count(*)
+            FROM events WHERE value >= 0 AND value <= 5
+            UNION ALL
+            SELECT 'interval', '(5,15)', CAST(NULL AS VARCHAR), count(*)
+            FROM events WHERE value > 5 AND value < 15
+            UNION ALL
+            SELECT 'interval', '[10,*]', CAST(NULL AS VARCHAR), count(*)
+            FROM events WHERE value >= 10""",
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",

@@ -28,7 +28,75 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.datemath import add_months, parse_date_math, parse_gap
 
-__all__ = ["range_facet", "range_facet_date"]
+__all__ = ["range_facet", "range_facet_date", "interval_facet",
+           "parse_interval"]
+
+
+def parse_interval(spec: str):
+    """One facet.interval spec -> (lo, hi, lo_open, hi_open).
+
+    Reference: solr/core/src/java/org/apache/solr/request/
+    IntervalFacets.java:516-560 (FacetInterval constructor):
+    ``[`` / ``(`` open or closed start, ``]`` / ``)`` end, ``*`` for
+    unbounded, values comma-separated — e.g. ``[0,10)``, ``(20,*]``."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*([\[(])\s*([^,]+?)\s*,\s*([^,]+?)\s*([\])])\s*",
+                      spec)
+    if not m:
+        raise ValueError(f"malformed interval {spec!r}")
+    lo_open = m.group(1) == "("
+    hi_open = m.group(4) == ")"
+    lo = None if m.group(2) == "*" else float(m.group(2))
+    hi = None if m.group(3) == "*" else float(m.group(3))
+    if lo is not None and hi is not None and (
+        lo > hi or (lo == hi and (lo_open or hi_open))
+    ):
+        raise ValueError(f"empty interval {spec!r}")
+    return lo, hi, lo_open, hi_open
+
+
+def interval_facet(
+    df: DataFrame,
+    col: str,
+    intervals,
+    labels=None,
+) -> DataFrame:
+    """Solr facet.interval (SimpleFacets.getFacetIntervalCounts /
+    IntervalFacets.java): counts per arbitrary interval — intervals
+    MAY overlap and need not cover the domain, so (unlike
+    facet.range) each is its own conditional count, all computed in
+    ONE aggregate over ONE scan (no per-interval pass, no explode).
+    Returns (bucket, count) in the given interval order; empty
+    intervals report 0 (the reference always returns every requested
+    interval)."""
+    parsed = [parse_interval(s) for s in intervals]
+    labels = list(labels) if labels is not None else list(intervals)
+    c = F.col(col)
+    aggs = []
+    for i, (lo, hi, lo_open, hi_open) in enumerate(parsed):
+        cond = c.isNotNull()
+        if lo is not None:
+            cond = cond & ((c > lo) if lo_open else (c >= lo))
+        if hi is not None:
+            cond = cond & ((c < hi) if hi_open else (c <= hi))
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, 1)), F.lit(0)).alias(f"_i{i}")
+        )
+    row = df.agg(*aggs)
+    out = row.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("_o"),
+                    F.lit(labels[i]).alias("bucket"),
+                    F.col(f"_i{i}").cast("long").alias("count"),
+                )
+                for i in range(len(parsed))
+            ])
+        ).alias("s")
+    ).select("s._o", "s.bucket", "s.count").orderBy("_o").drop("_o")
+    return out
 
 
 def _bucket_rows(df, idx_col, labels, n):

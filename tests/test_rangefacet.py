@@ -116,3 +116,30 @@ def test_date_range_facet(spark):
     with pytest.raises(ValueError, match="month-aligned"):
         range_facet_date(df, "ts", "2024-01-15T00:00:00Z",
                          "2024-03-01T00:00:00Z", "+1MONTH")
+
+
+def test_interval_facet(spark):
+    from lucene_solr_8_7_0_spark.operators.rangefacet import (
+        interval_facet,
+        parse_interval,
+    )
+
+    assert parse_interval("[0,10)") == (0.0, 10.0, False, True)
+    assert parse_interval("(20,*]") == (20.0, None, True, False)
+    assert parse_interval(" [ *, 5 ] ") == (None, 5.0, False, False)
+    for bad in ["[5,1]", "(3,3)", "0,10", "[a,b)"]:
+        with pytest.raises(ValueError):
+            parse_interval(bad)
+
+    vals = [-5.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = interval_facet(
+        df, "v",
+        ["[0,10)", "[0,10]", "(0,10)", "(15,*]", "[*,0)", "[30,40]"],
+    ).collect()
+    # overlapping intervals each count independently; order preserved;
+    # empty interval reports 0
+    assert [(r["bucket"], r["count"]) for r in got] == [
+        ("[0,10)", 2), ("[0,10]", 3), ("(0,10)", 1),
+        ("(15,*]", 2), ("[*,0)", 1), ("[30,40]", 0),
+    ]
