@@ -1140,8 +1140,21 @@ def _q_facet_lang(spark, sf_dir):
         F.col("bucket").alias("lang"),
         F.lit(None).cast("string").alias("tag"), "count",
     )
+    # query: Solr facet.query — named, overlapping query slices of the
+    # base hit set, each one semi-join count over the SAME base frame
+    from lucene_solr_8_7_0_spark.operators.facets import query_facets
+
+    qf = query_facets(s, q, {
+        "with_join": Q.TermQuery("join"),
+        "near_big": Q.SpanNearQuery(("big", "data"), slop=2),
+        "short": Q.PointRangeQuery("length", None, 80),
+    }).select(
+        F.lit("query").alias("variant"),
+        F.col("name").alias("lang"),
+        F.lit(None).cast("string").alias("tag"), "count",
+    )
     return (flat.unionByName(piv).unionByName(dr).unionByName(nr)
-            .unionByName(pb).unionByName(iv))
+            .unionByName(pb).unionByName(iv).unionByName(qf))
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -3497,7 +3510,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE value > 5 AND value < 15
             UNION ALL
             SELECT 'interval', '[10,*]', CAST(NULL AS VARCHAR), count(*)
-            FROM events WHERE value >= 10""",
+            FROM events WHERE value >= 10
+            UNION ALL
+            -- facet.query: named overlapping slices of the 'data' hits
+            SELECT 'query', 'with_join', CAST(NULL AS VARCHAR), count(*)
+            FROM (SELECT doc_id FROM ({_TOKS}) GROUP BY doc_id
+                  HAVING count(DISTINCT CASE WHEN tok IN ('data', 'join')
+                               THEN tok END) = 2)
+            UNION ALL
+            SELECT 'query', 'near_big', CAST(NULL AS VARCHAR), count(*)
+            FROM (SELECT DISTINCT h.doc_id FROM hits h JOIN (
+                    SELECT DISTINCT a.doc_id
+                    FROM (SELECT doc_id,
+                                 unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+                                 generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p
+                          FROM documents) a
+                    JOIN (SELECT doc_id,
+                                 unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+                                 generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p
+                          FROM documents) b USING (doc_id)
+                    WHERE a.tok = 'big' AND b.tok = 'data'
+                      AND b.p > a.p AND b.p - a.p - 1 <= 2) w
+                  USING (doc_id))
+            UNION ALL
+            SELECT 'query', 'short', CAST(NULL AS VARCHAR), count(*)
+            FROM (SELECT t.doc_id FROM ({_TOKS}) t
+                  JOIN hits USING (doc_id)
+                  GROUP BY t.doc_id HAVING count(*) <= 80)""",
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",

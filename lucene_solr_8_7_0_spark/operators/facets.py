@@ -269,3 +269,34 @@ def drill_sideways(
         F.lit("$hits").alias("dim"), F.lit("$total").alias("label"), "count"
     )
     return out.unionByName(total)
+
+
+def query_facets(searcher, base_query, named_queries: dict) -> DataFrame:
+    """Solr facet.query (solr/core/.../request/SimpleFacets.java
+    getFacetQueryCounts): for each named facet query, the count of
+    documents matching BOTH the base query and the facet query —
+    arbitrary, possibly overlapping slices of the hit set.
+
+    Spark-first: the base hit set is computed once; each facet query's
+    hit set semi-joins it (AQE broadcasts the small side) and the
+    per-name counts union into one frame — no collect, no per-name
+    rescan of the base.  Returns (name, count) in the given order."""
+    spark = searcher.spark
+    base = searcher.matches_df(base_query).select("doc_id")
+    out = None
+    for i, (name, fq) in enumerate(named_queries.items()):
+        cnt = (
+            base.join(
+                searcher.matches_df(fq).select("doc_id"),
+                "doc_id", "left_semi",
+            )
+            .agg(
+                F.lit(i).alias("_o"),
+                F.lit(name).alias("name"),
+                F.count(F.lit(1)).alias("count"),
+            )
+        )
+        out = cnt if out is None else out.unionByName(cnt)
+    if out is None:
+        return spark.createDataFrame([], "name string, count bigint")
+    return out.orderBy("_o").drop("_o")

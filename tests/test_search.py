@@ -1056,3 +1056,27 @@ def test_interval_multiterm_engine(engine):
         td = searcher.search(q, k=10, total_hits_threshold=1)
         assert td.doc_ids.tolist() == full.doc_ids.tolist(), str(q)
         np.testing.assert_array_equal(td.scores, full.scores, err_msg=str(q))
+
+
+def test_query_facets(engine):
+    """facet.query: named overlapping slices, each count equal to the
+    intersected hit sets."""
+    from lucene_solr_8_7_0_spark.operators.facets import query_facets
+
+    searcher, oi = engine
+    base = Q.TermQuery("public")
+    named = {
+        "with_return": Q.TermQuery("return"),
+        "phrase": Q.PhraseQuery(("public", "static")),
+        "none": Q.TermQuery("zzqqxx"),
+    }
+    got = query_facets(searcher, base, named).collect()
+    assert [r["name"] for r in got] == list(named)
+    base_ids = {r["doc_id"] for r in searcher.matches_df(base).collect()}
+    for r in got:
+        fq_ids = {
+            x["doc_id"]
+            for x in searcher.matches_df(named[r["name"]]).collect()
+        }
+        assert r["count"] == len(base_ids & fq_ids), r["name"]
+    assert query_facets(searcher, base, {}).count() == 0
