@@ -1962,6 +1962,12 @@ def _q_facet_tags(spark, sf_dir):
         F.lit("assoc_sum").alias("variant"), "label",
         F.col("sum_val").alias("count"),
     )
+    # dtype parity with the oracle: DuckDB's `sum(val)` in the assoc_sum
+    # branch is HUGEINT, so the UNION ALL promotes the oracle's whole
+    # `count` column, which reaches the comparison as float64 — the
+    # engine's bigint column hashed differently (the one red driver row
+    # in CORRECTNESS_r05).  The oracle text is frozen, so the engine
+    # side casts to double: identical values, identical dtype.
     return (
         flat.unionByName(taxo("taxo_root", ()))
         .unionByName(taxo("taxo_en", ("en",)))
@@ -1969,6 +1975,7 @@ def _q_facet_tags(spark, sf_dir):
         .unionByName(drill)
         .unionByName(sw)
         .unionByName(assoc)
+        .withColumn("count", F.col("count").cast("double"))
     )
 
 

@@ -253,6 +253,14 @@ class QueryCache:
 
 _SHARED_QUERY_CACHE: QueryCache | None = None
 
+# process-wide state for the query-time scan-split guard (see
+# IndexSearcher._scan_conf_guard): session conf is global, so nested /
+# concurrent guarded actions must share one save/restore
+import threading as _threading
+
+_SCAN_CONF_LOCK = _threading.RLock()
+_SCAN_CONF_STATE: dict = {"depth": 0}
+
 
 def _default_query_cache() -> QueryCache:
     global _SHARED_QUERY_CACHE
@@ -307,6 +315,182 @@ class IndexSearcher:
             if os.path.exists(os.path.join(cs, "_SUCCESS"))
             else None
         )
+
+    # ---- segment/file alignment (bucketed-layout shuffle elision) ----
+
+    @staticmethod
+    def _bytes_conf(val: str) -> int:
+        """Parse a Spark byte-size conf string ("4m", "128k", "1g",
+        plain digits = bytes)."""
+        s = str(val).strip().lower()
+        mult = 1
+        for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                       ("t", 1 << 40)):
+            if s.endswith(suf + "b"):
+                s, mult = s[: -len(suf) - 1], m
+                break
+            if s.endswith(suf):
+                s, mult = s[:-1], m
+                break
+        else:
+            if s.endswith("b"):
+                s = s[:-1]
+        return int(float(s) * mult)
+
+    def _segments_alignment(self) -> tuple[bool, int, int, int]:
+        """(aligned, max_file_bytes, total_bytes, n_files) of the
+        segments table.  ``aligned`` is True when NO segment's rows
+        straddle two parquet files — guaranteed by the build's
+        shuffle-on-segment_id write (every segment lands wholly in one
+        reducer's file, the bucketed-table invariant of guide §2.4) and
+        VERIFIED here from the files' own segment_id columns, so a
+        foreign/merged layout degrades to the shuffle path instead of
+        silently splitting a segment across kernels.  Computed once per
+        searcher (metadata-scale driver work: one dictionary-encoded
+        int32 column per file)."""
+        if getattr(self, "_seg_align_cache", None) is not None:
+            return self._seg_align_cache
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            glob.glob(os.path.join(self.index_dir, "segments", "*.parquet"))
+        )
+        sizes = [os.path.getsize(f) for f in files]
+        aligned = True
+        seen: set = set()
+        try:
+            for f in files:
+                col = pq.ParquetFile(f).read(columns=["segment_id"])
+                ids = set(col.column("segment_id").to_pylist())
+                if ids & seen:
+                    aligned = False
+                    break
+                seen |= ids
+        except Exception:
+            aligned = False
+        self._seg_align_cache = (
+            aligned,
+            max(sizes, default=0),
+            sum(sizes),
+            len(files),
+        )
+        return self._seg_align_cache
+
+    def _scan_conf_guard(self):
+        """Context manager: size the segments scan's splits for QUERY
+        work while one of this searcher's own collect actions runs.
+
+        The session default (files.maxPartitionBytes=4m) is tuned for
+        the BUILD's tokenize stage, where small splits keep every core
+        busy; at query time the same setting makes the pushed-down
+        postings scan launch one tiny Python task per file, and local-
+        mode task dispatch (~8-10 ms each, serialized on the driver
+        event loop) dominates the sub-second wall (measured: trivial
+        kernel over 41 tasks 0.585 s vs 11 tasks 0.321 s).  Here the
+        split size is derived from the table's ACTUAL size so the task
+        count lands near min(parallelism, bytes/64MB) — scale-adaptive,
+        not a local[32] constant: a 100x bigger segments table gets
+        proportionally more tasks, capped by cluster parallelism.
+
+        Only RAISES the split size (never below the live value), holds
+        a process-wide reentrant guard so concurrent searches see a
+        stable conf, and restores on exit.  Raising can never break the
+        whole-file-task invariant (_whole_file_tasks: a larger split
+        still never splits a file it previously kept whole)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def guard():
+            aligned, max_file, total, n_files = self._segments_alignment()
+            conf = self.spark.conf
+            if n_files == 0:
+                yield
+                return
+            with _SCAN_CONF_LOCK:
+                _SCAN_CONF_STATE["depth"] += 1
+                first = _SCAN_CONF_STATE["depth"] == 1
+                if first:
+                    try:
+                        old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+                    except Exception:
+                        old_mpb = None
+                    try:
+                        old_mpn = conf.get("spark.sql.files.minPartitionNum")
+                    except Exception:
+                        old_mpn = None
+                    _SCAN_CONF_STATE["saved"] = (old_mpb, old_mpn)
+                    P = max(self.spark.sparkContext.defaultParallelism, 1)
+                    try:
+                        ocb = self._bytes_conf(
+                            conf.get("spark.sql.files.openCostInBytes")
+                        )
+                        live_mpb = self._bytes_conf(old_mpb) if old_mpb else 0
+                    except Exception:
+                        ocb, live_mpb = 4 << 20, 0
+                    total_eff = total + ocb * n_files
+                    n_tasks = max(min(16, P), min(total_eff // (64 << 20), P))
+                    target = max(
+                        live_mpb, -(-total_eff // max(n_tasks, 1))
+                    )
+                    conf.set(
+                        "spark.sql.files.maxPartitionBytes", str(int(target))
+                    )
+                    conf.set("spark.sql.files.minPartitionNum", "1")
+            try:
+                yield
+            finally:
+                with _SCAN_CONF_LOCK:
+                    _SCAN_CONF_STATE["depth"] -= 1
+                    if _SCAN_CONF_STATE["depth"] == 0:
+                        old_mpb, old_mpn = _SCAN_CONF_STATE.pop(
+                            "saved", (None, None)
+                        )
+                        if old_mpb is not None:
+                            conf.set(
+                                "spark.sql.files.maxPartitionBytes", old_mpb
+                            )
+                        if old_mpn is not None:
+                            conf.set(
+                                "spark.sql.files.minPartitionNum", old_mpn
+                            )
+                        else:
+                            try:
+                                conf.unset("spark.sql.files.minPartitionNum")
+                            except Exception:
+                                pass
+
+        return guard()
+
+    def _whole_file_tasks(self) -> bool:
+        """True iff Spark's split-size formula guarantees that no
+        segments-table parquet file is split across scan tasks under
+        the CURRENT session conf (FilePartition.maxSplitBytes:
+        min(maxPartitionBytes, max(openCostInBytes, totalBytes /
+        minPartitionNum)) with totalBytes counting openCost per file).
+        Re-checked per query so a conf change can only ever force the
+        safe fallback."""
+        aligned, max_file, total, n_files = self._segments_alignment()
+        if not aligned or n_files == 0:
+            return False
+        conf = self.spark.conf
+        try:
+            mpb = self._bytes_conf(conf.get("spark.sql.files.maxPartitionBytes"))
+            ocb = self._bytes_conf(conf.get("spark.sql.files.openCostInBytes"))
+        except Exception:
+            return False
+        try:
+            min_pn = int(conf.get("spark.sql.files.minPartitionNum"))
+        except Exception:
+            try:
+                min_pn = int(conf.get("spark.sql.leafNodeDefaultParallelism"))
+            except Exception:
+                min_pn = self.spark.sparkContext.defaultParallelism
+        min_pn = max(min_pn, 1)
+        bytes_per_core = (total + ocb * n_files) // min_pn
+        max_split = min(mpb, max(ocb, bytes_per_core))
+        return max_file <= max_split
 
     # ---- term dictionary services (FST/automaton analog) ----
 
@@ -642,22 +826,23 @@ class IndexSearcher:
         mt_qs = tuple(planner.collect_multi_term_preds(q))
         lead, dv_keys = self._dv_plan(cq, ts)
         min_comp = 0.0
-        if two_pass_threshold and score_mode == "top_scores":
-            seed = self._run_segments(
-                cq, terms, planner.has_phrase(q), k, score_mode,
-                total_hits_threshold, pqs, only_segment=0,
-                lead=lead, dv_keys=dv_keys, mt_qs=mt_qs,
-            ).toPandas()
-            seed = seed[seed["doc_id"] >= 0]
-            if len(seed) >= k:
-                min_comp = float(
-                    np.sort(seed["score"].to_numpy(dtype=np.float32))[-k]
-                )
-        pdf = self._run_segments(cq, terms, planner.has_phrase(q), k,
-                                 score_mode, total_hits_threshold, pqs,
-                                 min_competitive=min_comp,
-                                 lead=lead, dv_keys=dv_keys,
-                                 mt_qs=mt_qs).toPandas()
+        with self._scan_conf_guard():
+            if two_pass_threshold and score_mode == "top_scores":
+                seed = self._run_segments(
+                    cq, terms, planner.has_phrase(q), k, score_mode,
+                    total_hits_threshold, pqs, only_segment=0,
+                    lead=lead, dv_keys=dv_keys, mt_qs=mt_qs,
+                ).toPandas()
+                seed = seed[seed["doc_id"] >= 0]
+                if len(seed) >= k:
+                    min_comp = float(
+                        np.sort(seed["score"].to_numpy(dtype=np.float32))[-k]
+                    )
+            pdf = self._run_segments(cq, terms, planner.has_phrase(q), k,
+                                     score_mode, total_hits_threshold, pqs,
+                                     min_competitive=min_comp,
+                                     lead=lead, dv_keys=dv_keys,
+                                     mt_qs=mt_qs).toPandas()
         return self._merge(pdf, k)
 
     def search_after(
@@ -685,13 +870,14 @@ class IndexSearcher:
         if cq is None:
             return TopDocs(0, "EQ", np.empty(0, np.int64), np.empty(0, np.float32))
         lead, dv_keys = self._dv_plan(cq, ts)
-        pdf = self._run_segments(
-            cq, terms, planner.has_phrase(q), k, "top_scores",
-            total_hits_threshold, planner.collect_point_queries(q),
-            lead=lead, dv_keys=dv_keys,
-            after=(float(after[0]), int(after[1])),
-            mt_qs=tuple(planner.collect_multi_term_preds(q)),
-        ).toPandas()
+        with self._scan_conf_guard():
+            pdf = self._run_segments(
+                cq, terms, planner.has_phrase(q), k, "top_scores",
+                total_hits_threshold, planner.collect_point_queries(q),
+                lead=lead, dv_keys=dv_keys,
+                after=(float(after[0]), int(after[1])),
+                mt_qs=tuple(planner.collect_multi_term_preds(q)),
+            ).toPandas()
         return self._merge(pdf, k)
 
     def matches_df(self, query: Query) -> DataFrame:
@@ -860,14 +1046,15 @@ class IndexSearcher:
         n_segs = max(1, _math.ceil(self.stats.num_docs / seg_size))
         fields = [s.field for s in sort]
         window = min(n_segs, max(1, _math.ceil(4 * k / seg_size)))
-        while True:
-            pdf = (
-                self._bulk_df(query, "filter", max_segment=window)
-                .select("doc_id").orderBy("doc_id").limit(k).toPandas()
-            )
-            if len(pdf) >= k or window >= n_segs:
-                break
-            window = min(n_segs, window * 8)
+        with self._scan_conf_guard():
+            while True:
+                pdf = (
+                    self._bulk_df(query, "filter", max_segment=window)
+                    .select("doc_id").orderBy("doc_id").limit(k).toPandas()
+                )
+                if len(pdf) >= k or window >= n_segs:
+                    break
+                window = min(n_segs, window * 8)
         self.last_sorted_probe = {
             "segments_scanned": int(window),
             "total_segments": int(n_segs),
@@ -1470,6 +1657,7 @@ class IndexSearcher:
             want = list(terms) + [SENTINEL_TERM]
         else:
             want = []
+        pure_scan = bool(want)
         if not want:
             seg_rows = self.segments.filter(F.lit(False)).select(*cols)
         else:
@@ -1479,6 +1667,7 @@ class IndexSearcher:
             seg_rows = self.segments.filter(cond).select(*cols)
         for pdf_rows in self._points_rows(point_qs, cols, lead, dv_keys):
             seg_rows = seg_rows.unionByName(pdf_rows)
+            pure_scan = False
         if self._has_deletes():
             # live docs: exclude deleted ids via an implicit MUST_NOT
             # (postings untouched, stats untouched — Lucene semantics)
@@ -1490,6 +1679,7 @@ class IndexSearcher:
                 cq.combine, cq.tie,
             )
             seg_rows = seg_rows.unionByName(del_rows)
+            pure_scan = False
         if only_segment is not None:
             seg_rows = seg_rows.filter(F.col("segment_id") == only_segment)
         if max_segment is not None:
@@ -1546,8 +1736,64 @@ class IndexSearcher:
                 }
             )
 
-        return seg_rows.groupby("segment_id").applyInPandas(
-            kernel, schema=RESULT_SCHEMA
+        if pure_scan and self._whole_file_tasks():
+            # ---- one-stage kernel (shuffle elision, guide §2.4) ----
+            # The segments table is bucketed by segment_id at write
+            # time (the encode shuffle keys on segment_id, so each
+            # segment's rows land wholly inside ONE reducer's parquet
+            # file) and _whole_file_tasks() proves the scan cannot
+            # split a file across tasks under the live conf — so every
+            # scan task already holds complete segments and the
+            # groupBy exchange + AQE stage barrier + second task wave
+            # are pure overhead.  Each task groups its own rows and
+            # runs the per-segment kernels in place: scan -> kernel ->
+            # collect, one stage, zero shuffle.  Any union input
+            # (point-filter pseudo-postings, the deletes mask) or a
+            # foreign file layout falls back to the shuffle path.
+            empty = pd.DataFrame(
+                {
+                    "segment_id": pd.Series(dtype=np.int32),
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "score": pd.Series(dtype=np.float32),
+                    "hits": pd.Series(dtype=np.int64),
+                    "hits_exact": pd.Series(dtype=bool),
+                }
+            )
+
+            def kernel_partition(batches):
+                parts = [pdf for pdf in batches if len(pdf)]
+                if not parts:
+                    yield empty
+                    return
+                allp = (
+                    pd.concat(parts, ignore_index=True)
+                    if len(parts) > 1
+                    else parts[0]
+                )
+                outs = [
+                    kernel((seg_id,), g)
+                    for seg_id, g in allp.groupby("segment_id", sort=False)
+                ]
+                outs = [o for o in outs if len(o)]
+                yield (
+                    pd.concat(outs, ignore_index=True) if outs else empty
+                )
+
+            return seg_rows.mapInPandas(
+                kernel_partition, schema=RESULT_SCHEMA
+            )
+        # ---- shuffle path (pseudo-postings unions / foreign layout) ----
+        # Explicit repartition with a stated partition count: AQE's
+        # partition coalescing would otherwise collapse the tiny
+        # query-time shuffle to ONE task and serialize every segment
+        # kernel on a single core (measured: q4_and_mid 1.31s -> 0.81s
+        # from this alone).  The groupBy reuses this hash partitioning,
+        # so there is still exactly one exchange.
+        n_kernel = max(2 * self.spark.sparkContext.defaultParallelism, 1)
+        return (
+            seg_rows.repartition(n_kernel, "segment_id")
+            .groupby("segment_id")
+            .applyInPandas(kernel, schema=RESULT_SCHEMA)
         )
 
     def _merge(self, pdf: pd.DataFrame, k: int) -> TopDocs:
