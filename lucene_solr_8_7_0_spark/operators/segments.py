@@ -477,6 +477,17 @@ def encode_segments_fused_docarrays(
     p = doc_tokens.withColumn(
         "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
     )
+    # Explicit partition count for the encode shuffle: AQE's advisory-
+    # size coalescing packs the token stream into uneven ~16 MB tasks
+    # whose stragglers leave cores idle through the encode wave;
+    # 2x parallelism gives two even waves (measured ~8% on the sf1.0
+    # segments stage).  The groupBy below reuses this hash
+    # partitioning, so there is still exactly one exchange, and the
+    # count scales with the cluster, not a local constant.
+    n_enc = max(
+        2 * doc_tokens.sparkSession.sparkContext.defaultParallelism, 1
+    )
+    p = p.repartition(n_enc, "segment_id")
 
     if cfg.encode_backend == "arrow":
 

@@ -112,6 +112,46 @@ def test_jvm_token_pattern_equivalence(spark):
         assert STANDARD_TOKEN_RE.findall(s) == j, (s, j)
 
 
+def test_jvm_ascii_fast_path_equivalence(spark):
+    """The ASCII-specialized pattern the JVM tokenizer dispatches to
+    for all-ASCII documents must tokenize EXACTLY like the full
+    Unicode grammar on every ASCII input — randomized strings dense in
+    the joiner/edge cases ('.', ',', ';', ':', \"'\", '_', digit/letter
+    boundaries), compared against both the full Java pattern and the
+    Python reference chain."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucene_solr_8_7_0_spark.functions.analysis import (
+        JAVA_ASCII_TOKEN_PATTERN,
+        JAVA_STANDARD_TOKEN_PATTERN,
+        STANDARD_TOKEN_RE,
+        jvm_token_array,
+    )
+
+    rng = random.Random(420)
+    alphabet = "ab1._,;:' Z9\t\n-" + "".join(chr(c) for c in range(32, 127))
+    strs = ["a.b c'd 1.2 1,2 a:b _x_ don't 3;4 a.1 1.a .a a."] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"content": strs}))
+    rows = df.select(
+        F.regexp_extract_all(
+            "content", F.lit(JAVA_ASCII_TOKEN_PATTERN), F.lit(0)
+        ).alias("fast"),
+        F.regexp_extract_all(
+            "content", F.lit(JAVA_STANDARD_TOKEN_PATTERN), F.lit(0)
+        ).alias("full"),
+        jvm_token_array("content", "standard").alias("dispatch"),
+    ).collect()
+    for s, r in zip(strs, rows):
+        assert r["fast"] == r["full"] == r["dispatch"], (s, r)
+        assert r["dispatch"] == STANDARD_TOKEN_RE.findall(s), s
+
+
 def test_html_strip_char_filter(spark):
     """HTMLStripCharFilter analog: golden strip cases, the single-
     decode entity property, and JVM == Python parity (the char filter

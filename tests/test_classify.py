@@ -112,6 +112,33 @@ def test_naive_bayes_matches_reference_loops(engine, spark):
         assert abs(out.loc[i, "score"] - round(score, 6)) < 1e-5, f"doc {i}"
 
 
+def test_naive_bayes_semi_join_vocab_path(engine, spark):
+    """Past the pushdown limit the vocabulary must NOT be collected to
+    the driver: postings are semi-joined against the distributed
+    distinct-term set, and the results are identical to the literal-IN
+    path (bulk corpus labeling at 100 TB hinges on this)."""
+    searcher, corpus = engine
+    ids = {int(corpus.doc_id.iloc[i]) for i in (3, 17, 42)}
+    small = naive_bayes_classify(
+        searcher, _inputs_df(spark, corpus, ids), "lang"
+    ).toPandas().sort_values("input_id").reset_index(drop=True)
+    # limit=1 forces every real batch onto the distributed path
+    big = naive_bayes_classify(
+        searcher, _inputs_df(spark, corpus, ids), "lang",
+        vocab_pushdown_limit=1,
+    ).toPandas().sort_values("input_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(small, big)
+    # plan-shape assertion: the DataFrame vocab compiles to a semi join
+    # of the postings scan, not an IN-list filter
+    vocab_df = spark.createDataFrame(
+        [("data",), ("join",)], "term string"
+    )
+    plan = postings_df(searcher, vocab_df)._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan
+
+
 def test_nb_scores_are_normalized(engine, spark):
     searcher, corpus = engine
     ids = {int(corpus.doc_id.iloc[0])}
