@@ -152,6 +152,21 @@ def _term_docs_scores(
 _POS_SHIFT = np.int64(1) << 32  # positions < 2^31, so no key collisions
 
 
+def _mask_in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of ``a``'s elements in SORTED ``b`` via one
+    searchsorted — O(|a| log |b|).  Every postings-derived array in
+    this module is doc- (or (doc,pos)-key-) sorted, so this replaces
+    ``np.isin(..., assume_unique=True)``, which re-sorts the
+    concatenation of both arrays on every call (the measured hot spot
+    of the phrase kernel: the q9 hot-hot phrase intersects two
+    ~100k-key streams per segment)."""
+    if len(b) == 0:
+        return np.zeros(len(a), dtype=bool)
+    idx = np.searchsorted(b, a)
+    np.minimum(idx, len(b) - 1, out=idx)
+    return b[idx] == a
+
+
 def _phrase_docs_scores(
     tps: list[TermPostings | None], norms: np.ndarray, clause: ScoringClause
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -218,7 +233,7 @@ def _phrase_core(
             drep = np.repeat(docs, freqs)
             k_off = drep * _POS_SHIFT + (poss - off + max_off + 1)  # non-negative
             keys = k_off if keys is None else keys[
-                np.isin(keys, k_off, assume_unique=True)
+                _mask_in_sorted(keys, k_off)
             ]
             if len(keys) == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float32)
@@ -230,7 +245,7 @@ def _phrase_core(
 
         cand = decoded[0][0]
         for docs, _, _ in decoded[1:]:
-            cand = cand[np.isin(cand, docs, assume_unique=True)]
+            cand = cand[_mask_in_sorted(cand, docs)]
         if len(cand) == 0:
             return cand, np.empty(0, np.float32)
         slices = []
@@ -400,7 +415,7 @@ def _span_near_docs_scores(
         return np.empty(0, np.int64), np.empty(0, np.float32)
     cand = decoded[0][0]
     for docs, _, _ in decoded[1:]:
-        cand = cand[np.isin(cand, docs, assume_unique=True)]
+        cand = cand[_mask_in_sorted(cand, docs)]
     if len(cand) == 0:
         return cand, np.empty(0, np.float32)
     slices = []
@@ -485,8 +500,8 @@ def _span_contain_docs_scores(
         return np.empty(0, np.int64), np.empty(0, np.float32)
     cand = decoded[0][0]
     for docs, _, _ in decoded[1:]:
-        cand = cand[np.isin(cand, docs, assume_unique=True)]
-    cand = cand[np.isin(cand, lit[0], assume_unique=True)]
+        cand = cand[_mask_in_sorted(cand, docs)]
+    cand = cand[_mask_in_sorted(cand, lit[0])]
     if len(cand) == 0:
         return cand, np.empty(0, np.float32)
     slices = []
@@ -562,7 +577,7 @@ def _intervals_docs_scores(
         cand = None
         for t in req:
             d = decoded[t][0]
-            cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
+            cand = d if cand is None else cand[_mask_in_sorted(cand, d)]
     else:
         if not decoded:
             return np.empty(0, np.int64), np.empty(0, np.float32)
@@ -773,7 +788,7 @@ def _apply_must_nots(cand, posting_map, norms, must_nots):
     for c in must_nots:
         nd, _ = _eval_clause(posting_map, norms, c)
         if len(nd):
-            cand = cand[~np.isin(cand, nd, assume_unique=True)]
+            cand = cand[~_mask_in_sorted(cand, nd)]
     return cand
 
 
@@ -816,7 +831,7 @@ def _conjunctive(
     for _, docs, _ in evaluated[1:]:
         if len(cand) == 0:
             break
-        cand = cand[np.isin(cand, docs, assume_unique=True)]
+        cand = cand[_mask_in_sorted(cand, docs)]
     cand = _apply_must_nots(cand, posting_map, norms, cq.must_nots)
     if len(cand) == 0:
         return SegmentTopK(cand, np.empty(0, np.float32), 0, True)

@@ -747,10 +747,45 @@ class IndexSearcher:
         return terms
 
     def _term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
+        """Global TermStatistics for a query's terms.  Read driver-side
+        with pyarrow (row-group pruning on the term-sorted termdict
+        files — the FST seek analog): the values are identical to the
+        old pushed-down Spark collect, but a whole Spark job (~50 ms of
+        scheduling for a handful of rows) leaves the per-query critical
+        path.  The reference likewise resolves term stats in-process at
+        Weight creation.  Falls back to the Spark scan for non-local
+        layouts pyarrow cannot reach."""
         if not terms:
             return {}
-        rows = self.termdict.filter(F.col("term").isin(list(terms))).collect()
-        return {r["term"]: (r["df"], r["ttf"]) for r in rows}
+        try:
+            import glob
+
+            import pyarrow.dataset as pads
+
+            files = sorted(
+                glob.glob(
+                    os.path.join(self.index_dir, "termdict", "*.parquet")
+                )
+            )
+            if not files:
+                raise FileNotFoundError(self.index_dir)
+            tbl = pads.dataset(files, format="parquet").to_table(
+                columns=["term", "df", "ttf"],
+                filter=pads.field("term").isin(list(terms)),
+            )
+            return {
+                t: (int(d), int(f))
+                for t, d, f in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist(),
+                    tbl.column("ttf").to_pylist(),
+                )
+            }
+        except Exception:
+            rows = self.termdict.filter(
+                F.col("term").isin(list(terms))
+            ).collect()
+            return {r["term"]: (r["df"], r["ttf"]) for r in rows}
 
     def _dv_plan(self, cq: CompiledQuery, term_stats) -> tuple:
         """(lead, dv_keys) for the IndexOrDocValuesQuery access-path
