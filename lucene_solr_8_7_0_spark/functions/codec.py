@@ -212,9 +212,12 @@ def encode_blocks_batched(
         lens[blk_stream] - blk_local * BLOCK_SIZE, BLOCK_SIZE
     ).astype(np.int64)
     # width selection: pads are 0, so the k-th largest of the padded
-    # row equals the k-th largest of the valid prefix for k <= n_valid
-    S = np.sort(M, axis=1)
-    top4 = S[:, -1 : -5 : -1].astype(np.float64)  # descending top-4
+    # row equals the k-th largest of the valid prefix for k <= n_valid.
+    # A 4-element partition + tiny sort replaces the full 128-column
+    # row sort (O(n) vs O(n log n) over the whole matrix); the valid
+    # minimum comes from one masked min pass.
+    P4 = np.partition(M, BLOCK_SIZE - 4, axis=1)[:, BLOCK_SIZE - 4 :]
+    top4 = -np.sort(-P4.astype(np.int64), axis=1).astype(np.float64)
     w_e = np.frexp(top4)[1].astype(np.int64)      # bit_length (exact: uint32 in f64)
     e_range = np.arange(4, dtype=np.int64)
     cost = (n_valid[:, None] * w_e + 7) // 8 + 5 * e_range[None, :]
@@ -223,8 +226,12 @@ def encode_blocks_batched(
     best_e = np.argmin(cost, axis=1)  # ties -> smaller e, like the scalar path
     w = np.take_along_axis(w_e, best_e[:, None], axis=1)[:, 0]
     # all-equal blocks: min over the valid prefix == max
-    vmin = np.take_along_axis(S, (BLOCK_SIZE - n_valid)[:, None], axis=1)[:, 0]
-    all_eq = vmin == S[:, -1]
+    col_idx = np.arange(BLOCK_SIZE, dtype=np.int64)[None, :]
+    vmin = np.where(
+        col_idx < n_valid[:, None], M, np.uint32(0xFFFFFFFF)
+    ).min(axis=1)
+    vmax = top4[:, 0].astype(np.uint32)
+    all_eq = vmin == vmax
     first_val = M[:, 0]
     # exceptions: only blocks that chose num_exc > 0 can have values
     # above 2^w - 1, and at most best_e of them

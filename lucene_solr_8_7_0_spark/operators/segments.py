@@ -570,8 +570,17 @@ def lengths_from_segments(segments: DataFrame, cfg: EngineConfig) -> DataFrame:
                 {"doc_id": np.repeat(bases, ns) + offs, "length": lengths}
             )
 
-    return (
-        segments.filter(F.col("term") == SENTINEL_TERM)
-        .select("segment_id", "freq_blocks")
-        .mapInPandas(explode, schema="doc_id bigint, length bigint")
+    sel = segments.filter(F.col("term") == SENTINEL_TERM).select(
+        "segment_id", "freq_blocks"
     )
+    # one sentinel row per segment: the pushed-down scan otherwise
+    # launches one (serialized ~9 ms) Python task per segment FILE for
+    # a trivial frombuffer decode.  Coalescing to a quarter of the scan
+    # partitions (floored at 1) keeps the count proportional to the
+    # table — more tasks for bigger tables, a handful locally — and
+    # costs no shuffle.
+    cur = sel.rdd.getNumPartitions()
+    target = max(cur // 4, 1)
+    if target < cur:
+        sel = sel.coalesce(target)
+    return sel.mapInPandas(explode, schema="doc_id bigint, length bigint")
