@@ -69,6 +69,7 @@ def _encode_all_terms(
     norm_arr: np.ndarray,
     pos_col,
     pos_flat: np.ndarray | None = None,
+    as_numpy: bool = False,
 ) -> list[tuple]:
     """Encode EVERY term of a segment in one batched pass.
 
@@ -82,6 +83,12 @@ def _encode_all_terms(
     """
     from ..functions.codec import BLOCK_SIZE, _grouped_arange, encode_blocks_batched
     from ..functions.impacts import block_impacts_batched
+
+    # as_numpy: keep list-typed cells as numpy arrays (the Arrow output
+    # path converts them straight from their buffers; .tolist() per
+    # term was ~10% of the encode kernel)
+    def _l(a):
+        return a if as_numpy else a.tolist()
 
     T = len(uniques)
     if T == 0:
@@ -153,12 +160,12 @@ def _encode_all_terms(
             (
                 seg_id, uniques[t], int(df_t[t]), int(ttf_t[t]),
                 -1, 0,
-                doc_pay[mi], doc_offs[mi].tolist(),
-                freq_pay[mi], freq_offs[mi].tolist(),
+                doc_pay[mi], _l(doc_offs[mi]),
+                freq_pay[mi], _l(freq_offs[mi]),
                 pos_pay[mi] if has_pos else b"",
-                pos_offs[mi].tolist() if has_pos else [],
-                last_docs[blk_first[mi] : blk_first[mi + 1]].tolist(),
-                flats[mi].tolist(), imp_offs[mi].tolist(),
+                _l(pos_offs[mi]) if has_pos else [],
+                _l(last_docs[blk_first[mi] : blk_first[mi + 1]]),
+                _l(flats[mi]), _l(imp_offs[mi]),
             )
         )
         mi += 1
@@ -454,6 +461,7 @@ def encode_segment_group_docarrays_arrow(
             norm_arr,
             pos_col=None,
             pos_flat=(p_s if index_positions else None),
+            as_numpy=True,
         )
     rows.append(
         (
