@@ -430,7 +430,10 @@ class IndexSearcher:
                     except Exception:
                         ocb, live_mpb = 4 << 20, 0
                     total_eff = total + ocb * n_files
-                    n_tasks = max(min(16, P), min(total_eff // (64 << 20), P))
+                    # floor 16 tasks (dispatch cost ~9 ms/task versus
+                    # kernel parallelism), ramp with table size from
+                    # ~16 MB/task, cap at cluster parallelism
+                    n_tasks = min(max(16, total_eff // (16 << 20)), P)
                     target = max(
                         live_mpb, -(-total_eff // max(n_tasks, 1))
                     )
