@@ -390,7 +390,7 @@ class IndexSearcher:
         event loop) dominates the sub-second wall (measured: trivial
         kernel over 41 tasks 0.585 s vs 11 tasks 0.321 s).  Here the
         split size is derived from the table's ACTUAL size so the task
-        count lands near min(parallelism, bytes/64MB) — scale-adaptive,
+        count lands near min(parallelism, max(16, bytes/16MB)) — scale-adaptive,
         not a local[32] constant: a 100x bigger segments table gets
         proportionally more tasks, capped by cluster parallelism.
 
